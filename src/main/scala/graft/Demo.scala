@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end drive of the public engine API against the driver testdata.
+  * `sbt "runMain graft.Demo [sfDir]"` — prints query results and the
+  * expanded SQL + physical plan for inspection.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (t <- Seq("lineitem", "orders", "customer", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+
+    val engine = GraftEngine(spark)
+
+    engine.sql(
+      """CREATE VIEW li_v AS
+        |SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+        |       SUM(l_extendedprice * (1 - l_discount)) AS MEASURE revenue,
+        |       SUM(l_quantity) AS MEASURE qty,
+        |       COUNT(DISTINCT l_partkey) AS MEASURE parts
+        |FROM lineitem""".stripMargin)
+
+    def show(label: String, sql: String): Unit = {
+      println(s"\n=== $label\n--- query: $sql")
+      println("--- expanded: " + engine.expandSql(sql))
+      engine.sql(sql).show(12, truncate = false)
+    }
+
+    show("basic AGGREGATE + implicit GROUP BY",
+      "SELECT l_returnflag, AGGREGATE(revenue) AS revenue FROM li_v")
+    show("pct-of-total via AT (ALL)",
+      """SELECT l_returnflag, l_linestatus, AGGREGATE(revenue) AS revenue,
+        |ROUND(100.0 * AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL), 2) AS pct
+        |FROM li_v""".stripMargin)
+    show("YoY via AT (SET)",
+      """SELECT ship_year, AGGREGATE(revenue) AS revenue,
+        |AGGREGATE(revenue) AT (SET ship_year = ship_year - 1) AS prior_year
+        |FROM li_v ORDER BY ship_year""".stripMargin)
+    show("COUNT DISTINCT measure with WHERE",
+      "SELECT l_returnflag, AGGREGATE(parts) AS parts FROM li_v WHERE l_linestatus = 'F'")
+
+    println("\n=== physical plan of the AT (ALL) query:")
+    engine.sql(
+      """SELECT l_returnflag, AGGREGATE(revenue) AS revenue,
+        |AGGREGATE(revenue) AT (ALL) AS total FROM li_v""".stripMargin)
+      .explain("formatted")
+
+    // probes
+    def expectError(label: String, sql: String): Unit = {
+      try {
+        engine.sql(sql).show(1)
+        println(s"PROBE $label: NO ERROR (unexpected)")
+      } catch {
+        case e: Exception =>
+          println(s"PROBE $label: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    expectError("unknown measure", "SELECT l_returnflag, AGGREGATE(nope) FROM li_v")
+    expectError("measure call in WHERE",
+      "SELECT l_returnflag, AGGREGATE(revenue) FROM li_v WHERE AGGREGATE(qty) > 5")
+    engine.sql("DROP VIEW li_v")
+    expectError("query after DROP VIEW", "SELECT l_returnflag, AGGREGATE(revenue) FROM li_v")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{MeasureCatalog, MeasureKind, MeasureView, ViewMeasure}
+import graft.functions.Shims
+import graft.planner.{GraftException, QueryExpander}
+import graft.syntax.{MeasureDdl, ParsedMeasureView, Scan}
+
+/** The public engine: a measure-aware semantic layer over Spark SQL.
+  *
+  * {{{
+  * val engine = GraftEngine(spark)
+  * engine.sql("CREATE VIEW sales_v AS SELECT year, region, SUM(amount) AS MEASURE revenue FROM sales")
+  * val df = engine.sql("SELECT year, region, AGGREGATE(revenue) AT (ALL region) FROM sales_v")
+  * }}}
+  *
+  * Statement routing mirrors the reference's parser override
+  * (/root/reference/src/yardstick_extension.cpp:1864-1980): AS MEASURE DDL
+  * registers the measure catalog entry and a clean Spark temp view; measure
+  * queries are expanded to join-based SQL; DROP VIEW keeps the catalogs in
+  * sync; everything else passes through to spark.sql.
+  */
+final class GraftEngine(val spark: SparkSession) {
+
+  val catalog = new MeasureCatalog
+
+  private val baseColsCache = TrieMap.empty[String, Set[String]]
+
+  private def baseColsOf(viewNameLower: String): Set[String] =
+    baseColsCache.getOrElseUpdate(viewNameLower, {
+      catalog.get(viewNameLower) match {
+        case Some(v) =>
+          try spark.sql(s"SELECT * FROM (${v.baseRelationSql}) __probe LIMIT 0")
+            .columns.map(_.toLowerCase).toSet
+          catch { case _: Exception => Set.empty }
+        case None => Set.empty
+      }
+    })
+
+  private val expander = new QueryExpander(catalog, baseColsOf)
+
+  /** Execute one or more ';'-separated statements; returns the last result. */
+  def sql(text: String): DataFrame = {
+    val stmts = Scan.splitStatements(text)
+    var last: DataFrame = spark.emptyDataFrame
+    for (s <- stmts) last = executeStatement(s)
+    last
+  }
+
+  /** Batch execution with transactional measure-catalog semantics: on any
+    * failure the catalog is restored to its pre-batch snapshot.
+    * (Reference: RewriteMeasureViewsStatementByStatement,
+    * yardstick_extension.cpp:1498-1754.)
+    */
+  def executeBatch(text: String): DataFrame = {
+    val snap = catalog.snapshot()
+    try sql(text)
+    catch {
+      case e: Throwable =>
+        catalog.restore(snap)
+        throw e
+    }
+  }
+
+  /** Expand a measure query to the SQL actually executed (for inspection /
+    * EXPLAIN); returns the input when it is not a measure query.
+    */
+  def expandSql(text: String): String = {
+    val stmt = Shims(stripSemantic(text.trim.stripSuffix(";")))
+    expander.expand(stmt).getOrElse(stmt)
+  }
+
+  private def stripSemantic(stmt: String): String = {
+    val t = stmt.trim
+    if (t.length > 9 && t.regionMatches(true, 0, "SEMANTIC", 0, 8) &&
+        t.charAt(8).isWhitespace) t.substring(9).trim
+    else t
+  }
+
+  private def executeStatement(stmt0: String): DataFrame = {
+    val stmt = Shims(stripSemantic(stmt0))
+
+    // DROP VIEW: sync the measure catalog first (measures.rs:7655-7661)
+    MeasureDdl.dropViewName(stmt) match {
+      case Some(name) =>
+        catalog.drop(name)
+        baseColsCache.remove(name.toLowerCase)
+        return spark.sql(stmt)
+      case None =>
+    }
+
+    if (MeasureDdl.hasAsMeasure(stmt)) {
+      MeasureDdl.parse(stmt) match {
+        case Some(p) => return registerMeasureView(p)
+        case None => // fall through (AS MEASURE text in a comment/literal)
+      }
+    }
+
+    expander.expand(stmt) match {
+      case Some(expanded) => spark.sql(expanded)
+      case None => spark.sql(normalizeDdl(stmt))
+    }
+  }
+
+  /** Register the clean view + catalog entry for an AS MEASURE CREATE VIEW.
+    * Decomposable and derived measures become typed NULL placeholder
+    * columns (virtual columns, measures.rs:4520-4524); non-decomposable and
+    * window measures stay materialized, with GROUP BY ALL appended when the
+    * view had no GROUP BY (measures.rs:4552-4570).
+    */
+  private def registerMeasureView(p: ParsedMeasureView): DataFrame = {
+    val tempName = Scan.lastPart(p.viewName)
+
+    val mv = MeasureView(
+      viewName = tempName,
+      measures = p.measures,
+      baseRelationSql = p.baseRelationSql,
+      dimensionExprs = p.dimensionExprs,
+      dimensionOrder = p.dimensionOrder,
+      groupByCols = p.groupByCols
+    )
+
+    def probeType(expr: String): String = {
+      val sub = substDerived(expr, mv)
+      val df = spark.sql(s"SELECT $sub AS __probe FROM (${p.baseRelationSql}) __b")
+      df.schema.head.dataType.sql
+    }
+
+    val cleanItems = p.items.map {
+      case Left(dim) => dim
+      case Right(m) => m.kind match {
+        case MeasureKind.NonDecomposable | MeasureKind.Window =>
+          s"${m.expression} AS ${m.name}"
+        case _ =>
+          val dt = try probeType(m.expression) catch { case _: Exception => "DOUBLE" }
+          s"CAST(NULL AS $dt) AS ${m.name}"
+      }
+    }
+
+    val needsGroupByAll = p.clauses.groupBy.isEmpty &&
+      p.measures.exists(_.kind == MeasureKind.NonDecomposable)
+    val groupSql = p.clauses.groupBy.map(g => s" GROUP BY $g")
+      .getOrElse(if (needsGroupByAll) " GROUP BY ALL" else "")
+    val whereSql = p.clauses.where.map(w => s" WHERE $w").getOrElse("")
+    val fromSql = p.clauses.from.map(f => s" FROM $f").getOrElse("")
+    val cleanSql =
+      s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS SELECT ${cleanItems.mkString(", ")}$fromSql$whereSql$groupSql"
+
+    val prev = catalog.snapshot()
+    try {
+      val res = spark.sql(cleanSql)
+      catalog.register(mv)
+      baseColsCache.remove(tempName.toLowerCase)
+      res
+    } catch {
+      case e: Throwable =>
+        catalog.restore(prev)
+        throw e
+    }
+  }
+
+  private def substDerived(expr: String, v: MeasureView): String =
+    Scan.mapColumnRefs(expr, { tok =>
+      v.measure(Scan.lastPart(tok).toLowerCase).map(m => s"(${m.expression})")
+    })
+
+  /** Session-scope non-measure DDL: CREATE [OR REPLACE] VIEW -> TEMPORARY
+    * so that plain views and measure views live in the same (session)
+    * namespace and DROP VIEW behaves uniformly.
+    */
+  private def normalizeDdl(stmt: String): String = {
+    val re = "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+".r
+    re.findFirstMatchIn(stmt) match {
+      case Some(_) =>
+        stmt.replaceFirst("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+",
+          "CREATE OR REPLACE TEMPORARY VIEW ")
+      case None => stmt
+    }
+  }
+}
+
+object GraftEngine {
+  def apply(spark: SparkSession): GraftEngine = new GraftEngine(spark)
+}

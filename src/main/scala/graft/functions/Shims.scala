@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.syntax.Scan
+
+/** DuckDB -> Spark SQL surface shims, applied to statement text before
+  * parsing. Only function-call *names* are touched (mask- and call-aware),
+  * plus the QUANTILE_DISC(x, q) inline-arg form which Spark expresses as
+  * percentile_disc(q) WITHIN GROUP (ORDER BY x).
+  *
+  * Spark 4 already parses `::` casts and PERCENTILE_CONT/DISC ... WITHIN
+  * GROUP natively, so those need no rewrite (reference rewrites them for
+  * DuckDB: yardstick_extension.cpp:80-230).
+  */
+object Shims {
+
+  private val fnRenames: Map[String, String] = Map(
+    "array_length" -> "size",
+    "list_aggregate" -> "aggregate",
+    "quantile_cont" -> "percentile",
+    "quantile" -> "percentile",
+    "string_agg" -> "listagg",
+    "list" -> "collect_list",
+    "arbitrary" -> "any_value",
+    "strlen" -> "length",
+    "regexp_matches" -> "rlike"
+  )
+
+  def apply(sql: String): String = {
+    val step1 = rewriteQuantileDisc(sql)
+    renameCalls(step1)
+  }
+
+  private def renameCalls(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val ids = Scan.identifiers(sql, mask, 0, sql.length)
+    if (ids.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    for ((tok, s, e) <- ids) {
+      var j = e
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      val isCall = j < sql.length && sql.charAt(j) == '('
+      sb.append(sql.substring(pos, s))
+      if (isCall && !tok.contains('.') && fnRenames.contains(tok.toLowerCase))
+        sb.append(fnRenames(tok.toLowerCase))
+      else sb.append(tok)
+      pos = e
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
+  /** QUANTILE_DISC(col, q) -> percentile_disc(q) WITHIN GROUP (ORDER BY col). */
+  private def rewriteQuantileDisc(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\bQUANTILE_DISC\\s*\\(".r
+    val m = re.findFirstMatchIn(sql)
+    m match {
+      case Some(mm) if !mask(mm.start) =>
+        val open = sql.indexOf('(', mm.start)
+        val close = Scan.matchParen(sql, mask, open)
+        if (close < 0) return sql
+        val inner = sql.substring(open + 1, close)
+        val innerMask = Scan.buildMask(inner)
+        val parts = Scan.splitTopLevel(inner, innerMask, ',', 0, inner.length)
+          .map { case (s, e) => inner.substring(s, e).trim }
+        if (parts.length == 2) {
+          val replaced = sql.substring(0, mm.start) +
+            s"percentile_disc(${parts(1)}) WITHIN GROUP (ORDER BY ${parts(0)})" +
+            sql.substring(close + 1)
+          rewriteQuantileDisc(replaced) // handle multiple occurrences
+        } else sql
+      case _ => sql
+    }
+  }
+}

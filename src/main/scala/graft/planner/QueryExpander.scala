@@ -1,0 +1,754 @@
+package graft.planner
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.catalog.{MeasureCatalog, MeasureKind, MeasureView}
+import graft.syntax._
+
+final class GraftException(msg: String) extends RuntimeException(msg)
+
+/** Rewrites a measure query (AGGREGATE / AT / bare measure refs / {m}) into
+  * plain Spark SQL.
+  *
+  * The reference expands each AGGREGATE call into a correlated scalar
+  * subquery and relies on DuckDB to decorrelate
+  * (/root/reference/yardstick-rs/src/sql/measures.rs:7110-7592). Spark's
+  * correlated-subquery support is restricted, and the reference's own
+  * join plan (build_non_decomposable_join_plan, measures.rs:5249-5403) is
+  * plain relational algebra — so we emit that join plan directly:
+  *
+  * {{{
+  * WITH __base AS (<base relation>),
+  *      __outer AS (SELECT dims..., <inline visible-context aggs>
+  *                  FROM __base [WHERE w] [GROUP BY dims]),
+  *      __f1 AS (SELECT keys..., <agg> AS __v FROM __base [WHERE f] GROUP BY keys)
+  * SELECT ... FROM __outer LEFT JOIN __f1 ON __outer.d <=> __f1.__k0 ...
+  * }}}
+  *
+  * Catalyst then provides partial aggregation, AQE, broadcast-vs-sort-merge
+  * selection (1-row grand-total frames always broadcast) and shuffle reuse.
+  * Identical (measure, context) frames are deduplicated at plan time — the
+  * reference re-expands each call independently.
+  *
+  * @param baseColumns viewNameLower -> base relation column names (lowercase),
+  *                    used for multi-fact dim/filter ownership
+  */
+final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[String]) {
+
+  private val uid = new AtomicInteger(0)
+
+  private case class DimSpec(queryExpr: String, outName: String)
+  private case class FromTable(name: String, alias: String)
+  private case class Frame(cte: String, sql: String, joinOn: Option[String], valueRef: String)
+
+  /** Expand a statement; None = not a measure query (passthrough). */
+  def expand(stmtRaw: String): Option[String] = {
+    val stmt = expandCurly(stmtRaw.trim.stripSuffix(";"))
+    val mask = Scan.buildMask(stmt)
+    val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
+    if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
+      expandWith(stmt, mask, withPos)
+    else expandSelect(stmt)
+  }
+
+  // ---------------------------------------------------------------- CTEs
+
+  /** Expand each top-level CTE body and the main query independently.
+    * (Reference: expand_cte_queries, measures.rs:2113-2251.)
+    */
+  private def expandWith(stmt: String, mask: Array[Boolean], withPos: Int): Option[String] = {
+    var i = withPos + 4
+    def skipWs(): Unit = { while (i < stmt.length && stmt.charAt(i).isWhitespace) i += 1 }
+    skipWs()
+    var recursive = false
+    if (stmt.regionMatches(true, i, "RECURSIVE", 0, 9)) { recursive = true; i += 9; skipWs() }
+    val ctes = scala.collection.mutable.ListBuffer[(String, String, String)]() // (name+cols, body, raw)
+    var parsing = true
+    while (parsing) {
+      skipWs()
+      val nameStart = i
+      while (i < stmt.length && Scan.isIdentChar(stmt.charAt(i))) i += 1
+      if (i == nameStart) return None
+      var header = stmt.substring(nameStart, i)
+      skipWs()
+      if (i < stmt.length && stmt.charAt(i) == '(') { // column list
+        val close = Scan.matchParen(stmt, mask, i)
+        if (close < 0) return None
+        header += " " + stmt.substring(i, close + 1)
+        i = close + 1
+        skipWs()
+      }
+      if (!stmt.regionMatches(true, i, "AS", 0, 2)) return None
+      i += 2
+      skipWs()
+      if (i >= stmt.length || stmt.charAt(i) != '(') return None
+      val close = Scan.matchParen(stmt, mask, i)
+      if (close < 0) return None
+      val body = stmt.substring(i + 1, close)
+      ctes += ((header, body, stmt.substring(nameStart, close + 1)))
+      i = close + 1
+      skipWs()
+      if (i < stmt.length && stmt.charAt(i) == ',') { i += 1 } else parsing = false
+    }
+    val main = stmt.substring(i)
+    var changed = false
+    val newCtes = ctes.map { case (header, body, _) =>
+      val expanded = if (recursive) None else expand(body)
+      if (expanded.isDefined) changed = true
+      s"$header AS (${expanded.getOrElse(body)})"
+    }
+    val mainExpanded = expand(main)
+    if (mainExpanded.isDefined) changed = true
+    if (!changed) None
+    else Some(s"WITH ${if (recursive) "RECURSIVE " else ""}${newCtes.mkString(", ")} ${mainExpanded.getOrElse(main)}")
+  }
+
+  // ------------------------------------------------------------- sugar
+
+  /** `{m}` -> `AGGREGATE(m)` (reference: expand_curly_braces,
+    * measures.rs:994-1018).
+    */
+  private def expandCurly(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "\\{\\s*([A-Za-z_][\\w.]*)\\s*\\}".r
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      if (m.start >= pos) {
+        sb.append(sql.substring(pos, m.start))
+        sb.append(s"AGGREGATE(${m.group(1)})")
+        pos = m.end
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- SELECT
+
+  private def parseFromTables(from: String): List[FromTable] = {
+    val mask = Scan.buildMask(from)
+    var i = 0
+    var depth = 0
+    val segs = scala.collection.mutable.ListBuffer[(Int, Int)]()
+    var segStart = 0
+    while (i < from.length) {
+      if (!mask(i)) {
+        val c = from.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) depth = 0 }
+        else if (depth == 0) {
+          if (c == ',') { segs += ((segStart, i)); segStart = i + 1 }
+          else if (from.regionMatches(true, i, "JOIN", 0, 4) &&
+                   (i == 0 || !Scan.isIdentChar(from.charAt(i - 1))) &&
+                   (i + 4 >= from.length || !Scan.isIdentChar(from.charAt(i + 4)))) {
+            segs += ((segStart, i)); segStart = i + 4; i += 3
+          }
+        }
+      }
+      i += 1
+    }
+    segs += ((segStart, from.length))
+    segs.toList.flatMap { case (s, e) =>
+      var seg = from.substring(s, e).trim
+      // drop join-type prefixes and ON/USING suffixes
+      val prefixes = List("LEFT", "RIGHT", "FULL", "INNER", "CROSS", "OUTER", "SEMI", "ANTI", "LATERAL", "NATURAL")
+      var changed = true
+      while (changed) {
+        changed = false
+        for (p <- prefixes if seg.length > p.length &&
+             seg.regionMatches(true, 0, p, 0, p.length) &&
+             !Scan.isIdentChar(seg.charAt(p.length))) {
+          seg = seg.substring(p.length).trim
+          changed = true
+        }
+      }
+      val segMask = Scan.buildMask(seg)
+      val onPos = Scan.findTopLevelWord(seg, segMask, "ON", 0, seg.length)
+      val usingPos = Scan.findTopLevelWord(seg, segMask, "USING", 0, seg.length)
+      val cut = List(onPos, usingPos).filter(_ >= 0).sorted.headOption.getOrElse(seg.length)
+      seg = seg.substring(0, cut).trim
+      if (seg.isEmpty || seg.startsWith("(")) None
+      else {
+        val toks = seg.split("\\s+").toList
+        toks match {
+          case name :: Nil => Some(FromTable(name, name))
+          case name :: "AS" :: alias :: Nil => Some(FromTable(name, alias))
+          case name :: "as" :: alias :: Nil => Some(FromTable(name, alias))
+          case name :: alias :: Nil if alias.forall(Scan.isIdentChar) => Some(FromTable(name, alias))
+          case _ => Some(FromTable(toks.head, toks.head))
+        }
+      }
+    }
+  }
+
+  /** token -> base-level text for view v: strip any known FROM-alias
+    * qualifier (including foreign aliases — a dim like `o.year` correlates
+    * by bare name against another view's base), then apply the view's
+    * dimension alias definitions.
+    */
+  private def substToBase(text: String, v: MeasureView, aliases: Set[String]): String = {
+    Scan.mapColumnRefs(text, { tok =>
+      val stripped = Scan.stripQual(tok, aliases)
+      if (stripped != tok || !tok.contains('.')) {
+        v.dimensionExprs.get(stripped.toLowerCase) match {
+          case Some(e) if Scan.norm(e) != Scan.norm(stripped) => Some(s"($e)")
+          case _ => if (stripped != tok) Some(stripped) else None
+        }
+      } else None
+    })
+  }
+
+  /** Substitute sibling-measure references in a derived measure expression.
+    * (Reference: expand_derived_measure_expr, measures.rs:3214-3300.)
+    */
+  private def substituteDerived(expr: String, v: MeasureView, depth: Int = 0): String = {
+    if (depth > 8) throw new GraftException(s"Derived measure recursion too deep in view ${v.viewName}")
+    Scan.mapColumnRefs(expr, { tok =>
+      val name = Scan.lastPart(tok).toLowerCase
+      v.measure(name).map { m =>
+        val e = if (m.kind == MeasureKind.Derived) substituteDerived(m.expression, v, depth + 1)
+                else m.expression
+        s"($e)"
+      }
+    })
+  }
+
+  private def containsAgg(text: String): Boolean = {
+    val mask = Scan.buildMask(text)
+    Scan.identifiers(text, mask, 0, text.length).exists { case (tok, _, e) =>
+      var j = e
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      j < text.length && text.charAt(j) == '(' &&
+        MeasureDdl.aggregateFns.contains(Scan.lastPart(tok).toLowerCase)
+    }
+  }
+
+  /** Find sugar measure refs (bare `m` / `m AT (...)`) in an item, outside
+    * existing call spans. (Reference: rewrite_implicit_measure_refs
+    * measures.rs:735-786, rewrite_measure_at_refs :834-951.)
+    */
+  private def findSugarCalls(text: String, mask: Array[Boolean], taken: List[(Int, Int)],
+                             measureNames: Set[String], aliases: Set[String]): List[AggCall] = {
+    val ids = Scan.identifiers(text, mask, 0, text.length)
+    val out = scala.collection.mutable.ListBuffer[AggCall]()
+    for ((tok, s, e) <- ids) {
+      val inTaken = taken.exists { case (a, b) => s >= a && s < b }
+      val name = Scan.lastPart(tok)
+      val qual = if (tok.contains('.')) Some(tok.substring(0, tok.lastIndexOf('.'))) else None
+      val qualOk = qual.forall(q => aliases.contains(q.toLowerCase))
+      if (!inTaken && qualOk && measureNames.contains(name.toLowerCase)) {
+        // skip function calls and aliases (token right after AS)
+        var j = e
+        while (j < text.length && text.charAt(j).isWhitespace) j += 1
+        val isCall = j < text.length && text.charAt(j) == '('
+        var k = s - 1
+        while (k >= 0 && text.charAt(k).isWhitespace) k -= 1
+        val afterAs = k >= 1 && text.regionMatches(true, k - 1, "AS", 0, 2) &&
+          (k - 2 < 0 || !Scan.isIdentChar(text.charAt(k - 2)))
+        // skip qualified-struct-ish or preceded by '.' directly
+        val afterDot = k >= 0 && text.charAt(k) == '.'
+        if (!isCall && !afterAs && !afterDot) {
+          // m AT ( ... )?  chase AT chain
+          if (j < text.length && text.regionMatches(true, j, "AT", 0, 2) &&
+              (j + 2 >= text.length || !Scan.isIdentChar(text.charAt(j + 2)))) {
+            var end = e
+            val mods = scala.collection.mutable.ListBuffer[ContextModifier]()
+            var chasing = true
+            var cur = j
+            while (chasing) {
+              var p = cur
+              while (p < text.length && text.charAt(p).isWhitespace) p += 1
+              if (p < text.length && text.regionMatches(true, p, "AT", 0, 2) &&
+                  (p + 2 >= text.length || !Scan.isIdentChar(text.charAt(p + 2)))) {
+                var q = p + 2
+                while (q < text.length && text.charAt(q).isWhitespace) q += 1
+                if (q < text.length && text.charAt(q) == '(') {
+                  val close = Scan.matchParen(text, mask, q)
+                  if (close > 0) {
+                    mods ++= AtParser.parseModifiers(text.substring(q + 1, close))
+                    end = close + 1
+                    cur = close + 1
+                  } else chasing = false
+                } else chasing = false
+              } else chasing = false
+            }
+            if (mods.nonEmpty) out += AggCall(tok, mods.toList, s, end, paperDefault = false)
+            else out += AggCall(tok, Nil, s, e, paperDefault = true)
+          } else {
+            out += AggCall(tok, Nil, s, e, paperDefault = true)
+          }
+        }
+      }
+    }
+    out.toList
+  }
+
+  /** Replace call spans and map residual dim/alias tokens to __outer refs. */
+  private def renderWithReplacements(text: String, spans: List[(Int, Int, String)],
+                                     tokenMap: String => Option[String]): String = {
+    val sorted = spans.sortBy(_._1)
+    val sb = new StringBuilder
+    var pos = 0
+    for ((s, e, rep) <- sorted) {
+      if (s >= pos) {
+        sb.append(mapTokens(text.substring(pos, s), tokenMap))
+        sb.append(rep)
+        pos = e
+      }
+    }
+    sb.append(mapTokens(text.substring(pos), tokenMap))
+    sb.toString
+  }
+
+  /** mapColumnRefs + skip tokens right after AS (aliases). */
+  private def mapTokens(text: String, f: String => Option[String]): String = {
+    val mask = Scan.buildMask(text)
+    val ids = Scan.identifiers(text, mask, 0, text.length)
+    if (ids.isEmpty) return text
+    val sb = new StringBuilder
+    var pos = 0
+    for ((tok, s, e) <- ids) {
+      var j = e
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      val isCall = j < text.length && text.charAt(j) == '('
+      var k = s - 1
+      while (k >= 0 && text.charAt(k).isWhitespace) k -= 1
+      val afterAs = k >= 1 && text.regionMatches(true, k - 1, "AS", 0, 2) &&
+        (k - 2 < 0 || !Scan.isIdentChar(text.charAt(k - 2)))
+      sb.append(text.substring(pos, s))
+      if (isCall || afterAs) sb.append(tok)
+      else sb.append(f(tok).getOrElse(tok))
+      pos = e
+    }
+    sb.append(text.substring(pos))
+    sb.toString
+  }
+
+  // The main single-statement expansion.
+  private def expandSelect(stmt: String): Option[String] = {
+    val clauses = SqlClauses.parse(stmt).getOrElse(return None)
+    if (clauses.hasSetOp) return None
+    val fromText = clauses.from.getOrElse(return None)
+    val tables = parseFromTables(fromText)
+    val measureViews = tables.filter(t => catalog.contains(t.name))
+    if (measureViews.isEmpty) return None
+    val aliasToView: Map[String, MeasureView] =
+      measureViews.flatMap(t => catalog.get(t.name).map(v => t.alias.toLowerCase -> v)).toMap ++
+      measureViews.flatMap(t => catalog.get(t.name).map(v => t.name.toLowerCase -> v)).toMap
+    val allAliases: Set[String] = tables.flatMap(t => List(t.alias.toLowerCase, t.name.toLowerCase)).toSet
+    val measureNames: Set[String] = measureViews.flatMap(t => catalog.get(t.name).toList)
+      .flatMap(_.measureNamesLower).toSet
+
+    val singleFact = tables.length == 1 && measureViews.length == 1
+    val primaryView = catalog.get(measureViews.head.name).get
+    val primaryAliases = Set(measureViews.head.alias.toLowerCase, measureViews.head.name.toLowerCase)
+
+    val u = uid.incrementAndGet()
+    val outerName = s"__outer$u"
+
+    // ---- per-item call discovery ---------------------------------------
+    case class ItemInfo(text: String, calls: List[AggCall], kind: String,
+                        exprNoAlias: String, alias: Option[String])
+    def analyzeItem(item: String): ItemInfo = {
+      val m = Scan.buildMask(item)
+      val explicit = AtParser.extractCalls(item, m, 0, item.length)
+      val sugar = findSugarCalls(item, m, explicit.map(c => (c.start, c.end)), measureNames, allAliases)
+      val calls = (explicit ++ sugar).sortBy(_.start)
+      val (expr, alias) = SqlClauses.splitAlias(item)
+      val blanked = {
+        val sb = new StringBuilder(item)
+        for (c <- calls; i <- c.start until c.end) sb.setCharAt(i, ' ')
+        sb.toString
+      }
+      val kind =
+        if (calls.nonEmpty) "measure"
+        else if (SqlClauses.isLiteral(expr)) "literal"
+        else if (containsAgg(blanked)) "plainagg"
+        else "dim"
+      ItemInfo(item, calls, kind, expr, alias)
+    }
+    val items = clauses.selectItems.map(analyzeItem)
+    val anyCalls = items.exists(_.calls.nonEmpty) ||
+      clauses.having.exists(h => AtParser.extractCalls(h, Scan.buildMask(h), 0, h.length).nonEmpty) ||
+      clauses.orderBy.exists(o => AtParser.extractCalls(o, Scan.buildMask(o), 0, o.length).nonEmpty)
+    if (!anyCalls) return None
+    clauses.where.foreach { w =>
+      if (AtParser.extractCalls(w, Scan.buildMask(w), 0, w.length).nonEmpty)
+        throw new GraftException("AGGREGATE calls in the outer WHERE clause are not supported yet")
+    }
+
+    // ---- dims ----------------------------------------------------------
+    var dimCounter = -1
+    def freshDim(): String = { dimCounter += 1; s"__d$dimCounter" }
+    val usedNames = scala.collection.mutable.Set[String]()
+    def uniqueName(base: String): String = {
+      var n = base
+      var i = 1
+      while (usedNames.contains(n.toLowerCase)) { n = base + "_" + i; i += 1 }
+      usedNames += n.toLowerCase
+      n
+    }
+    def dimFor(expr: String, alias: Option[String]): DimSpec = {
+      val out = alias.orElse(SqlClauses.plainColumnName(expr)).getOrElse(freshDim())
+      DimSpec(expr.trim, uniqueName(out))
+    }
+
+    var groupWrapper = "" // "", "ROLLUP", "CUBE"
+    val dims: List[DimSpec] = clauses.groupBy match {
+      case Some(g0) =>
+        var g = g0.trim
+        val gm0 = Scan.buildMask(g)
+        if (g.equalsIgnoreCase("ALL")) {
+          items.filter(_.kind == "dim").map(i => dimFor(i.exprNoAlias, i.alias))
+        } else {
+          for (w <- List("ROLLUP", "CUBE")) {
+            if (g.length > w.length && g.regionMatches(true, 0, w, 0, w.length)) {
+              val rest = g.substring(w.length).trim
+              if (rest.startsWith("(")) {
+                val rm = Scan.buildMask(rest)
+                val close = Scan.matchParen(rest, rm, 0)
+                if (close == rest.length - 1) {
+                  groupWrapper = w
+                  g = rest.substring(1, close)
+                }
+              }
+            }
+          }
+          val gm = Scan.buildMask(g)
+          val parts = Scan.splitTopLevel(g, gm, ',', 0, g.length)
+            .map { case (s, e) => g.substring(s, e).trim }.filter(_.nonEmpty)
+          parts.map { p =>
+            if (p.matches("\\d+")) {
+              val idx = p.toInt - 1
+              if (idx < 0 || idx >= items.length)
+                throw new GraftException(s"GROUP BY position ${p} out of range")
+              val it = items(idx)
+              dimFor(it.exprNoAlias, it.alias)
+            } else {
+              items.find(it => it.kind == "dim" &&
+                  (it.alias.exists(_.equalsIgnoreCase(p)) ||
+                   Scan.norm(it.exprNoAlias) == Scan.norm(p))) match {
+                case Some(it) => dimFor(it.exprNoAlias, it.alias)
+                case None => dimFor(p, None)
+              }
+            }
+          }
+        }
+      case None =>
+        items.filter(_.kind == "dim").map(i => dimFor(i.exprNoAlias, i.alias))
+    }
+
+    def dimTokenMap(tok: String): Option[String] = {
+      val stripped = Scan.stripQual(tok, allAliases)
+      dims.find(d =>
+        d.outName.equalsIgnoreCase(stripped) ||
+        Scan.lastPart(d.queryExpr).equalsIgnoreCase(stripped) && SqlClauses.plainColumnName(d.queryExpr).isDefined
+      ).map(d => s"$outerName.${d.outName}")
+    }
+
+    // ---- resolve calls to views + fold contexts ------------------------
+    case class PlannedCall(call: AggCall, view: MeasureView, viewAliases: Set[String], ctx: EvalCtx)
+    def planCall(c: AggCall): PlannedCall = {
+      val v = c.qualifier match {
+        case Some(q) =>
+          // qualifier may be a FROM alias of a measure view
+          aliasToView.get(q.toLowerCase).flatMap { view =>
+            if (view.measureNamesLower.contains(c.measureName.toLowerCase)) Some(view) else None
+          }.getOrElse(
+            catalog.resolveMeasure(c.measureName, tables.map(_.name))
+              .getOrElse(throw new GraftException(s"Unknown measure: ${c.measureRaw}")))
+        case None =>
+          catalog.resolveMeasure(c.measureName, tables.map(_.name))
+            .getOrElse(throw new GraftException(s"Unknown measure: ${c.measureRaw}"))
+      }
+      val valiases = tables.filter(_.name.equalsIgnoreCase(v.viewName))
+        .flatMap(t => List(t.alias.toLowerCase, t.name.toLowerCase)).toSet + v.viewName.toLowerCase
+      PlannedCall(c, v, valiases, ContextFold.fold(c.modifiers, c.paperDefault))
+    }
+
+    // ---- ownership helpers (multi-fact) --------------------------------
+    // A dim belongs to view v when its qualifier is v's alias, OR its bare
+    // name is one of v's dimension/base columns (reference:
+    // measure_group_by_cols.retain, measures.rs:7284-7295).
+    def tokenOwnedBy(tok: String, v: MeasureView, valiases: Set[String]): Boolean = {
+      val dot = tok.indexOf('.')
+      val n = Scan.lastPart(tok).toLowerCase
+      val nameOwned = v.dimensionExprs.contains(n) || v.measureNamesLower.contains(n) ||
+        baseColumns(v.viewName.toLowerCase).contains(n)
+      if (dot > 0) valiases.contains(tok.substring(0, dot).toLowerCase) || nameOwned
+      else nameOwned
+    }
+    def exprOwnedBy(expr: String, v: MeasureView, valiases: Set[String]): Boolean = {
+      val mask = Scan.buildMask(expr)
+      val cols = Scan.identifiers(expr, mask, 0, expr.length).filter { case (_, _, e) =>
+        var j = e
+        while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
+        !(j < expr.length && expr.charAt(j) == '(')
+      }
+      cols.nonEmpty && cols.forall { case (t, _, _) => tokenOwnedBy(t, v, valiases) }
+    }
+    def ownedConjuncts(where: String, v: MeasureView, valiases: Set[String]): Option[String] = {
+      val mask = Scan.buildMask(where)
+      val parts = splitTopAnd(where, mask)
+      val kept = parts.filter(p => exprOwnedBy(p, v, valiases))
+      if (kept.isEmpty) None else Some(kept.mkString(" AND "))
+    }
+
+    // ---- frame construction --------------------------------------------
+    val baseCtes = scala.collection.mutable.LinkedHashMap[String, String]() // cteName -> sql
+    def baseCteFor(v: MeasureView): String = {
+      val name = s"__base${u}_${v.viewName.toLowerCase.replaceAll("\\W", "_")}"
+      baseCtes.getOrElseUpdate(name, v.baseRelationSql)
+      name
+    }
+
+    val frames = scala.collection.mutable.LinkedHashMap[String, Frame]() // signature -> frame
+    var frameCounter = -1
+    val inlineAggs = scala.collection.mutable.LinkedHashMap[String, (String, String)]() // sig -> (col, aggExpr)
+    var inlineCounter = -1
+
+    val outerWhere = clauses.where
+
+    def visibleFilterFor(v: MeasureView, valiases: Set[String]): Option[String] =
+      outerWhere.flatMap { w =>
+        if (singleFact) Some(substToBase(w, v, allAliases))
+        else ownedConjuncts(w, v, valiases).map(c => substToBase(c, v, allAliases))
+      }
+
+    /** Returns the replacement expression text for a call. */
+    def planFrame(pc: PlannedCall): String = {
+      val v = pc.view
+      val valiases = pc.viewAliases
+      val ctx = pc.ctx
+      val meas = v.measure(pc.call.measureName)
+        .getOrElse(throw new GraftException(s"Unknown measure ${pc.call.measureRaw} in view ${v.viewName}"))
+
+      val aggExpr = meas.kind match {
+        case MeasureKind.Derived => substituteDerived(meas.expression, v)
+        case _ => meas.expression
+      }
+      val isWindow = meas.kind == MeasureKind.Window
+
+      // correlation dims
+      val correlate: List[DimSpec] =
+        if (ctx.grand || ctx.dropAllCorrelation) Nil
+        else {
+          val kept = dims.filterNot(d => ctx.removedDims.exists(r =>
+            ContextFold.dimMatches(r, d.queryExpr) || ContextFold.dimMatches(r, d.outName)))
+          if (singleFact) kept
+          else kept.filter(d => exprOwnedBy(d.queryExpr, v, valiases))
+        }
+
+      // SET conditions
+      val setConds: List[(String, String)] = ctx.sets.map { case (dimSpec, rawExpr) =>
+        val resolved = ContextFold.resolveCurrent(rawExpr, dims.map(_.queryExpr), outerWhere)
+        val innerExpr = substToBase(dimSpec, v, allAliases)
+        val outerValue = mapTokens(resolved, { tok =>
+          val stripped = Scan.stripQual(tok, allAliases)
+          dims.find(d => d.outName.equalsIgnoreCase(stripped) ||
+              (SqlClauses.plainColumnName(d.queryExpr).exists(_.equalsIgnoreCase(Scan.lastPart(stripped)))))
+            .map(d => s"$outerName.${d.outName}")
+        })
+        (innerExpr, outerValue)
+      }
+
+      val filterSql: Option[String] = ctx.filter match {
+        case CtxFilter.NoFilter => None
+        case CtxFilter.VisibleFilter => visibleFilterFor(v, valiases)
+        case CtxFilter.CondFilter(c) => Some(substToBase(c, v, allAliases))
+      }
+
+      // inline fast path: visible context over all dims, plain grouping
+      val visibleAllDims = !ctx.grand && !ctx.dropAllCorrelation && ctx.removedDims.isEmpty &&
+        ctx.sets.isEmpty &&
+        (ctx.filter == CtxFilter.VisibleFilter ||
+         (ctx.filter == CtxFilter.NoFilter && outerWhere.isEmpty))
+      if (singleFact && groupWrapper.isEmpty && !isWindow && visibleAllDims && !clauses.distinct) {
+        val sig = "inline:" + Scan.norm(aggExpr)
+        val (col, _) = inlineAggs.getOrElseUpdate(sig, { inlineCounter += 1; (s"__a$inlineCounter", aggExpr) })
+        return s"$outerName.$col"
+      }
+
+      // frame
+      val baseCte = baseCteFor(v)
+      val corrKeys = correlate.map(d => substToBase(d.queryExpr, v, allAliases))
+      val innerKeys = corrKeys ++ setConds.map(_._1)
+      val sig = List(v.viewName.toLowerCase, Scan.norm(aggExpr),
+        innerKeys.map(Scan.norm).mkString("|"),
+        setConds.map(s => Scan.norm(s._2)).mkString("|"),
+        filterSql.map(Scan.norm).getOrElse(""), if (isWindow) "w" else "a").mkString("§")
+      val frame = frames.getOrElseUpdate(sig, {
+        frameCounter += 1
+        val fname = s"__f${u}_$frameCounter"
+        val vcol = s"__v"
+        val whereSql = filterSql.map(f => s" WHERE $f").getOrElse("")
+        val sql =
+          if (!isWindow) {
+            if (innerKeys.isEmpty)
+              s"SELECT $aggExpr AS $vcol FROM $baseCte$whereSql"
+            else {
+              val keyCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __k$i" }
+              s"SELECT ${keyCols.mkString(", ")}, $aggExpr AS $vcol FROM $baseCte$whereSql GROUP BY ${innerKeys.mkString(", ")}"
+            }
+          } else {
+            // window measure: evaluate per-row window values in context, then
+            // require a single distinct value (reference:
+            // wrap_window_rows_as_single_value, measures.rs:5233-5247)
+            val guard = s"CASE WHEN size(collect_set(__w)) > 1 THEN raise_error(concat('Window measure ${meas.name} is not single-valued in this context: ', cast(size(collect_set(__w)) AS STRING), ' distinct values')) ELSE element_at(collect_set(__w), 1) END"
+            if (innerKeys.isEmpty)
+              s"SELECT $guard AS $vcol FROM (SELECT $aggExpr AS __w FROM $baseCte$whereSql)"
+            else {
+              val keyCols = innerKeys.zipWithIndex.map { case (_, i) => s"__ik$i AS __k$i" }
+              val innerCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __ik$i" }
+              s"SELECT ${keyCols.mkString(", ")}, $guard AS $vcol FROM (SELECT ${innerCols.mkString(", ")}, $aggExpr AS __w FROM $baseCte$whereSql) GROUP BY ${keyCols.indices.map(i => s"__ik$i").mkString(", ")}"
+            }
+          }
+        val joinConds =
+          corrKeys.indices.map(i => s"$outerName.${correlate(i).outName} <=> $fname.__k$i") ++
+          setConds.zipWithIndex.map { case ((_, outerV), j) => s"$fname.__k${corrKeys.length + j} <=> ($outerV)" }
+        val joinOn = if (innerKeys.isEmpty) None else Some(joinConds.mkString(" AND "))
+        Frame(fname, sql, joinOn, s"$fname.$vcol")
+      })
+      frame.valueRef
+    }
+
+    // plain aggregate items are hoisted into __outer under a stable name
+    val plainAggNames: Map[Int, String] = items.zipWithIndex.collect {
+      case (it, idx) if it.kind == "plainagg" =>
+        idx -> it.alias.getOrElse(uniqueName("__g"))
+    }.toMap
+    val plainAggCols: List[(String, String)] = items.zipWithIndex.collect {
+      case (it, idx) if it.kind == "plainagg" =>
+        val expr = if (singleFact) substToBase(it.exprNoAlias, primaryView, primaryAliases) else it.exprNoAlias
+        (plainAggNames(idx), expr)
+    }
+
+    // plan all calls (select items, having, order by)
+    val itemRendered: List[String] = items.zipWithIndex.map { case (it, idx) =>
+      it.kind match {
+        case "dim" =>
+          val d = dims.find(d => Scan.norm(d.queryExpr) == Scan.norm(it.exprNoAlias) ||
+            it.alias.exists(_.equalsIgnoreCase(d.outName)))
+          d match {
+            case Some(ds) => s"$outerName.${ds.outName} AS ${ds.outName}"
+            case None => // selected but not grouped (legal under GROUP BY with exprs)
+              mapTokens(it.text, dimTokenMap)
+          }
+        case "literal" => it.text
+        case "plainagg" =>
+          val name = plainAggNames(idx)
+          s"$outerName.$name AS $name"
+        case "measure" =>
+          val spans = it.calls.map(c => (c.start, c.end, planFrame(planCall(c))))
+          renderWithReplacements(it.text, spans, dimTokenMap)
+      }
+    }
+
+    // having / qualify / order by
+    def rewriteTail(text: String): String = {
+      val m = Scan.buildMask(text)
+      val calls = AtParser.extractCalls(text, m, 0, text.length)
+      val spans = calls.map(c => (c.start, c.end, planFrame(planCall(c))))
+      renderWithReplacements(text, spans, dimTokenMap)
+    }
+    // HAVING without measure calls (plain aggregate condition) stays inside
+    // __outer; with calls it becomes a post-join filter
+    val (outerHaving, havingRendered) = clauses.having match {
+      case Some(h) =>
+        val hm = Scan.buildMask(h)
+        if (AtParser.extractCalls(h, hm, 0, h.length).isEmpty && singleFact)
+          (Some(substToBase(h, primaryView, primaryAliases)), None)
+        else (None, Some(rewriteTail(h)))
+      case None => (None, None)
+    }
+    val orderRendered = clauses.orderBy.map(rewriteTail)
+
+    // ---- assemble ------------------------------------------------------
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    val cteList = scala.collection.mutable.ListBuffer[String]()
+
+    if (singleFact) baseCteFor(primaryView) // ensure base CTE exists when inline-only
+    for ((name, sql) <- baseCtes) cteList += s"$name AS ($sql)"
+
+    // __outer
+    val outerProjections = scala.collection.mutable.ListBuffer[String]()
+    val outerGroupKeys = scala.collection.mutable.ListBuffer[String]()
+    if (singleFact) {
+      for (d <- dims) {
+        val baseExpr = substToBase(d.queryExpr, primaryView, primaryAliases)
+        outerProjections += s"$baseExpr AS ${d.outName}"
+        outerGroupKeys += baseExpr
+      }
+    } else {
+      for (d <- dims) {
+        outerProjections += s"${d.queryExpr} AS ${d.outName}"
+        outerGroupKeys += d.queryExpr
+      }
+    }
+    for ((name, expr) <- plainAggCols) outerProjections += s"$expr AS $name"
+    for ((_, (col, aggExpr)) <- inlineAggs) outerProjections += s"$aggExpr AS $col"
+    val outerFrom =
+      if (singleFact) baseCteFor(primaryView)
+      else fromText
+    val outerWhereSql =
+      (if (singleFact) outerWhere.map(w => substToBase(w, primaryView, primaryAliases))
+       else outerWhere).map(w => s" WHERE $w").getOrElse("")
+    val outerGroupSql =
+      if (dims.nonEmpty) {
+        val keys = outerGroupKeys.mkString(", ")
+        val g = if (groupWrapper.nonEmpty) s" GROUP BY $groupWrapper($keys)" else s" GROUP BY $keys"
+        g + outerHaving.map(h => s" HAVING $h").getOrElse("")
+      } else outerHaving.map(h => s" HAVING $h").getOrElse("")
+    val outerSelect =
+      if (outerProjections.nonEmpty) outerProjections.mkString(", ")
+      else "1 AS __one"
+    val outerBody =
+      if (outerProjections.isEmpty && dims.isEmpty && plainAggCols.isEmpty && inlineAggs.isEmpty)
+        s"SELECT 1 AS __one" // frames carry all values; single anchor row
+      else s"SELECT $outerSelect FROM $outerFrom$outerWhereSql$outerGroupSql"
+    cteList += s"$outerName AS ($outerBody)"
+
+    for ((_, f) <- frames) cteList += s"${f.cte} AS (${f.sql})"
+    sb.append(cteList.mkString(", "))
+    sb.append(" SELECT ")
+    if (clauses.distinct) sb.append("DISTINCT ")
+    sb.append(itemRendered.mkString(", "))
+    sb.append(s" FROM $outerName")
+    for ((_, f) <- frames) {
+      f.joinOn match {
+        case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
+        case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
+      }
+    }
+    havingRendered.foreach(h => sb.append(s" WHERE $h"))
+    orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
+    clauses.limitText.foreach(l => sb.append(s" $l"))
+    Some(sb.toString)
+  }
+
+  private def splitTopAnd(w: String, mask: Array[Boolean]): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var start = 0
+    var i = 0
+    var depth = 0
+    while (i < w.length) {
+      if (!mask(i)) {
+        val c = w.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) depth = 0 }
+        else if (depth == 0 && (i == 0 || !Scan.isIdentChar(w.charAt(i - 1))) &&
+            w.regionMatches(true, i, "AND", 0, 3) &&
+            (i + 3 >= w.length || !Scan.isIdentChar(w.charAt(i + 3)))) {
+          out += w.substring(start, i).trim
+          start = i + 3
+          i += 2
+        }
+      }
+      i += 1
+    }
+    out += w.substring(start).trim
+    out.toList.filter(_.nonEmpty)
+  }
+}

@@ -13,7 +13,10 @@ object Scan {
 
   /** mask(i) == true when position i is inside a string literal, quoted
     * identifier, or comment (the quote/comment delimiters themselves are
-    * masked too).
+    * masked too). Handles '' doubling, backslash escapes in single-quoted
+    * literals (Spark's default Hive-style escaping), dollar-quoted strings
+    * ($$..$$ / $tag$..$tag$, used by the reference corpus), and nested
+    * block comments (SPARK-28880).
     */
   def buildMask(sql: String): Array[Boolean] = {
     val n = sql.length
@@ -26,7 +29,9 @@ object Scan {
         var done = false
         while (i < n && !done) {
           m(i) = true
-          if (sql.charAt(i) == '\'') {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && i + 1 < n) { m(i + 1) = true; i += 2 }
+          else if (ch == '\'') {
             if (i + 1 < n && sql.charAt(i + 1) == '\'') { m(i + 1) = true; i += 2 }
             else { i += 1; done = true }
           } else i += 1
@@ -48,14 +53,30 @@ object Scan {
           m(i) = true
           if (sql.charAt(i) == '`') { i += 1; done = true } else i += 1
         }
+      } else if (c == '$' && i + 1 < n &&
+                 (sql.charAt(i + 1) == '$' || sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_')) {
+        // dollar-quoted string: $$...$$ or $tag$...$tag$
+        var j = i + 1
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        if (j < n && sql.charAt(j) == '$') {
+          val tag = sql.substring(i, j + 1) // includes both $
+          val close = sql.indexOf(tag, j + 1)
+          val end = if (close < 0) n else close + tag.length
+          var k = i
+          while (k < end) { m(k) = true; k += 1 }
+          i = end
+        } else i += 1
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         while (i < n && sql.charAt(i) != '\n') { m(i) = true; i += 1 }
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
-        m(i) = true; m(i + 1) = true; i += 2
+        var depth = 0
         var done = false
         while (i < n && !done) {
-          if (sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
-            m(i) = true; m(i + 1) = true; i += 2; done = true
+          if (sql.charAt(i) == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+            m(i) = true; m(i + 1) = true; i += 2; depth += 1
+          } else if (sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+            m(i) = true; m(i + 1) = true; i += 2; depth -= 1
+            if (depth == 0) done = true
           } else { m(i) = true; i += 1 }
         }
       } else i += 1
@@ -84,11 +105,11 @@ object Scan {
 
   /** Find the first unmasked, paren-depth-0 occurrence of word-keyword `kw`
     * (single word, case-insensitive) in sql(from until until). Returns -1 if
-    * absent. `kw` must be an identifier-like word.
+    * absent. `kw` must be an identifier-like word. Depth is clamped at 0 so
+    * a stray ')' cannot permanently hide top-level keywords.
     */
   def findTopLevelWord(sql: String, mask: Array[Boolean], kw: String,
                        from: Int, until: Int): Int = {
-    val lower = sql
     var depth = 0
     var i = from
     val k = kw.length
@@ -96,9 +117,9 @@ object Scan {
       if (!mask(i)) {
         val c = sql.charAt(i)
         if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
+        else if (c == ')') { depth -= 1; if (depth < 0) depth = 0 }
         else if (depth == 0 && i + k <= until &&
-                 lower.regionMatches(true, i, kw, 0, k) &&
+                 sql.regionMatches(true, i, kw, 0, k) &&
                  (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
                  (i + k >= sql.length || !isIdentChar(sql.charAt(i + k)))) {
           return i
@@ -110,7 +131,7 @@ object Scan {
   }
 
   /** Find first top-level occurrence of a multi-word keyword sequence like
-    * Seq("GROUP","BY") with arbitrary whitespace/comments between words.
+    * Seq("GROUP","BY") with whitespace/comments (only) between words.
     * Returns (startIdx, endIdxExclusive) or null.
     */
   def findTopLevelSeq(sql: String, mask: Array[Boolean], words: Seq[String],
@@ -119,14 +140,24 @@ object Scan {
     while (start < until) {
       val p = findTopLevelWord(sql, mask, words.head, start, until)
       if (p < 0) return null
-      // try to match the rest
+      // try to match the rest; between words allow whitespace and comments
+      // (masked spans that start with a comment delimiter), not literals
       var i = p + words.head.length
       var ok = true
       var w = 1
       while (ok && w < words.length) {
-        while (i < until && (sql.charAt(i).isWhitespace || mask(i))) i += 1
+        var progressed = true
+        while (progressed && i < until) {
+          progressed = false
+          if (sql.charAt(i).isWhitespace) { i += 1; progressed = true }
+          else if (mask(i) && (sql.charAt(i) == '-' || sql.charAt(i) == '/')) {
+            // skip the whole masked comment span
+            while (i < until && mask(i)) i += 1
+            progressed = true
+          }
+        }
         val word = words(w)
-        if (i + word.length <= until &&
+        if (i < until && !mask(i) && i + word.length <= until &&
             sql.regionMatches(true, i, word, 0, word.length) &&
             (i + word.length >= sql.length || !isIdentChar(sql.charAt(i + word.length)))) {
           i += word.length
@@ -140,7 +171,7 @@ object Scan {
   }
 
   /** Split sql(from until until) at top-level unmasked `sep` chars.
-    * Returns list of (start, endExclusive) spans (trimmed of nothing).
+    * Returns list of (start, endExclusive) spans. Depth clamped at 0.
     */
   def splitTopLevel(sql: String, mask: Array[Boolean], sep: Char,
                     from: Int, until: Int): List[(Int, Int)] = {
@@ -152,7 +183,7 @@ object Scan {
       if (!mask(i)) {
         val c = sql.charAt(i)
         if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
+        else if (c == ')') { depth -= 1; if (depth < 0) depth = 0 }
         else if (c == sep && depth == 0) { out += ((segStart, i)); segStart = i + 1 }
       }
       i += 1
@@ -187,25 +218,35 @@ object Scan {
   }
 
   /** Normalize an expression string for structural comparison: lowercase,
-    * collapse whitespace, drop spaces around punctuation.
+    * collapse whitespace, drop spaces around punctuation. String/identifier
+    * literals (masked spans) are copied verbatim so 'A' vs 'a' stay distinct.
     */
   def norm(e: String): String = {
-    val sb = new StringBuilder
-    var lastWasIdent = false
-    var i = 0
     val t = e.trim
+    val mask = buildMask(t)
+    val sb = new StringBuilder
+    var i = 0
     while (i < t.length) {
-      val c = t.charAt(i)
-      if (c.isWhitespace) {
-        // only keep a single space between two identifier chars
-        var j = i
-        while (j < t.length && t.charAt(j).isWhitespace) j += 1
-        if (j < t.length && sb.nonEmpty && isIdentChar(sb.last) && isIdentChar(t.charAt(j)))
-          sb += ' '
-        i = j
-      } else { sb += c.toLower; i += 1 }
+      if (mask(i)) { sb += t.charAt(i); i += 1 }
+      else {
+        val c = t.charAt(i)
+        if (c.isWhitespace) {
+          var j = i
+          while (j < t.length && !mask(j) && t.charAt(j).isWhitespace) j += 1
+          if (j < t.length && sb.nonEmpty && isIdentChar(sb.last) &&
+              !mask(j) && isIdentChar(t.charAt(j)))
+            sb += ' '
+          i = j
+        } else { sb += c.toLower; i += 1 }
+      }
     }
     sb.toString
+  }
+
+  /** Last dot-separated part of a possibly-qualified identifier. */
+  def lastPart(ident: String): String = {
+    val dot = ident.lastIndexOf('.')
+    if (dot >= 0) ident.substring(dot + 1) else ident
   }
 
   /** Strip a leading `qual.` qualifier when qual ∈ quals (case-insens). */
@@ -229,5 +270,37 @@ object Scan {
     }
     sb.append(sql.substring(pos))
     sb.toString
+  }
+
+  /** Replace identifier tokens, but only when NOT immediately followed by
+    * '(' (i.e. skip function-call names). Used for dimension substitution.
+    */
+  def mapColumnRefs(sql: String, f: String => Option[String]): String = {
+    val m = buildMask(sql)
+    val ids = identifiers(sql, m, 0, sql.length)
+    if (ids.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    for ((tok, s, e) <- ids) {
+      var j = e
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      val isCall = j < sql.length && sql.charAt(j) == '('
+      sb.append(sql.substring(pos, s))
+      if (isCall) sb.append(tok) else sb.append(f(tok).getOrElse(tok))
+      pos = e
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
+  /** Split a multi-statement string at top-level ';'. Empty/whitespace-only
+    * statements are dropped. (Reference: SplitSqlStatements,
+    * yardstick_extension.cpp:358.)
+    */
+  def splitStatements(sql: String): List[String] = {
+    val m = buildMask(sql)
+    splitTopLevel(sql, m, ';', 0, sql.length)
+      .map { case (s, e) => sql.substring(s, e) }
+      .map(_.trim).filter(_.nonEmpty)
   }
 }
