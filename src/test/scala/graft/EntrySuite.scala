@@ -1,0 +1,32 @@
+package graft
+
+/** Smoke-runs every SparkEntry query at sf0.001 (the driver runs them at
+  * sf0.01 against the DuckDB oracle). Catches SQL/typo/type errors before
+  * the correctness gate.
+  */
+class EntrySuite extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries that may legitimately return few/zero rows (near-dup search on
+  // a corpus with no near-duplicates)
+  private val mayBeEmpty = Set("d_minhash", "d_simhash", "d_embed_neardup")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"entry: $name") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      info(s"$name -> $n rows")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
