@@ -69,6 +69,28 @@ object Demo {
     expectError("unknown measure", "SELECT l_returnflag, AGGREGATE(nope) FROM li_v")
     expectError("measure call in WHERE",
       "SELECT l_returnflag, AGGREGATE(revenue) FROM li_v WHERE AGGREGATE(qty) > 5")
+
+    // warnings: AT (ALL dim) over a filtered ungrouped dim
+    engine.sql("SELECT l_returnflag, AGGREGATE(revenue) AT (ALL l_returnflag) AS t FROM li_v WHERE l_linestatus = 'F' GROUP BY l_returnflag").collect()
+    println("WARNINGS: " + engine.lastWarnings.mkString(" | "))
+    engine.sql("SET warnings_as_errors = true")
+    expectError("warnings_as_errors escalation",
+      "SELECT l_returnflag, AGGREGATE(revenue) AT (ALL l_returnflag) AS t FROM li_v WHERE l_linestatus = 'F' GROUP BY l_returnflag")
+    engine.sql("SET warnings_as_errors = false")
+
+    // batch TEMP measure view: usable inside the batch, gone after
+    val batchDf = engine.executeBatch(
+      """CREATE TEMPORARY VIEW demo_tmp_v AS SELECT l_returnflag, SUM(l_quantity) AS MEASURE q FROM lineitem;
+        |SELECT l_returnflag, AGGREGATE(q) AS q FROM demo_tmp_v""".stripMargin)
+    println("BATCH rows: " + batchDf.count() + ", temp view still registered: " + engine.catalog.contains("demo_tmp_v"))
+
+    // multi-fact dedup pushdown: expanded SQL should show DISTINCT-pruned join sides
+    engine.sql("CREATE VIEW demo_ord_v AS SELECT year(o_orderdate) AS yr, SUM(o_totalprice) AS MEASURE tp FROM orders")
+    engine.sql("CREATE VIEW demo_li_v AS SELECT year(l_shipdate) AS yr, SUM(l_quantity) AS MEASURE lq FROM lineitem")
+    println("MULTIFACT expanded: " + engine.expandSql(
+      "SELECT o.yr, AGGREGATE(tp) AS tp, AGGREGATE(lq) AS lq FROM demo_ord_v o JOIN demo_li_v l ON o.yr = l.yr ORDER BY o.yr"))
+    engine.sql("SELECT o.yr, ROUND(AGGREGATE(tp),2) AS tp, ROUND(AGGREGATE(lq),2) AS lq FROM demo_ord_v o JOIN demo_li_v l ON o.yr = l.yr ORDER BY o.yr").show(5, truncate = false)
+
     engine.sql("DROP VIEW li_v")
     expectError("query after DROP VIEW", "SELECT l_returnflag, AGGREGATE(revenue) FROM li_v")
 

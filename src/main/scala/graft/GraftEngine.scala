@@ -40,7 +40,18 @@ final class GraftEngine(val spark: SparkSession) {
       }
     })
 
-  private val expander = new QueryExpander(catalog, baseColsOf)
+  /** Warnings emitted by the last statement (reference: yardstick_warning
+    * wrapper, yardstick_extension.cpp:1152-1177). `warningsAsErrors`
+    * escalates them, matching `SET warnings_as_errors = true`.
+    */
+  @volatile var warningsAsErrors: Boolean = false
+  private val warningBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def lastWarnings: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    warningBuf.asScala.toSeq
+  }
+
+  private val expander = new QueryExpander(catalog, baseColsOf, w => warningBuf.add(w))
 
   /** Execute one or more ';'-separated statements; returns the last result. */
   def sql(text: String): DataFrame = {
@@ -51,14 +62,22 @@ final class GraftEngine(val spark: SparkSession) {
   }
 
   /** Batch execution with transactional measure-catalog semantics: on any
-    * failure the catalog is restored to its pre-batch snapshot.
+    * failure the catalog is restored to its pre-batch snapshot, and
+    * TEMPORARY measure views registered by the batch are dropped at the end
+    * (they must be consumed within the batch).
     * (Reference: RewriteMeasureViewsStatementByStatement,
     * yardstick_extension.cpp:1498-1754.)
     */
   def executeBatch(text: String): DataFrame = {
     val snap = catalog.snapshot()
-    try sql(text)
-    catch {
+    try {
+      val res = sql(text)
+      for (v <- catalog.all if v.temporary && !snap.contains(v.viewName.toLowerCase)) {
+        catalog.drop(v.viewName)
+        spark.catalog.dropTempView(v.viewName)
+      }
+      res
+    } catch {
       case e: Throwable =>
         catalog.restore(snap)
         throw e
@@ -80,8 +99,18 @@ final class GraftEngine(val spark: SparkSession) {
     else t
   }
 
+  private val setWarningsRe =
+    "(?is)^\\s*SET\\s+warnings_as_errors\\s*=\\s*(true|false)\\s*;?\\s*$".r
+
   private def executeStatement(stmt0: String): DataFrame = {
     val stmt = Shims(stripSemantic(stmt0))
+
+    stmt match {
+      case setWarningsRe(v) =>
+        warningsAsErrors = v.equalsIgnoreCase("true")
+        return spark.emptyDataFrame
+      case _ =>
+    }
 
     // DROP VIEW: sync the measure catalog first (measures.rs:7655-7661)
     MeasureDdl.dropViewName(stmt) match {
@@ -99,8 +128,12 @@ final class GraftEngine(val spark: SparkSession) {
       }
     }
 
+    warningBuf.clear()
     expander.expand(stmt) match {
-      case Some(expanded) => spark.sql(expanded)
+      case Some(expanded) =>
+        if (warningsAsErrors && !warningBuf.isEmpty)
+          throw new GraftException("Warning escalated to error: " + lastWarnings.mkString("; "))
+        spark.sql(expanded)
       case None => spark.sql(normalizeDdl(stmt))
     }
   }
@@ -120,7 +153,8 @@ final class GraftEngine(val spark: SparkSession) {
       baseRelationSql = p.baseRelationSql,
       dimensionExprs = p.dimensionExprs,
       dimensionOrder = p.dimensionOrder,
-      groupByCols = p.groupByCols
+      groupByCols = p.groupByCols,
+      temporary = p.temporary
     )
 
     def probeType(expr: String): String = {

@@ -198,8 +198,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // rows-only checks (no closed-form SQL oracle)
+    // testdata plants ~25 near-dup pairs per corpus, all at jaccard >= 0.9;
+    // b=8/r=4 puts the LSH S-curve threshold at ~0.6 so candidates stay
+    // sparse while recall at 0.9 is ~1
     "d_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDuplicates(docs(s, dir), threshold = 0.30, bands = 16, rows = 2)
+      Dedup.minhashNearDuplicates(docs(s, dir), threshold = 0.7, bands = 8, rows = 4)
         .orderBy("doc_id_a", "doc_id_b")),
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 12)

@@ -47,7 +47,8 @@ final case class MeasureView(
     baseRelationSql: String,
     dimensionExprs: Map[String, String],
     dimensionOrder: Seq[String],
-    groupByCols: Seq[String]
+    groupByCols: Seq[String],
+    temporary: Boolean = false
 ) {
   def measure(name: String): Option[ViewMeasure] =
     measures.find(_.name.equalsIgnoreCase(name))

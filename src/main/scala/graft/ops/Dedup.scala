@@ -94,12 +94,29 @@ object Dedup {
                             threshold: Double = 0.7, bands: Int = 8, rows: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val shingled = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__sh", shingles(col("__text")))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
-      .select(col("doc_id"), col("__sh"), explode(lshBandKeys(col("__sig"), bands, rows)).as("__bk"))
-      .select(col("doc_id"), col("__sh"), col("__bk.band"), col("__bk.bucket"))
+      .select("doc_id", "__sh")
+      .persist()
+
+    // Signature via explode + per-seed MIN aggregate: higher-order-function
+    // lambdas run interpreted, but explode + hash + min are whole-stage
+    // codegen'd and get map-side partial aggregation — the scalable shape
+    // (shuffle is one row per doc, k longs wide).
+    val exploded = shingled.select(col("doc_id"), explode(col("__sh")).as("__s"))
+    val minCols = (0 until k).map(seed => min(xxhash64(col("__s"), lit(seed))).as(s"__m$seed"))
+    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bucket"))
+    }
+    // the banded frame feeds three consumers (bucket-size stats + both join
+    // sides); persist so the signature computation runs once
+    val docs = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
+      .select(col("doc_id"), col("__bk.band"), col("__bk.bucket"))
+      .join(shingled, "doc_id")
+      .persist()
 
     // shuffle on (band, bucket); cap runaway buckets
     val bucketSizes = docs.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
@@ -126,7 +143,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         threshold: Double = 0.5, w: Int = 3): DataFrame =
-    minhashNearDuplicates(df, textCol, idCol, threshold, bands = 4, rows = 2)
+    minhashNearDuplicates(df, textCol, idCol, threshold, bands = 8, rows = 2)
 
   // -------------------------------------------------------------- simhash
 
@@ -172,6 +189,7 @@ object Dedup {
           shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("__ck"))
       .select(col("doc_id"), col("__sim"), col("__ck.chunk"), col("__ck.key"))
+      .persist()
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
     val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("chunk", "key"))
     val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"), col("__sim").as("__sim_a"))
@@ -205,6 +223,7 @@ object Dedup {
       .withColumn("__bucket",
         (0 until planes).map(p => when(dotLit(col("__v"), hyper(p)) >= 0, 1L << p).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b)))
+      .persist()
     val sizes = keyed.groupBy("__bucket").agg(count(lit(1)).as("__bsz"))
     val capped = keyed.join(sizes.filter(col("__bsz") <= maxBucket), Seq("__bucket"))
     val a = capped.select(col("__bucket"), col("vec_id").as("vec_id_a"), col("__v").as("__va"))

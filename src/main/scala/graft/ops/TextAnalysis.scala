@@ -38,10 +38,8 @@ object TextAnalysis {
     val words = tokenCount(text).cast("double")
     val meanWordLen = len / greatest(words, lit(1.0))
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-    val lowered = lower(text)
-    val stopHits = stopwords.map(w =>
-      size(split(concat(lit(" "), lowered, lit(" ")), s"\\s$w\\s")) - 1)
-      .reduce(_ + _).cast("double")
+    val stopHits = regexp_count(lower(text),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b")).cast("double")
     val stopRatio = stopHits / greatest(words, lit(1.0))
     Seq(
       "n_chars" -> len,
@@ -61,11 +59,20 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = {
     val cols = qualityColumns(text).toMap
-    val lenScore = least(cols("n_tokens") / lit(50.0), lit(1.0))
-    val punctScore = lit(1.0) - least(cols("punct_ratio") * 4.0, lit(1.0))
-    val digitScore = lit(1.0) - least(cols("digit_ratio") * 4.0, lit(1.0))
-    val wordLenScore = when(cols("mean_word_len").between(3.0, 12.0), 1.0).otherwise(0.4)
-    val stopScore = least(cols("stopword_ratio") * 3.0, lit(1.0))
+    qualityScoreFrom(cols("n_tokens"), cols("punct_ratio"), cols("digit_ratio"),
+      cols("mean_word_len"), cols("stopword_ratio"))
+  }
+
+  /** Score from precomputed signal columns — lets analyze() reference the
+    * already-projected columns instead of recomputing every regex.
+    */
+  def qualityScoreFrom(nTokens: Column, punctRatio: Column, digitRatio: Column,
+                       meanWordLen: Column, stopwordRatio: Column): Column = {
+    val lenScore = least(nTokens / lit(50.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
+    val digitScore = lit(1.0) - least(digitRatio * 4.0, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.4)
+    val stopScore = least(stopwordRatio * 3.0, lit(1.0))
     round((lenScore + punctScore + digitScore + wordLenScore + stopScore) / 5.0, 4)
   }
 
@@ -84,14 +91,15 @@ object TextAnalysis {
     "nl" -> Seq(" de ", " het ", " een ", " van ", " en ", " niet ")
   )
 
-  /** Heuristic language ID: count function-word marker hits per language,
-    * pick the max (ties resolved by order above); "und" when nothing hits.
+  /** Heuristic language ID: count function-word marker hits per language
+    * (one alternation regex per language — a single pass each, not one
+    * split per marker), pick the max; "und" when nothing hits.
     */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    val lowered = lower(text)
     val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
-      lang -> markers.map(m => size(split(padded, java.util.regex.Pattern.quote(m))) - 1)
-        .reduce(_ + _)
+      val alts = markers.map(_.trim.replaceAll("\\s+", "\\\\s+")).mkString("|")
+      lang -> regexp_count(lowered, lit(s"\\b($alts)\\b"))
     }
     val structs = array(scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }: _*)
     val best = array_max(structs)
@@ -111,7 +119,8 @@ object TextAnalysis {
       d.withColumn(name, c)
     }
     withQuality
-      .withColumn("quality_score", qualityScore(t))
+      .withColumn("quality_score", qualityScoreFrom(col("n_tokens"), col("punct_ratio"),
+        col("digit_ratio"), col("mean_word_len"), col("stopword_ratio")))
       .withColumn("lang_pred", langId(t))
       .withColumn("doc_fingerprint", fingerprint(t))
   }

@@ -33,7 +33,8 @@ final class GraftException(msg: String) extends RuntimeException(msg)
   * @param baseColumns viewNameLower -> base relation column names (lowercase),
   *                    used for multi-fact dim/filter ownership
   */
-final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[String]) {
+final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[String],
+                          warningSink: String => Unit = _ => ()) {
 
   private val uid = new AtomicInteger(0)
 
@@ -125,6 +126,64 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   }
 
   // ------------------------------------------------------------- SELECT
+
+  private case class TableRef(name: String, alias: String, nameStart: Int, refEnd: Int, hasAlias: Boolean)
+
+  /** Locate table refs (name + optional alias) with absolute offsets in the
+    * FROM text, for dedup-pushdown rewriting.
+    */
+  private def tableRefSpans(from: String): List[TableRef] = {
+    val mask = Scan.buildMask(from)
+    val out = scala.collection.mutable.ListBuffer[TableRef]()
+    var i = 0
+    var depth = 0
+    var expectTable = true
+    val joinPrefixes = Set("left", "right", "full", "inner", "cross", "outer", "semi", "anti", "lateral", "natural")
+    while (i < from.length) {
+      if (mask(i)) i += 1
+      else {
+        val c = from.charAt(i)
+        if (c == '(') { depth += 1; i += 1 }
+        else if (c == ')') { depth -= 1; if (depth < 0) depth = 0; i += 1 }
+        else if (depth == 0 && c == ',') { expectTable = true; i += 1 }
+        else if (depth == 0 && (c.isLetter || c == '_')) {
+          val s = i
+          while (i < from.length && Scan.isIdentChar(from.charAt(i))) i += 1
+          val word = from.substring(s, i)
+          val wl = word.toLowerCase
+          if (wl == "join") expectTable = true
+          else if (joinPrefixes.contains(wl) || wl == "on" || wl == "using") {
+            if (wl == "on" || wl == "using") expectTable = false
+          } else if (expectTable) {
+            // table name; look ahead for [AS] alias
+            var j = i
+            while (j < from.length && from.charAt(j).isWhitespace) j += 1
+            var aliasStart = j
+            var hasAs = false
+            if (j + 2 <= from.length && from.regionMatches(true, j, "AS", 0, 2) &&
+                (j + 2 >= from.length || !Scan.isIdentChar(from.charAt(j + 2)))) {
+              hasAs = true
+              j += 2
+              while (j < from.length && from.charAt(j).isWhitespace) j += 1
+              aliasStart = j
+            }
+            var k = aliasStart
+            while (k < from.length && Scan.isIdentChar(from.charAt(k))) k += 1
+            val aliasTok = from.substring(aliasStart, k)
+            val aliasOk = aliasTok.nonEmpty &&
+              (hasAs || !Set("join", "on", "using", "where", "group", "order", "left", "right",
+                "full", "inner", "cross", "outer", "natural").contains(aliasTok.toLowerCase))
+            if (aliasOk) out += TableRef(word, aliasTok, s, k, hasAlias = true)
+            else out += TableRef(word, word, s, i, hasAlias = false)
+            if (aliasOk) i = k
+            expectTable = false
+          }
+          // skip other words (ON condition content etc.)
+        } else i += 1
+      }
+    }
+    out.toList
+  }
 
   private def parseFromTables(from: String): List[FromTable] = {
     val mask = Scan.buildMask(from)
@@ -559,6 +618,64 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         case CtxFilter.CondFilter(c) => Some(substToBase(c, v, allAliases))
       }
 
+      // Warning: AT (ALL ...) silently drops the outer WHERE's filter on any
+      // dimension that is neither correlated nor re-pinned by a SET.
+      // (Reference: warning_for_at_all_ungrouped_where_with_qualifiers,
+      // measures.rs:6984-7107.)
+      val hasAllModifier = ctx.grand || ctx.removedDims.nonEmpty
+      if (hasAllModifier && ctx.filter == CtxFilter.NoFilter && outerWhere.isDefined) {
+        // Per AND-conjunct: does the filtered expression survive into the AT
+        // context, either as a correlation key or as a SET pin? Compare at
+        // base-column level so view aliases and expression dims line up.
+        val coveredKeys: Set[String] =
+          (correlate.map(d => Scan.norm(substToBase(d.queryExpr, v, allAliases))) ++
+           ctx.sets.map { case (sd, _) => Scan.norm(substToBase(sd, v, allAliases)) }).toSet
+        val w = outerWhere.get
+        val conjuncts = splitTopAnd(w, Scan.buildMask(w))
+        val dropped = conjuncts.flatMap { c =>
+          val cm = Scan.buildMask(c)
+          val ownsDim = Scan.identifiers(c, cm, 0, c.length).exists { case (tok, _, e) =>
+            var j = e
+            while (j < c.length && c.charAt(j).isWhitespace) j += 1
+            val isCall = j < c.length && c.charAt(j) == '('
+            val stripped = Scan.stripQual(tok, allAliases)
+            !isCall && !stripped.contains('.') &&
+              (v.dimensionExprs.contains(stripped.toLowerCase) ||
+               baseColumns(v.viewName.toLowerCase).contains(stripped.toLowerCase))
+          }
+          if (!ownsDim) None
+          else {
+            val opIdx = {
+              var idx = -1
+              var i = 0
+              var depth = 0
+              while (idx < 0 && i < c.length) {
+                if (!cm(i)) {
+                  val ch = c.charAt(i)
+                  if (ch == '(') depth += 1
+                  else if (ch == ')') depth -= 1
+                  else if (depth == 0 && (ch == '=' || ch == '<' || ch == '>' || ch == '!')) idx = i
+                  else if (depth == 0 && (i == 0 || !Scan.isIdentChar(c.charAt(i - 1))) &&
+                           (c.regionMatches(true, i, "IN", 0, 2) || c.regionMatches(true, i, "IS", 0, 2) ||
+                            c.regionMatches(true, i, "BETWEEN", 0, 7) || c.regionMatches(true, i, "LIKE", 0, 4)) &&
+                           !Scan.isIdentChar(c.charAt(math.min(i + (if (c.regionMatches(true, i, "BETWEEN", 0, 7)) 7 else if (c.regionMatches(true, i, "LIKE", 0, 4)) 4 else 2), c.length - 1))))
+                    idx = i
+                }
+                i += 1
+              }
+              idx
+            }
+            val lhs = (if (opIdx > 0) c.substring(0, opIdx) else c).trim
+            val lhsNorm = Scan.norm(substToBase(lhs, v, allAliases))
+            if (coveredKeys.contains(lhsNorm)) None else Some(lhs)
+          }
+        }
+        if (dropped.nonEmpty)
+          warningSink(s"AT (ALL) over measure ${meas.name}: outer WHERE filter on ungrouped " +
+            s"dimension(s) ${dropped.mkString(", ")} does not apply inside the AT context; " +
+            "add AT (WHERE ...), AT (SET ...) or VISIBLE to re-pin it")
+      }
+
       // inline fast path: visible context over all dims, plain grouping
       val visibleAllDims = !ctx.grand && !ctx.dropAllCorrelation && ctx.removedDims.isEmpty &&
         ctx.sets.isEmpty &&
@@ -689,9 +806,66 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     }
     for ((name, expr) <- plainAggCols) outerProjections += s"$expr AS $name"
     for ((_, (col, aggExpr)) <- inlineAggs) outerProjections += s"$aggExpr AS $col"
+    // Multi-fact dedup pushdown: the outer frame only needs DISTINCT dim
+    // combinations, so each measure-view side of an inner join can be
+    // reduced to a DISTINCT projection of its referenced columns before the
+    // join. Without this, joining two fact views on a low-cardinality dim
+    // (e.g. year) explodes to |A|x|B| rows per key before the GROUP BY —
+    // measured 269s vs <1s at sf0.1. Skipped when join rows are observable
+    // (plain aggregates, HAVING, DISTINCT, or outer joins).
+    val dedupJoinFrom: Option[String] =
+      if (singleFact) None
+      else {
+        val safe = plainAggCols.isEmpty && clauses.having.isEmpty && !clauses.distinct &&
+          "(?i)\\b(LEFT|RIGHT|FULL|CROSS)\\b".r.findFirstIn(fromText).isEmpty
+        if (!safe) None
+        else {
+          val refs = tableRefSpans(fromText).filter(r => catalog.contains(r.name))
+          if (refs.isEmpty) None
+          else {
+            val contexts = (dims.map(_.queryExpr) ++ outerWhere.toList :+ fromText).mkString(" , ")
+            val cm = Scan.buildMask(contexts)
+            val toks = Scan.identifiers(contexts, cm, 0, contexts.length).filter { case (_, _, e) =>
+              var j = e
+              while (j < contexts.length && contexts.charAt(j).isWhitespace) j += 1
+              !(j < contexts.length && contexts.charAt(j) == '(')
+            }
+            def neededCols(r: TableRef, view: MeasureView): Seq[String] = {
+              val outputs = view.dimensionOrder.map(_.toLowerCase).toSet
+              toks.flatMap { case (t, _, _) =>
+                val dot = t.indexOf('.')
+                if (dot > 0) {
+                  val q = t.substring(0, dot).toLowerCase
+                  if (q == r.alias.toLowerCase || q == r.name.toLowerCase) Some(Scan.lastPart(t).toLowerCase)
+                  else None
+                } else if (outputs.contains(t.toLowerCase)) Some(t.toLowerCase)
+                else None
+              }.distinct.filterNot(view.measureNamesLower.contains)
+            }
+            val repls = refs.flatMap { r =>
+              catalog.get(r.name).flatMap { v =>
+                val cols = neededCols(r, v)
+                if (cols.isEmpty) None
+                else {
+                  val sub = s"(SELECT DISTINCT ${cols.mkString(", ")} FROM ${r.name})"
+                  Some((r.nameStart, r.nameStart + r.name.length,
+                    if (r.hasAlias) sub else s"$sub ${r.alias}"))
+                }
+              }
+            }
+            if (repls.isEmpty) None
+            else {
+              val sb = new StringBuilder(fromText)
+              for ((s, e, rep) <- repls.sortBy(-_._1)) sb.replace(s, e, rep)
+              Some(sb.toString)
+            }
+          }
+        }
+      }
+
     val outerFrom =
       if (singleFact) baseCteFor(primaryView)
-      else fromText
+      else dedupJoinFrom.getOrElse(fromText)
     val outerWhereSql =
       (if (singleFact) outerWhere.map(w => substToBase(w, primaryView, primaryAliases))
        else outerWhere).map(w => s" WHERE $w").getOrElse("")

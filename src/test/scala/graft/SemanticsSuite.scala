@@ -1,0 +1,234 @@
+package graft
+
+import graft.planner.GraftException
+
+/** Further golden tests: ad-hoc expression dimensions, fan-out immunity,
+  * the warning system, window measures, and batch/temp-view semantics.
+  * Goldens from /root/reference/test/sql/measures.test (line refs inline).
+  */
+class SemanticsSuite extends SparkSpec {
+
+  lazy val engine: GraftEngine = {
+    val e = GraftEngine(spark)
+    e.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW daily_orders AS
+        |SELECT * FROM VALUES
+        |  (DATE '2023-01-15', 100.0), (DATE '2023-01-20', 150.0),
+        |  (DATE '2023-02-10', 200.0), (DATE '2023-02-25', 120.0),
+        |  (DATE '2023-03-05', 180.0), (DATE '2023-03-15', 90.0)
+        |AS t(order_date, amount)""".stripMargin)
+    e.sql("CREATE VIEW daily_orders_v AS SELECT order_date, SUM(amount) AS MEASURE revenue FROM daily_orders")
+    e
+  }
+
+  // measures.test:2037-2060 (SET/ALL with expression dimensions)
+  test("ad-hoc expression dims: SET MONTH(date) = 2") {
+    checkGolden(engine.sql(
+      """SELECT MONTH(order_date) AS m, AGGREGATE(revenue) AS rev,
+        |AGGREGATE(revenue) AT (SET MONTH(order_date) = 2) AS feb_revenue
+        |FROM daily_orders_v""".stripMargin),
+      """1	250	320
+        |2	320	320
+        |3	270	320""".stripMargin)
+  }
+
+  test("ad-hoc expression dims: ALL MONTH(date)") {
+    checkGolden(engine.sql(
+      """SELECT MONTH(order_date) AS m, AGGREGATE(revenue) AS rev,
+        |AGGREGATE(revenue) AT (ALL MONTH(order_date)) AS total
+        |FROM daily_orders_v""".stripMargin),
+      """1	250	840
+        |2	320	840
+        |3	270	840""".stripMargin)
+  }
+
+  // measures.test:2026-2033 (combined, re-pinned: no warning)
+  test("ALL expr + SET expr combined with matching WHERE") {
+    checkGolden(engine.sql(
+      """SELECT MONTH(order_date) AS m,
+        |AGGREGATE(revenue) AT (ALL MONTH(order_date) SET MONTH(order_date) = 2) AS feb_revenue
+        |FROM daily_orders_v
+        |WHERE MONTH(order_date) = 2
+        |GROUP BY MONTH(order_date)""".stripMargin),
+      "2\t320")
+  }
+
+  // measures.test:2061-2085 (view dim alias defined by expression)
+  test("view-level expression dimension aliases") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW monthly_sales AS
+        |SELECT * FROM VALUES
+        |  (DATE '2023-01-05', 'US', 100.0), (DATE '2023-01-12', 'EU', 50.0),
+        |  (DATE '2023-02-03', 'US', 200.0), (DATE '2023-02-20', 'EU', 20.0)
+        |AS t(order_date, region, amount)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW monthly_sales_v AS
+        |SELECT DATE_TRUNC('month', order_date) AS month, region, SUM(amount) AS MEASURE revenue
+        |FROM monthly_sales
+        |GROUP BY DATE_TRUNC('month', order_date), region""".stripMargin)
+    checkGolden(engine.sql(
+      """SELECT month, region, AGGREGATE(revenue) AS rev, AGGREGATE(revenue) AT (ALL region) AS month_total
+        |FROM monthly_sales_v""".stripMargin),
+      """2023-01-01 00:00:00.0	EU	50	150
+        |2023-01-01 00:00:00.0	US	100	150
+        |2023-02-01 00:00:00.0	EU	20	220
+        |2023-02-01 00:00:00.0	US	200	220""".stripMargin)
+  }
+
+  // measures.test:2145-2240 (join fan-out immunity)
+  test("fan-out immunity: 1:N join does not inflate measures") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW fanout_customers AS
+        |SELECT * FROM VALUES (1, 'Alice', 30), (2, 'Bob', 25), (3, 'Carol', 40)
+        |AS t(cust_id, name, age)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW fanout_orders AS
+        |SELECT * FROM VALUES
+        |  (101, 1, 'Widget', 100.0), (102, 1, 'Gadget', 200.0), (103, 1, 'Doohickey', 50.0),
+        |  (104, 2, 'Widget', 75.0), (105, 3, 'Gadget', 300.0), (106, 3, 'Widget', 150.0)
+        |AS t(order_id, cust_id, product, amount)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW fanout_customers_v AS
+        |SELECT *, AVG(age) AS MEASURE avg_cust_age, SUM(age) AS MEASURE sum_age,
+        |COUNT(age) AS MEASURE cust_count
+        |FROM fanout_customers""".stripMargin)
+    checkGolden(engine.sql(
+      """SELECT AGGREGATE(avg_cust_age) AS a FROM fanout_customers_v c
+        |JOIN fanout_orders o ON c.cust_id = o.cust_id""".stripMargin),
+      "31.666667")
+    checkGolden(engine.sql(
+      """SELECT AGGREGATE(sum_age) AS s FROM fanout_customers_v c
+        |JOIN fanout_orders o ON c.cust_id = o.cust_id""".stripMargin),
+      "95")
+    checkGolden(engine.sql(
+      """SELECT AGGREGATE(cust_count) AS n FROM fanout_customers_v c
+        |JOIN fanout_orders o ON c.cust_id = o.cust_id""".stripMargin),
+      "3")
+  }
+
+  // measures.test:2203-2231 (grouped fan-out; COUNT(*) counts join rows,
+  // the measure does not)
+  test("fan-out immunity: grouped join") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW fanout_tiered_custs AS
+        |SELECT * FROM VALUES (1, 'gold', 30), (2, 'gold', 25), (3, 'silver', 40)
+        |AS t(cust_id, tier, age)""".stripMargin)
+    engine.sql("CREATE VIEW fanout_tiered_custs_v AS SELECT *, AVG(age) AS MEASURE avg_tier_age FROM fanout_tiered_custs")
+    checkGolden(engine.sql(
+      """SELECT t.tier, COUNT(*) AS order_rows, AGGREGATE(avg_tier_age) AS a
+        |FROM fanout_tiered_custs_v t
+        |JOIN fanout_orders o ON t.cust_id = o.cust_id
+        |GROUP BY t.tier""".stripMargin),
+      """gold	4	27.5
+        |silver	2	40""".stripMargin)
+  }
+
+  // measures.test:727-744 (warning: AT (ALL dim) over filtered ungrouped dim)
+  test("warning system and warnings_as_errors") {
+    engine.sql("SET warnings_as_errors = false")
+    engine.sql(
+      """SELECT MONTH(order_date) AS m,
+        |AGGREGATE(revenue) AT (ALL MONTH(order_date)) AS total
+        |FROM daily_orders_v WHERE YEAR(order_date) = 2023 GROUP BY MONTH(order_date)""".stripMargin)
+      .collect()
+    assert(engine.lastWarnings.nonEmpty, "expected a dropped-filter warning")
+
+    engine.sql("SET warnings_as_errors = true")
+    val e = intercept[GraftException] {
+      engine.sql(
+        """SELECT MONTH(order_date) AS m,
+          |AGGREGATE(revenue) AT (ALL MONTH(order_date)) AS total
+          |FROM daily_orders_v WHERE YEAR(order_date) = 2023 GROUP BY MONTH(order_date)""".stripMargin)
+    }
+    assert(e.getMessage.contains("Warning escalated"))
+    engine.sql("SET warnings_as_errors = false")
+
+    // re-pinned via SET: no warning (measures.test:839-849 passes under
+    // warnings_as_errors)
+    engine.sql("SET warnings_as_errors = true")
+    engine.sql(
+      """SELECT MONTH(order_date) AS m,
+        |AGGREGATE(revenue) AT (ALL MONTH(order_date) SET YEAR(order_date) = 2023) AS total
+        |FROM daily_orders_v WHERE YEAR(order_date) = 2023 GROUP BY MONTH(order_date)""".stripMargin)
+      .collect()
+    engine.sql("SET warnings_as_errors = false")
+  }
+
+  // measures.test:2965-3035 + LIMITATIONS.md:24-45 (window measures)
+  test("window measure: single-valued per context, error otherwise") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW wm_sales AS
+        |SELECT * FROM VALUES
+        |  (2022, 'US', 100.0), (2022, 'EU', 50.0), (2023, 'US', 150.0), (2023, 'EU', 75.0)
+        |AS t(year, region, amount)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW wm_v AS
+        |SELECT year, region,
+        |  SUM(amount) OVER (PARTITION BY year) AS MEASURE year_amt
+        |FROM wm_sales""".stripMargin)
+    // single-valued per year: OK
+    checkGolden(engine.sql("SELECT year, AGGREGATE(year_amt) AS ya FROM wm_v ORDER BY year"),
+      """2022	150
+        |2023	225""".stripMargin)
+    // per-region context: two distinct window values per region -> error
+    val e = intercept[Exception] {
+      engine.sql("SELECT region, AGGREGATE(year_amt) AS ya FROM wm_v").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not single-valued"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  // temp measure views live only inside one executeBatch
+  // (yardstick_extension.cpp:1498-1754)
+  test("batch TEMP measure views are dropped after the batch") {
+    val df = engine.executeBatch(
+      """CREATE OR REPLACE TEMPORARY VIEW batch_src AS SELECT * FROM VALUES (1, 5.0), (1, 7.0) AS t(k, v);
+        |CREATE TEMPORARY VIEW batch_tmp_v AS SELECT k, SUM(v) AS MEASURE sv FROM batch_src;
+        |SELECT k, AGGREGATE(sv) AS sv FROM batch_tmp_v""".stripMargin)
+    checkGolden(df, "1\t12")
+    assert(!engine.catalog.contains("batch_tmp_v"), "temp measure view should be dropped after batch")
+  }
+
+  // failed batch restores the catalog snapshot
+  test("failed batch restores measure catalog") {
+    val before = engine.catalog.snapshot().keySet
+    intercept[Exception] {
+      engine.executeBatch(
+        """CREATE VIEW rollback_v AS SELECT k, SUM(v) AS MEASURE rv FROM batch_src;
+          |SELECT definitely_not_a_column FROM batch_src""".stripMargin)
+    }
+    assert(engine.catalog.snapshot().keySet == before, "catalog should be restored")
+  }
+
+  // AT (WHERE) with complex conditions (measures.test:1543-1565)
+  test("AT (WHERE) with AND/OR conditions") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW cw_sales AS
+        |SELECT * FROM VALUES
+        |  (2022, 'US', 100.0), (2022, 'EU', 50.0), (2023, 'US', 150.0), (2023, 'EU', 75.0)
+        |AS t(year, region, amount)""".stripMargin)
+    engine.sql("CREATE VIEW cw_v AS SELECT year, region, SUM(amount) AS MEASURE revenue FROM cw_sales")
+    checkGolden(engine.sql(
+      "SELECT year, region, AGGREGATE(revenue) AT (WHERE year = 2023 AND region = 'US') AS us_2023 FROM cw_v"),
+      """2022	EU	150
+        |2022	US	150
+        |2023	EU	150
+        |2023	US	150""".stripMargin)
+    checkGolden(engine.sql(
+      "SELECT year, region, AGGREGATE(revenue) AT (WHERE region = 'US' OR year = 2022) AS filtered FROM cw_v"),
+      """2022	EU	300
+        |2022	US	300
+        |2023	EU	300
+        |2023	US	300""".stripMargin)
+  }
+
+  // numeric comparison in AT (WHERE) (measures.test:1830-1840)
+  test("AT (WHERE) numeric comparison") {
+    checkGolden(engine.sql(
+      "SELECT year, region, AGGREGATE(revenue) AT (WHERE year > 2022) AS recent FROM cw_v"),
+      """2022	EU	225
+        |2022	US	225
+        |2023	EU	225
+        |2023	US	225""".stripMargin)
+  }
+}
