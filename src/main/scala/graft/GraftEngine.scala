@@ -128,6 +128,21 @@ final class GraftEngine(val spark: SparkSession) {
       }
     }
 
+    // CTAS / INSERT / CREATE VIEW wrapping a measure SELECT body
+    // (reference: CTAS/INSERT body location, measures.rs:2253-2617)
+    wrapPrefix(stmt) match {
+      case Some((prefix, body)) =>
+        warningBuf.clear()
+        expander.expand(body) match {
+          case Some(expanded) =>
+            if (warningsAsErrors && !warningBuf.isEmpty)
+              throw new GraftException("Warning escalated to error: " + lastWarnings.mkString("; "))
+            return spark.sql(normalizeDdl(prefix) + " " + expanded)
+          case None =>
+        }
+      case None =>
+    }
+
     warningBuf.clear()
     expander.expand(stmt) match {
       case Some(expanded) =>
@@ -135,6 +150,34 @@ final class GraftEngine(val spark: SparkSession) {
           throw new GraftException("Warning escalated to error: " + lastWarnings.mkString("; "))
         spark.sql(expanded)
       case None => spark.sql(normalizeDdl(stmt))
+    }
+  }
+
+  private val ctasRe =
+    "(?is)^\\s*(CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?TABLE\\s+[\\w.]+\\s+AS)\\s+(\\(?\\s*(?:SELECT|WITH)\\b.*)$".r
+  private val insertRe =
+    "(?is)^\\s*(INSERT\\s+INTO\\s+[\\w.]+(?:\\s*\\([^)]*\\))?(?:\\s+BY\\s+NAME)?)\\s*(\\(?\\s*(?:SELECT|WITH)\\b.*)$".r
+  private val viewBodyRe =
+    "(?is)^\\s*(CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+[\\w.]+\\s+AS)\\s+(\\(?\\s*(?:SELECT|WITH)\\b.*)$".r
+
+  /** Split "DDL-prefix + SELECT body" statements so the body can be
+    * measure-expanded. Parenthesized bodies are unwrapped.
+    */
+  private def wrapPrefix(stmt: String): Option[(String, String)] = {
+    val m = stmt match {
+      case ctasRe(p, b) => Some((p, b))
+      case insertRe(p, b) => Some((p, b))
+      case viewBodyRe(p, b) => Some((p, b))
+      case _ => None
+    }
+    m.map { case (p, b0) =>
+      var b = b0.trim
+      if (b.startsWith("(")) {
+        val mask = Scan.buildMask(b)
+        val close = Scan.matchParen(b, mask, 0)
+        if (close == b.length - 1) b = b.substring(1, close).trim
+      }
+      (p, b)
     }
   }
 

@@ -40,7 +40,13 @@ object SparkEntry {
           |  COUNT(DISTINCT l_partkey) AS MEASURE parts,
           |  MEDIAN(l_quantity) AS MEASURE med_qty,
           |  SUM(l_extendedprice * l_tax) AS MEASURE tax_amt,
-          |  revenue - tax_amt AS MEASURE net_rev
+          |  revenue - tax_amt AS MEASURE net_rev,
+          |  STDDEV(l_quantity) AS MEASURE sd_qty,
+          |  MIN(l_extendedprice) AS MEASURE min_price,
+          |  MAX(l_extendedprice) AS MEASURE max_price,
+          |  SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS MEASURE disc_price,
+          |  SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END) AS MEASURE big_qty,
+          |  array_join(array_sort(array_distinct(collect_list(l_linestatus))), ',') AS MEASURE statuses
           |FROM lineitem""".stripMargin)
       e.sql(
         """CREATE VIEW ord_v AS
@@ -127,6 +133,33 @@ object SparkEntry {
         "FROM ord_v o JOIN li_y l ON o.yr = l.yr ORDER BY o.yr"),
     "m_window" -> m(
       "SELECT yr, ROUND(AGGREGATE(yr_qty), 2) AS yr_qty FROM win_v ORDER BY yr"),
+    "m_stddev" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(sd_qty), 4) AS sd_qty FROM li_v ORDER BY l_returnflag"),
+    "m_minmax" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(min_price), 2) AS min_price, ROUND(AGGREGATE(max_price), 2) AS max_price FROM li_v ORDER BY l_returnflag"),
+    "m_filter_measure" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(disc_price), 2) AS disc_price FROM li_v ORDER BY l_returnflag"),
+    "m_case_measure" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(big_qty), 2) AS big_qty FROM li_v ORDER BY l_returnflag"),
+    "m_string_agg" -> m(
+      "SELECT l_returnflag, AGGREGATE(statuses) AS statuses FROM li_v ORDER BY l_returnflag"),
+    "m_ctas" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.sql("DROP TABLE IF EXISTS ctas_out")
+      // DROP TABLE on a session that died mid-write can leave the managed
+      // location behind; clear it so CTAS is re-runnable
+      val wh = new java.io.File(new java.net.URI(
+        s.conf.get("spark.sql.warehouse.dir")).getPath, "ctas_out")
+      if (wh.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(wh)
+      }
+      e.sql("CREATE TABLE ctas_out AS SELECT l_returnflag, ROUND(AGGREGATE(qty), 2) AS qty FROM li_v")
+      e.sql("SELECT l_returnflag, qty FROM ctas_out ORDER BY l_returnflag")
+    }),
 
     // ---- classic SQL surface (engine passthrough) ----
     "q_tpch1" -> m(
@@ -290,6 +323,22 @@ object SparkEntry {
     "m_window" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM(l_quantity), 2) AS yr_qty " +
         "FROM lineitem GROUP BY year(l_shipdate) ORDER BY yr"),
+    "m_stddev" ->
+      "SELECT l_returnflag, round(STDDEV(l_quantity), 4) AS sd_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_minmax" ->
+      ("SELECT l_returnflag, round(MIN(l_extendedprice), 2) AS min_price, round(MAX(l_extendedprice), 2) AS max_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_filter_measure" ->
+      ("SELECT l_returnflag, round(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_case_measure" ->
+      ("SELECT l_returnflag, round(SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END), 2) AS big_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_string_agg" ->
+      ("SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_ctas" ->
+      "SELECT l_returnflag, round(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_tpch1" ->
       (s"""SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty,
           |round(SUM(l_extendedprice), 2) AS sum_base_price, round(SUM($rev), 2) AS sum_disc_price,

@@ -1,0 +1,95 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over randomized data (seeded, deterministic):
+  *  - join fan-out immunity: measures unchanged under a random 1:N join
+  *  - percent-of-total sums to 100
+  *  - chained AT (ALL a) AT (ALL b) == AT (ALL a b) == AT (ALL)
+  *  - AT (ALL dim) is constant within remaining-dim partitions
+  * (SURVEY §5 test plan.)
+  */
+class PropertySuite extends SparkSpec {
+
+  lazy val engine: GraftEngine = GraftEngine(spark)
+
+  private def mkSales(seed: Int, n: Int): Unit = {
+    val rnd = new Random(seed)
+    val years = Seq(2020, 2021, 2022, 2023)
+    val regions = Seq("US", "EU", "APAC")
+    val rows = (1 to n).map { i =>
+      s"(${years(rnd.nextInt(years.length))}, '${regions(rnd.nextInt(regions.length))}', ${rnd.nextInt(1000) + 1}.0)"
+    }
+    engine.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW prop_sales AS SELECT * FROM VALUES ${rows.mkString(", ")} AS t(year, region, amount)")
+    engine.sql("CREATE OR REPLACE VIEW prop_v AS SELECT year, region, SUM(amount) AS MEASURE rev FROM prop_sales")
+  }
+
+  test("property: pct_of_total sums to 100 per seed") {
+    for (seed <- Seq(1, 7, 42)) {
+      mkSales(seed, 60)
+      val df = engine.sql(
+        """SELECT year, region, 100.0 * AGGREGATE(rev) / AGGREGATE(rev) AT (ALL) AS pct FROM prop_v""")
+      val total = df.agg(sum(col("pct").cast("double"))).head().getDouble(0)
+      assert(math.abs(total - 100.0) < 1e-9, s"seed=$seed pct sum was $total")
+    }
+  }
+
+  test("property: chained ALL == multi-dim ALL == grand total") {
+    for (seed <- Seq(3, 11)) {
+      mkSales(seed, 50)
+      val chained = rows(engine.sql(
+        "SELECT year, region, AGGREGATE(rev) AT (ALL year) AT (ALL region) AS g FROM prop_v"))
+      val multi = rows(engine.sql(
+        "SELECT year, region, AGGREGATE(rev) AT (ALL year region) AS g FROM prop_v"))
+      val grand = rows(engine.sql(
+        "SELECT year, region, AGGREGATE(rev) AT (ALL) AS g FROM prop_v"))
+      assert(chained == multi, s"seed=$seed chained != multi")
+      assert(chained == grand, s"seed=$seed chained != grand")
+    }
+  }
+
+  test("property: AT (ALL dim) constant within remaining-dim partitions") {
+    for (seed <- Seq(5, 19)) {
+      mkSales(seed, 80)
+      val df = engine.sql(
+        "SELECT year, region, AGGREGATE(rev) AT (ALL region) AS year_total FROM prop_v")
+      val distinctPerYear = df.groupBy("year")
+        .agg(countDistinct("year_total").as("n")).agg(max("n")).head().getLong(0)
+      assert(distinctPerYear == 1L, s"seed=$seed AT (ALL region) varied within a year")
+    }
+  }
+
+  test("property: fan-out immunity under random 1:N join") {
+    for (seed <- Seq(2, 13)) {
+      mkSales(seed, 40)
+      val rnd = new Random(seed + 100)
+      // random N-side table: each (year, region) key appears 0..5 times
+      val keys = for (y <- Seq(2020, 2021, 2022, 2023); r <- Seq("US", "EU", "APAC")) yield (y, r)
+      val fanRows = keys.flatMap { case (y, r) =>
+        Seq.fill(rnd.nextInt(6))(s"($y, '$r', ${rnd.nextInt(50)})")
+      }
+      if (fanRows.nonEmpty) {
+        engine.sql(
+          s"CREATE OR REPLACE TEMPORARY VIEW prop_fan AS SELECT * FROM VALUES ${fanRows.mkString(", ")} AS t(year, region, clicks)")
+        val base = rows(engine.sql("SELECT AGGREGATE(rev) AS total FROM prop_v"))
+        val jnd = rows(engine.sql(
+          "SELECT AGGREGATE(rev) AS total FROM prop_v v JOIN prop_fan f ON v.year = f.year AND v.region = f.region"))
+        assert(base == jnd, s"seed=$seed fan-out changed the measure: $base vs $jnd")
+      }
+    }
+  }
+
+  test("CURRENT resolves WHERE-pinned dims to the constant") {
+    // CURRENT year with year = 2022 pinned in WHERE but not grouped
+    // (reference: where_has_simple_equality_constraint, measures.rs:3455)
+    mkSales(23, 50)
+    val pinned = rows(engine.sql(
+      "SELECT region, AGGREGATE(rev) AT (ALL region SET year = CURRENT year - 1) AS prior FROM prop_v WHERE year = 2022 GROUP BY region"))
+    val literal = rows(engine.sql(
+      "SELECT region, AGGREGATE(rev) AT (ALL region SET year = 2021) AS prior FROM prop_v WHERE year = 2022 GROUP BY region"))
+    assert(pinned == literal, s"CURRENT pinning mismatch: $pinned vs $literal")
+  }
+}
