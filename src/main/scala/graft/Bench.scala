@@ -26,6 +26,8 @@ object Bench {
     // real (100 TB) inputs. Bench uses the small-input configuration; the
     // shuffle partition count likewise tracks input size, not core count.
     val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

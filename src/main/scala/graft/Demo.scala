@@ -10,6 +10,8 @@ object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master("local[8]")
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "8")
@@ -78,11 +80,19 @@ object Demo {
       "SELECT l_returnflag, AGGREGATE(revenue) AT (ALL l_returnflag) AS t FROM li_v WHERE l_linestatus = 'F' GROUP BY l_returnflag")
     engine.sql("SET warnings_as_errors = false")
 
-    // batch TEMP measure view: usable inside the batch, gone after
-    val batchDf = engine.executeBatch(
+    // batch TEMP measure view: must be consumed by a materializing statement
+    // (plain SELECT consumption is an error, matching the reference)
+    expectError("temp measure view consumed by plain SELECT",
       """CREATE TEMPORARY VIEW demo_tmp_v AS SELECT l_returnflag, SUM(l_quantity) AS MEASURE q FROM lineitem;
         |SELECT l_returnflag, AGGREGATE(q) AS q FROM demo_tmp_v""".stripMargin)
-    println("BATCH rows: " + batchDf.count() + ", temp view still registered: " + engine.catalog.contains("demo_tmp_v"))
+    engine.sql("DROP TABLE IF EXISTS demo_tmp_out")
+    engine.executeBatch(
+      """CREATE TEMPORARY VIEW demo_tmp_v AS SELECT l_returnflag, SUM(l_quantity) AS MEASURE q FROM lineitem;
+        |CREATE TABLE demo_tmp_out AS SELECT l_returnflag, AGGREGATE(q) AS q FROM demo_tmp_v;
+        |DROP VIEW demo_tmp_v""".stripMargin)
+    println("BATCH rows: " + spark.table("demo_tmp_out").count() +
+      ", temp view still registered: " + engine.catalog.contains("demo_tmp_v"))
+    engine.sql("DROP TABLE demo_tmp_out")
 
     // multi-fact dedup pushdown: expanded SQL should show DISTINCT-pruned join sides
     engine.sql("CREATE VIEW demo_ord_v AS SELECT year(o_orderdate) AS yr, SUM(o_totalprice) AS MEASURE tp FROM orders")

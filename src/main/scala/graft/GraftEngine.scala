@@ -51,38 +51,75 @@ final class GraftEngine(val spark: SparkSession) {
     warningBuf.asScala.toSeq
   }
 
-  private val expander = new QueryExpander(catalog, baseColsOf, w => warningBuf.add(w))
+  // batch-scope state (reference batch invariants,
+  // yardstick_extension.cpp:1498-1754, semantics derived from the corpus):
+  //  - a temp measure view consumed by a MATERIALIZING statement (CTAS /
+  //    INSERT) is fine; referenced by a plain SELECT it is an error (the
+  //    reference defers SELECT execution past the temp view's lifetime)
+  //  - a leftover temp view never consumed at all is an error
+  //  - a shadowed permanent view is restored unless the batch dropped it
+  private val batchTempCreated = scala.collection.mutable.LinkedHashSet[String]()
+  private val batchConsumedMat = scala.collection.mutable.Set[String]()
+  private val batchSelectRefs = scala.collection.mutable.Set[String]()
+  private val batchDropped = scala.collection.mutable.Set[String]()
+  private var stmtMaterializing = false
 
-  /** Execute one or more ';'-separated statements; returns the last result. */
+  private val expander = new QueryExpander(catalog, baseColsOf,
+    w => warningBuf.add(w), v => {
+      if (batchTempCreated.contains(v)) {
+        if (stmtMaterializing) batchConsumedMat += v else batchSelectRefs += v
+      }
+    })
+
+  /** Execute one or more ';'-separated statements as one batch; returns the
+    * last result. Batch semantics follow the reference:
+    *  - on any failure the measure catalog is restored to its pre-batch
+    *    snapshot;
+    *  - TEMPORARY measure views live only inside the batch; a shadowed
+    *    permanent measure view is re-registered afterwards;
+    *  - a TEMP measure view that is never consumed by an AGGREGATE() in the
+    *    same batch is an error.
+    */
   def sql(text: String): DataFrame = {
     val stmts = Scan.splitStatements(text)
-    var last: DataFrame = spark.emptyDataFrame
-    for (s <- stmts) last = executeStatement(s)
-    last
-  }
-
-  /** Batch execution with transactional measure-catalog semantics: on any
-    * failure the catalog is restored to its pre-batch snapshot, and
-    * TEMPORARY measure views registered by the batch are dropped at the end
-    * (they must be consumed within the batch).
-    * (Reference: RewriteMeasureViewsStatementByStatement,
-    * yardstick_extension.cpp:1498-1754.)
-    */
-  def executeBatch(text: String): DataFrame = {
     val snap = catalog.snapshot()
+    batchTempCreated.clear()
+    batchConsumedMat.clear()
+    batchSelectRefs.clear()
+    batchDropped.clear()
     try {
-      val res = sql(text)
-      for (v <- catalog.all if v.temporary && !snap.contains(v.viewName.toLowerCase)) {
-        catalog.drop(v.viewName)
-        spark.catalog.dropTempView(v.viewName)
+      var last: DataFrame = spark.emptyDataFrame
+      for (s <- stmts) last = executeStatement(s)
+      val leftovers = batchTempCreated.filter(n => catalog.get(n).exists(_.temporary)).toList
+      for (name <- leftovers) {
+        catalog.drop(name)
+        try spark.catalog.dropTempView(name) catch { case _: Exception => }
+        snap.get(name.toLowerCase) match {
+          case Some(prev) if !prev.temporary && !batchDropped.contains(name) =>
+            catalog.register(prev)
+            if (prev.cleanViewSql.nonEmpty) spark.sql(prev.cleanViewSql)
+          case _ =>
+        }
       }
-      res
+      val bad = batchSelectRefs.toList ++ leftovers.filterNot(batchConsumedMat.contains)
+      if (bad.nonEmpty)
+        throw new GraftException(
+          "TEMPORARY AS MEASURE views must be used in the same statement batch as AGGREGATE(): " +
+            bad.distinct.mkString(", "))
+      last
     } catch {
       case e: Throwable =>
+        // half-state emulation of the reference's dual catalogs: the measure
+        // catalog rolls back, batch-created temp views are gone
+        for (name <- batchTempCreated)
+          try spark.catalog.dropTempView(name) catch { case _: Exception => }
         catalog.restore(snap)
         throw e
     }
   }
+
+  /** Alias of sql() — every multi-statement string is a batch. */
+  def executeBatch(text: String): DataFrame = sql(text)
 
   /** Expand a measure query to the SQL actually executed (for inspection /
     * EXPLAIN); returns the input when it is not a measure query.
@@ -101,6 +138,9 @@ final class GraftEngine(val spark: SparkSession) {
 
   private val setWarningsRe =
     "(?is)^\\s*SET\\s+warnings_as_errors\\s*=\\s*(true|false)\\s*;?\\s*$".r
+  private val prepareRe = "(?is)^\\s*PREPARE\\s+([A-Za-z_]\\w*)\\s+AS\\s+(.*)$".r
+  private val executeRe = "(?is)^\\s*EXECUTE\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val prepared = TrieMap.empty[String, String]
 
   private def executeStatement(stmt0: String): DataFrame = {
     val stmt = Shims(stripSemantic(stmt0))
@@ -109,6 +149,15 @@ final class GraftEngine(val spark: SparkSession) {
       case setWarningsRe(v) =>
         warningsAsErrors = v.equalsIgnoreCase("true")
         return spark.emptyDataFrame
+      case prepareRe(name, body) =>
+        // parameterless prepared statements (reference corpus uses them for
+        // deferred measure INSERTs)
+        prepared.put(name.toLowerCase, body.trim.stripSuffix(";"))
+        return spark.emptyDataFrame
+      case executeRe(name) =>
+        val body = prepared.getOrElse(name.toLowerCase,
+          throw new GraftException(s"Unknown prepared statement: $name"))
+        return executeStatement(body)
       case _ =>
     }
 
@@ -117,6 +166,7 @@ final class GraftEngine(val spark: SparkSession) {
       case Some(name) =>
         catalog.drop(name)
         baseColsCache.remove(name.toLowerCase)
+        batchDropped += Scan.lastPart(name).toLowerCase
         return spark.sql(stmt)
       case None =>
     }
@@ -133,7 +183,9 @@ final class GraftEngine(val spark: SparkSession) {
     wrapPrefix(stmt) match {
       case Some((prefix, body)) =>
         warningBuf.clear()
-        expander.expand(body) match {
+        stmtMaterializing = true
+        val expandedOpt = try expander.expand(body) finally { stmtMaterializing = false }
+        expandedOpt match {
           case Some(expanded) =>
             if (warningsAsErrors && !warningBuf.isEmpty)
               throw new GraftException("Warning escalated to error: " + lastWarnings.mkString("; "))
@@ -190,7 +242,7 @@ final class GraftEngine(val spark: SparkSession) {
   private def registerMeasureView(p: ParsedMeasureView): DataFrame = {
     val tempName = Scan.lastPart(p.viewName)
 
-    val mv = MeasureView(
+    var mv = MeasureView(
       viewName = tempName,
       measures = p.measures,
       baseRelationSql = p.baseRelationSql,
@@ -229,8 +281,10 @@ final class GraftEngine(val spark: SparkSession) {
     val prev = catalog.snapshot()
     try {
       val res = spark.sql(cleanSql)
+      mv = mv.copy(cleanViewSql = cleanSql)
       catalog.register(mv)
       baseColsCache.remove(tempName.toLowerCase)
+      if (p.temporary) batchTempCreated += tempName.toLowerCase
       res
     } catch {
       case e: Throwable =>

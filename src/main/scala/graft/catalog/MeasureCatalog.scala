@@ -48,7 +48,8 @@ final case class MeasureView(
     dimensionExprs: Map[String, String],
     dimensionOrder: Seq[String],
     groupByCols: Seq[String],
-    temporary: Boolean = false
+    temporary: Boolean = false,
+    cleanViewSql: String = ""
 ) {
   def measure(name: String): Option[ViewMeasure] =
     measures.find(_.name.equalsIgnoreCase(name))

@@ -26,8 +26,37 @@ object Shims {
   )
 
   def apply(sql: String): String = {
-    val step1 = rewriteQuantileDisc(sql)
+    val step0 = rewriteDollarQuotes(sql)
+    val step1 = rewriteQuantileDisc(step0)
     renameCalls(step1)
+  }
+
+  /** $tag$...$tag$ dollar-quoted strings -> standard single-quoted literals
+    * (Spark has no dollar quoting). A dollar quote is a masked span that
+    * STARTS at a '$' (a '$' inside a normal literal or comment is
+    * mid-span and skipped).
+    */
+  private def rewriteDollarQuotes(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '$' && mask(i) && (i == 0 || !mask(i - 1))) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != '$') j += 1
+        if (j < sql.length) {
+          val tag = sql.substring(i, j + 1)
+          val close = sql.indexOf(tag, j + 1)
+          val innerEnd = if (close < 0) sql.length else close
+          val end = if (close < 0) sql.length else close + tag.length
+          val inner = sql.substring(j + 1, innerEnd)
+          val replaced = sql.substring(0, i) +
+            "'" + inner.replace("'", "''") + "'" + sql.substring(end)
+          return rewriteDollarQuotes(replaced)
+        }
+      }
+      i += 1
+    }
+    sql
   }
 
   private def renameCalls(sql: String): String = {

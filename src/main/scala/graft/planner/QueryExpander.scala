@@ -34,7 +34,8 @@ final class GraftException(msg: String) extends RuntimeException(msg)
   *                    used for multi-fact dim/filter ownership
   */
 final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[String],
-                          warningSink: String => Unit = _ => ()) {
+                          warningSink: String => Unit = _ => (),
+                          usageSink: String => Unit = _ => ()) {
 
   private val uid = new AtomicInteger(0)
 
@@ -523,6 +524,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       }
       val valiases = tables.filter(_.name.equalsIgnoreCase(v.viewName))
         .flatMap(t => List(t.alias.toLowerCase, t.name.toLowerCase)).toSet + v.viewName.toLowerCase
+      usageSink(v.viewName.toLowerCase)
       PlannedCall(c, v, valiases, ContextFold.fold(c.modifiers, c.paperDefault))
     }
 
@@ -623,13 +625,23 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       // (Reference: warning_for_at_all_ungrouped_where_with_qualifiers,
       // measures.rs:6984-7107.)
       val hasAllModifier = ctx.grand || ctx.removedDims.nonEmpty
-      if (hasAllModifier && ctx.filter == CtxFilter.NoFilter && outerWhere.isDefined) {
+      if (hasAllModifier && ctx.filter != CtxFilter.VisibleFilter && outerWhere.isDefined) {
         // Per AND-conjunct: does the filtered expression survive into the AT
-        // context, either as a correlation key or as a SET pin? Compare at
-        // base-column level so view aliases and expression dims line up.
+        // context — as a correlation key, a SET pin, or re-filtered inside an
+        // AT (WHERE ...)? Compare at base-column level so view aliases and
+        // expression dims line up.
+        val atWherePins: Seq[String] = ctx.filter match {
+          case CtxFilter.CondFilter(c) =>
+            splitTopAnd(c, Scan.buildMask(c)).map { cj =>
+              val lhs = cj.split("(?<![<>!=])=(?!=)|<|>|!=|\\bIN\\b|\\bIS\\b|\\bBETWEEN\\b|\\bLIKE\\b", 2)(0)
+              Scan.norm(substToBase(lhs.trim, v, allAliases))
+            }
+          case _ => Nil
+        }
         val coveredKeys: Set[String] =
           (correlate.map(d => Scan.norm(substToBase(d.queryExpr, v, allAliases))) ++
-           ctx.sets.map { case (sd, _) => Scan.norm(substToBase(sd, v, allAliases)) }).toSet
+           ctx.sets.map { case (sd, _) => Scan.norm(substToBase(sd, v, allAliases)) } ++
+           atWherePins).toSet
         val w = outerWhere.get
         val conjuncts = splitTopAnd(w, Scan.buildMask(w))
         val dropped = conjuncts.flatMap { c =>

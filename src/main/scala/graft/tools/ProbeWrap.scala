@@ -6,7 +6,9 @@ import graft.GraftEngine
 /** Drive CTAS / INSERT / CREATE VIEW wrapping of measure bodies (dev tool). */
 object ProbeWrap {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -178,15 +178,31 @@ class SemanticsSuite extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
-  // temp measure views live only inside one executeBatch
-  // (yardstick_extension.cpp:1498-1754)
-  test("batch TEMP measure views are dropped after the batch") {
-    val df = engine.executeBatch(
-      """CREATE OR REPLACE TEMPORARY VIEW batch_src AS SELECT * FROM VALUES (1, 5.0), (1, 7.0) AS t(k, v);
-        |CREATE TEMPORARY VIEW batch_tmp_v AS SELECT k, SUM(v) AS MEASURE sv FROM batch_src;
-        |SELECT k, AGGREGATE(sv) AS sv FROM batch_tmp_v""".stripMargin)
-    checkGolden(df, "1\t12")
-    assert(!engine.catalog.contains("batch_tmp_v"), "temp measure view should be dropped after batch")
+  // temp measure views live only inside one batch; survivors must shadow a
+  // permanent measure view, which is restored afterwards
+  // (yardstick_extension.cpp:1498-1754; measures.test batch_shadow_v)
+  test("batch TEMP measure views shadow and restore") {
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW batch_src AS SELECT * FROM VALUES (1, 5.0), (1, 7.0) AS t(k, v)")
+    engine.sql("CREATE VIEW batch_tmp_v AS SELECT k, SUM(v) AS MEASURE sv FROM batch_src")
+    engine.sql("DROP TABLE IF EXISTS batch_shadow_result")
+    engine.executeBatch(
+      """CREATE TEMPORARY VIEW batch_tmp_v AS SELECT k, SUM(v * 10) AS MEASURE sv FROM batch_src;
+        |CREATE TABLE batch_shadow_result AS SELECT k, AGGREGATE(sv) AS sv FROM batch_tmp_v""".stripMargin)
+    // temp (x10) definition used inside the batch, materialized via CTAS
+    checkGolden(engine.sql("SELECT k, sv FROM batch_shadow_result"), "1\t120")
+    // permanent definition restored afterwards
+    checkGolden(engine.sql("SELECT k, AGGREGATE(sv) AS sv FROM batch_tmp_v"), "1\t12")
+    engine.sql("DROP TABLE batch_shadow_result")
+
+    // plain SELECT consumption of a temp measure view is an error (the
+    // reference defers SELECT execution past the temp view's lifetime)
+    val e = intercept[GraftException] {
+      engine.executeBatch(
+        """CREATE TEMPORARY VIEW batch_orphan_v AS SELECT k, SUM(v) AS MEASURE ov FROM batch_src;
+          |SELECT k, AGGREGATE(ov) AS ov FROM batch_orphan_v""".stripMargin)
+    }
+    assert(e.getMessage.contains("TEMPORARY AS MEASURE"))
+    assert(!engine.catalog.contains("batch_orphan_v"))
   }
 
   // failed batch restores the catalog snapshot

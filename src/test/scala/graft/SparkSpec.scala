@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 object SharedSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
