@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators for the events stream.
+  *
+  * The reference has no streaming surface (SURVEY §2.B); these are the
+  * pipeline operators a training-data/analytics deployment runs on the
+  * live event feed, built on watermarks + windowed aggregation and
+  * flatMapGroupsWithState sessionization — the idiomatic Spark shapes that
+  * scale: state is partitioned by key, watermarks bound it, no driver
+  * involvement.
+  */
+object StreamingMeasures {
+
+  /** Tumbling-window measure aggregation with a watermark: the streaming
+    * analogue of `SELECT window, event_type, AGGREGATE(value) ...`.
+    */
+  def windowedMeasures(events: DataFrame, tsCol: String = "ts",
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        approx_count_distinct("user_id").as("approx_users"))
+  }
+
+  /** Incremental exact-dedup over a stream: first-seen fingerprints pass,
+    * repeats are dropped. Spark's dropDuplicates with a watermark bounds
+    * the state — the streaming form of Dedup.exactDedup.
+    */
+  def streamingDedup(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withColumn("__fp", xxhash64(col("event_type"), col("user_id"), col("props")))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Session windows via the native session_window aggregation: a session
+    * closes once the event-time watermark passes its end + gap. This is the
+    * scalable shape — state is keyed by (user, session), bounded by the
+    * watermark, merged by Spark's session-window state store.
+    *
+    * (A flatMapGroupsWithState variant is the classic alternative for
+    * custom per-session logic; this Spark build's FlatMapGroupsWithStateExec
+    * has a broken metrics initializer, and session_window covers the
+    * sessionization contract without custom state code.)
+    */
+  def sessionize(events: DataFrame, tsCol: String = "ts",
+                 gap: String = "30 minutes", watermark: String = "1 minute"): DataFrame = {
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Convenience: run a windowed-measure stream from memory source to an
+    * in-memory sink for tests/demos; returns the query name to poll.
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): Unit = {
+    stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .start()
+  }
+}

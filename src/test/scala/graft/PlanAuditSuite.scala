@@ -1,0 +1,63 @@
+package graft
+
+/** Asserts the physical-plan properties PERF.md claims — pushed column
+  * pruning, broadcast 1-row grand totals, inline visible contexts (no join),
+  * dedup pushdown in multi-fact joins, partial aggregation.
+  */
+class PlanAuditSuite extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  lazy val engine: GraftEngine = SparkEntry.engineFor(spark, dir)
+
+  private def planOf(sql: String): String = {
+    val df = engine.sql(sql)
+    df.queryExecution.executedPlan.toString()
+  }
+  private def formatted(sql: String): String = {
+    val df = engine.sql(sql)
+    org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+  }
+
+  test("visible-context AGGREGATE inlines: no join in the plan") {
+    val p = planOf("SELECT l_returnflag, AGGREGATE(revenue) AS revenue FROM li_v")
+    assert(!p.contains("Join"), s"expected join-free plan, got:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val p = planOf("SELECT l_returnflag, AGGREGATE(revenue) AS revenue FROM li_v")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_returnflag"),
+      s"scan schema missing needed cols: $readSchema")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("grand-total frame is broadcast, not shuffled") {
+    val p = planOf(
+      "SELECT l_returnflag, AGGREGATE(revenue) AS revenue, AGGREGATE(revenue) AT (ALL) AS total FROM li_v")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the 1-row total frame, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "grand total must not sort-merge join")
+  }
+
+  test("partial aggregation before the exchange") {
+    val p = planOf("SELECT l_returnflag, AGGREGATE(qty) AS qty FROM li_v")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"expected map-side partial aggregation, got:\n$p")
+  }
+
+  test("multi-fact dedup pushdown produces no row-explosion join") {
+    val expanded = engine.expandSql(
+      "SELECT o.yr, AGGREGATE(total_price) AS tp, AGGREGATE(li_rev) AS lr " +
+        "FROM ord_v o JOIN li_y l ON o.yr = l.yr")
+    assert(expanded.contains("SELECT DISTINCT"),
+      s"expected DISTINCT-pruned join sides, got: $expanded")
+  }
+
+  test("outer WHERE is pushed into the base scan") {
+    val p = planOf("SELECT l_returnflag, AGGREGATE(qty) AS qty FROM li_v WHERE l_linestatus = 'F'")
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("l_linestatus"), s"filter not pushed to scan: $pushed\nplan:\n$p")
+  }
+}

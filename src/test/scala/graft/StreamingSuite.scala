@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingMeasures
+
+/** Structured Streaming operators driven through MemoryStream sources. */
+class StreamingSuite extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed measures over a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "user_id", "value")
+    val agg = StreamingMeasures.windowedMeasures(events, windowLen = "10 minutes", watermark = "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg").outputMode("update").start()
+    try {
+      src.addData((ts(1), "click", 1L, 2.0), (ts(2), "click", 2L, 4.0), (ts(12), "view", 1L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, sum_value FROM win_agg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 6.0)), s"got $rows")
+      assert(rows.contains(("view", 1L, 1.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeats within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Long, String, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "user_id", "props", "value")
+    val deduped = StreamingMeasures.streamingDedup(events)
+    val q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      src.addData(
+        (ts(1), "click", 1L, "a", 1.0),
+        (ts(2), "click", 1L, "a", 1.0), // duplicate fingerprint
+        (ts(3), "view", 1L, "b", 2.0))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM dedup_out").head().getLong(0)
+      assert(n == 2, s"expected 2 deduped events, got $n")
+    } finally q.stop()
+  }
+
+  test("sessionization with session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = src.toDF().toDF("user_id", "ts", "event_type", "value")
+    val sessions = StreamingMeasures.sessionize(events, gap = "5 minutes", watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap > 5 min); user 2: one session
+      src.addData(
+        (1L, ts(0), "click", 1.0),
+        (1L, ts(2), "view", 2.0),
+        (1L, ts(20), "click", 3.0),
+        (2L, ts(1), "click", 5.0))
+      q.processAllAvailable()
+      // advance the watermark past all session ends
+      src.addData((9L, ts(120), "noop", 0.0))
+      q.processAllAvailable()
+      src.addData((9L, ts(240), "noop", 0.0))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT user_id, n_events, total_value FROM sessions_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(closed.contains((1L, 2, 3.0)), s"first user-1 session missing: $closed")
+      assert(closed.contains((1L, 1, 3.0)), s"second user-1 session missing: $closed")
+      assert(closed.contains((2L, 1, 5.0)), s"user-2 session missing: $closed")
+    } finally q.stop()
+  }
+}
