@@ -28,7 +28,98 @@ object Shims {
   def apply(sql: String): String = {
     val step0 = rewriteDollarQuotes(sql)
     val step1 = rewriteQuantileDisc(step0)
-    renameCalls(step1)
+    val step2 = rewriteVarcharCasts(step1)
+    val step3 = rewriteArrayLiterals(step2) // before list_aggregate: bracket commas break arg splitting
+    val step4 = rewriteListAggregate(step3)
+    renameCalls(step4)
+  }
+
+  /** `::VARCHAR` and `CAST(x AS VARCHAR)` (no length) -> STRING. */
+  private def rewriteVarcharCasts(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\bVARCHAR\\b(?!\\s*\\()".r
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      if (m.start >= pos) {
+        sb.append(sql.substring(pos, m.start)).append("STRING")
+        pos = m.end
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
+  }
+
+  /** DuckDB `[1, 2, 3]` array literals -> `array(1, 2, 3)`. A '[' is an
+    * array literal when not preceded by an identifier/')'/']' (which would
+    * be element access).
+    */
+  private def rewriteArrayLiterals(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && sql.charAt(i) == '[') {
+        var k = i - 1
+        while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+        val elementAccess = k >= 0 &&
+          (Scan.isIdentChar(sql.charAt(k)) || sql.charAt(k) == ')' || sql.charAt(k) == ']')
+        if (!elementAccess) {
+          // find matching ]
+          var depth = 0
+          var j = i
+          var close = -1
+          while (close < 0 && j < sql.length) {
+            if (!mask(j)) {
+              val c = sql.charAt(j)
+              if (c == '[') depth += 1
+              else if (c == ']') { depth -= 1; if (depth == 0) close = j }
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val inner = sql.substring(i + 1, close)
+            return rewriteArrayLiterals(sql.substring(0, i) + "array(" + inner + ")" + sql.substring(close + 1))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** DuckDB `list_aggregate(arr, 'fn')` / `aggregate(arr, 'fn')` /
+    * `list_aggr(arr, 'fn')` -> Spark equivalents.
+    */
+  private def rewriteListAggregate(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\b(list_aggregate|list_aggr|aggregate)\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val inner = sql.substring(open + 1, close)
+        val im = Scan.buildMask(inner)
+        val parts = Scan.splitTopLevel(inner, im, ',', 0, inner.length)
+          .map { case (s, e) => inner.substring(s, e).trim }
+        if (parts.length == 2 && parts(1).length > 2 &&
+            parts(1).head == '\'' && parts(1).last == '\'') {
+          val arr = parts(0)
+          val fn = parts(1).substring(1, parts(1).length - 1).toLowerCase
+          val repl = fn match {
+            case "sum" => s"aggregate($arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            case "min" => s"array_min($arr)"
+            case "max" => s"array_max($arr)"
+            case "avg" | "mean" =>
+              s"aggregate($arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size($arr)"
+            case "count" => s"size($arr)"
+            case _ => null
+          }
+          if (repl != null)
+            return rewriteListAggregate(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+      }
+    }
+    sql
   }
 
   /** $tag$...$tag$ dollar-quoted strings -> standard single-quoted literals

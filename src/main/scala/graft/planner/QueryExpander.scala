@@ -45,7 +45,9 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
   /** Expand a statement; None = not a measure query (passthrough). */
   def expand(stmtRaw: String): Option[String] = {
-    val stmt = expandCurly(stmtRaw.trim.stripSuffix(";"))
+    // comments must go before reassembly onto one line (a surviving line
+    // comment would swallow the rest of the generated statement)
+    val stmt = expandCurly(Scan.blankComments(stmtRaw).trim.stripSuffix(";"))
     val mask = Scan.buildMask(stmt)
     val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
     if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
@@ -429,14 +431,29 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       ItemInfo(item, calls, kind, expr, alias)
     }
     val items = clauses.selectItems.map(analyzeItem)
+
+    // Row-level mode (paper Listing 12): AGGREGATE calls in the WHERE clause
+    // of an ungrouped, call-free-select query filter individual base rows
+    val whereCalls: List[AggCall] = clauses.where.toList.flatMap { w =>
+      val wm = Scan.buildMask(w)
+      val explicit = AtParser.extractCalls(w, wm, 0, w.length)
+      explicit ++ findSugarCalls(w, wm, explicit.map(c => (c.start, c.end)), measureNames, allAliases)
+        .filter(_.modifiers.nonEmpty) // bare refs in WHERE stay ordinary columns
+    }
+    if (whereCalls.nonEmpty) {
+      val rowLevelOk = singleFact && clauses.groupBy.isEmpty &&
+        items.forall(_.calls.isEmpty) && !items.exists(_.kind == "plainagg") &&
+        clauses.having.isEmpty
+      if (!rowLevelOk)
+        throw new GraftException(
+          "AGGREGATE calls in the outer WHERE clause are only supported for ungrouped row-level queries (paper Listing 12)")
+      return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
+    }
+
     val anyCalls = items.exists(_.calls.nonEmpty) ||
       clauses.having.exists(h => AtParser.extractCalls(h, Scan.buildMask(h), 0, h.length).nonEmpty) ||
       clauses.orderBy.exists(o => AtParser.extractCalls(o, Scan.buildMask(o), 0, o.length).nonEmpty)
     if (!anyCalls) return None
-    clauses.where.foreach { w =>
-      if (AtParser.extractCalls(w, Scan.buildMask(w), 0, w.length).nonEmpty)
-        throw new GraftException("AGGREGATE calls in the outer WHERE clause are not supported yet")
-    }
 
     // ---- dims ----------------------------------------------------------
     var dimCounter = -1
@@ -650,8 +667,12 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
             var j = e
             while (j < c.length && c.charAt(j).isWhitespace) j += 1
             val isCall = j < c.length && c.charAt(j) == '('
+            // a qualifier naming another FROM table means the filter is on
+            // that table's column, not this measure's dimension
+            val dot = tok.indexOf('.')
+            val foreignQualified = dot > 0 && !valiases.contains(tok.substring(0, dot).toLowerCase)
             val stripped = Scan.stripQual(tok, allAliases)
-            !isCall && !stripped.contains('.') &&
+            !isCall && !foreignQualified && !stripped.contains('.') &&
               (v.dimensionExprs.contains(stripped.toLowerCase) ||
                baseColumns(v.viewName.toLowerCase).contains(stripped.toLowerCase))
           }
@@ -912,6 +933,125 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
     clauses.limitText.foreach(l => sb.append(s" $l"))
     Some(sb.toString)
+  }
+
+  /** Paper Listing 12: an ungrouped query whose WHERE contains measure
+    * calls — each base ROW is kept or dropped by comparing against measure
+    * values evaluated in the call's context. Correlated `AT (WHERE inner =
+    * alias.col)` conjuncts become join keys of a grouped frame; constant
+    * conjuncts become the frame's filter.
+    * (Reference: measures.test:3351-3360 via the m-AT rewrite into a
+    * correlated scalar subquery.)
+    */
+  private def expandRowLevel(clauses: SelectClauses, v: MeasureView,
+                             valiases: Set[String], allAliases: Set[String],
+                             calls: List[AggCall]): String = {
+    val u = uid.incrementAndGet()
+    val baseName = s"__base$u"
+    val w = clauses.where.get
+
+    case class RowFrame(cte: String, sql: String, joinOn: Option[String], valueRef: String)
+    var fc = -1
+    val frames = scala.collection.mutable.LinkedHashMap[String, RowFrame]()
+
+    def planRowCall(c: AggCall): String = {
+      val meas = v.measure(c.measureName)
+        .getOrElse(throw new GraftException(s"Unknown measure: ${c.measureRaw}"))
+      val aggExpr = meas.kind match {
+        case MeasureKind.Derived => substituteDerived(meas.expression, v)
+        case _ => meas.expression
+      }
+      val ctx = ContextFold.fold(c.modifiers, c.paperDefault)
+      // correlation keys + residual filter from the context
+      val (pairs, filters): (List[(String, String)], List[String]) = ctx.filter match {
+        case CtxFilter.CondFilter(cond) =>
+          val conjuncts = splitTopAnd(cond, Scan.buildMask(cond))
+          val eqRe = "(?s)^(.*?)(=)(.*)$"
+          conjuncts.foldLeft((List.empty[(String, String)], List.empty[String])) {
+            case ((ps, fs), cj) =>
+              val cm = Scan.buildMask(cj)
+              val eq = {
+                var idx = -1
+                var i = 0
+                var depth = 0
+                while (idx < 0 && i < cj.length) {
+                  if (!cm(i)) {
+                    val ch = cj.charAt(i)
+                    if (ch == '(') depth += 1
+                    else if (ch == ')') depth -= 1
+                    else if (depth == 0 && ch == '=' &&
+                             (i == 0 || "<>!=".indexOf(cj.charAt(i - 1)) < 0) &&
+                             (i + 1 >= cj.length || cj.charAt(i + 1) != '=')) idx = i
+                  }
+                  i += 1
+                }
+                idx
+              }
+              if (eq < 0) (ps, fs :+ cj)
+              else {
+                val lhs = cj.substring(0, eq).trim
+                val rhs = cj.substring(eq + 1).trim
+                def outerRef(t: String): Option[String] = {
+                  val dot = t.indexOf('.')
+                  if (dot > 0 && valiases.contains(t.substring(0, dot).toLowerCase) &&
+                      t.substring(dot + 1).forall(Scan.isIdentChar)) Some(t.substring(dot + 1))
+                  else None
+                }
+                (outerRef(rhs), outerRef(lhs)) match {
+                  case (Some(outCol), None) => (ps :+ ((substToBase(lhs, v, allAliases), outCol)), fs)
+                  case (None, Some(outCol)) => (ps :+ ((substToBase(rhs, v, allAliases), outCol)), fs)
+                  case _ => (ps, fs :+ substToBase(cj, v, allAliases))
+                }
+              }
+          }
+        case CtxFilter.NoFilter => (Nil, Nil)
+        case CtxFilter.VisibleFilter =>
+          throw new GraftException(
+            "plain AGGREGATE / AT (VISIBLE) in a row-level WHERE is circular; use AT (WHERE ...) or AT (ALL)")
+      }
+      val sig = List(Scan.norm(aggExpr), pairs.map(p => Scan.norm(p._1)).mkString("|"),
+        filters.map(Scan.norm).mkString("&")).mkString("§")
+      val f = frames.getOrElseUpdate(sig, {
+        fc += 1
+        val name = s"__rf${u}_$fc"
+        val whereSql = if (filters.isEmpty) "" else s" WHERE ${filters.mkString(" AND ")}"
+        val sql =
+          if (pairs.isEmpty) s"SELECT $aggExpr AS __v FROM $baseName$whereSql"
+          else {
+            val keyCols = pairs.zipWithIndex.map { case ((in, _), i) => s"$in AS __k$i" }
+            s"SELECT ${keyCols.mkString(", ")}, $aggExpr AS __v FROM $baseName$whereSql GROUP BY ${pairs.map(_._1).mkString(", ")}"
+          }
+        val joinOn =
+          if (pairs.isEmpty) None
+          else Some(pairs.zipWithIndex.map { case ((_, out), i) => s"$name.__k$i <=> $baseName.$out" }.mkString(" AND "))
+        RowFrame(name, sql, joinOn, s"$name.__v")
+      })
+      f.valueRef
+    }
+
+    val spans = calls.map(c => (c.start, c.end, planRowCall(c)))
+    def tokenToBase(tok: String): Option[String] = {
+      val stripped = Scan.stripQual(tok, allAliases)
+      if (stripped != tok) Some(stripped) else None
+    }
+    val whereRendered = renderWithReplacements(w, spans, tokenToBase)
+    val itemsRendered = clauses.selectItems.map(i => mapTokens(i, tokenToBase)).mkString(", ")
+    val orderRendered = clauses.orderBy.map(o => mapTokens(o, tokenToBase))
+
+    val sb = new StringBuilder
+    sb.append(s"WITH $baseName AS (${v.baseRelationSql})")
+    for ((_, f) <- frames) sb.append(s", ${f.cte} AS (${f.sql})")
+    sb.append(s" SELECT ${if (clauses.distinct) "DISTINCT " else ""}$itemsRendered FROM $baseName")
+    for ((_, f) <- frames) {
+      f.joinOn match {
+        case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
+        case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
+      }
+    }
+    sb.append(s" WHERE $whereRendered")
+    orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
+    clauses.limitText.foreach(l => sb.append(s" $l"))
+    sb.toString
   }
 
   private def splitTopAnd(w: String, mask: Array[Boolean]): List[String] = {

@@ -31,10 +31,14 @@ final case class AggCall(
     end: Int,
     paperDefault: Boolean
 ) {
-  def measureName: String = Scan.lastPart(measureRaw)
+  // normalize `s . revenue` and `"total_revenue"` forms
+  private def cleaned: String =
+    measureRaw.replaceAll("\\s*\\.\\s*", ".").trim
+      .stripPrefix("\"").stripSuffix("\"")
+  def measureName: String = Scan.lastPart(cleaned)
   def qualifier: Option[String] = {
-    val dot = measureRaw.lastIndexOf('.')
-    if (dot > 0) Some(measureRaw.substring(0, dot)) else None
+    val dot = cleaned.lastIndexOf('.')
+    if (dot > 0) Some(cleaned.substring(0, dot)) else None
   }
 }
 

@@ -293,6 +293,41 @@ object Scan {
     sb.toString
   }
 
+  /** Replace comment spans with spaces (literals untouched). Needed because
+    * the expander reassembles statements onto one line, where a surviving
+    * `-- line comment` would swallow the rest of the statement.
+    */
+  def blankComments(sql: String): String = {
+    val n = sql.length
+    val m = buildMask(sql)
+    val out = sql.toCharArray
+    var i = 0
+    while (i < n) {
+      if (m(i) && (i == 0 || !m(i - 1))) {
+        // start of a masked span: blank only if it starts as a comment
+        val c = sql.charAt(i)
+        if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+          while (i < n && sql.charAt(i) != '\n') { out(i) = ' '; i += 1 }
+        } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+          var depth = 0
+          var done = false
+          while (i < n && !done) {
+            if (sql.charAt(i) == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+              out(i) = ' '; out(i + 1) = ' '; i += 2; depth += 1
+            } else if (sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+              out(i) = ' '; out(i + 1) = ' '; i += 2; depth -= 1
+              if (depth == 0) done = true
+            } else { out(i) = ' '; i += 1 }
+          }
+        } else {
+          // literal/identifier span: skip it whole
+          while (i < n && m(i)) i += 1
+        }
+      } else i += 1
+    }
+    new String(out)
+  }
+
   /** Split a multi-statement string at top-level ';'. Empty/whitespace-only
     * statements are dropped. (Reference: SplitSqlStatements,
     * yardstick_extension.cpp:358.)

@@ -355,6 +355,35 @@ class MeasureSuite extends SparkSpec {
       "Happy\t13")
   }
 
+  // measures.test:3351-3360 (Listing 12: measures in WHERE, row-level)
+  test("Listing 12: measure call in WHERE filters rows") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW paper_orders_l12 AS
+        |SELECT * FROM VALUES
+        |  ('Happy', DATE '2024-01-01', 4), ('Happy', DATE '2024-01-02', 6),
+        |  ('Happy', DATE '2024-01-03', 7), ('Whizz', DATE '2024-01-04', 3)
+        |AS t(prodName, orderDate, revenue)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW paper_orders_l12_v AS
+        |SELECT prodName, orderDate, revenue, AVG(revenue) AS MEASURE avgRevenue
+        |FROM paper_orders_l12""".stripMargin)
+    checkGolden(engine.sql(
+      """SELECT o.prodName, o.orderDate
+        |FROM paper_orders_l12_v o
+        |WHERE o.revenue > o.avgRevenue AT (WHERE prodName = o.prodName)
+        |ORDER BY o.prodName, o.orderDate""".stripMargin),
+      """Happy	2024-01-02
+        |Happy	2024-01-03""".stripMargin)
+    // AT (ALL): compare each row against the global average
+    checkGolden(engine.sql(
+      """SELECT o.prodName, o.orderDate
+        |FROM paper_orders_l12_v o
+        |WHERE o.revenue > o.avgRevenue AT (ALL)
+        |ORDER BY o.prodName, o.orderDate""".stripMargin),
+      """Happy	2024-01-02
+        |Happy	2024-01-03""".stripMargin)
+  }
+
   // measures.test:652-668 (CTE expansion)
   test("CTE with measure query body") {
     checkGolden(engine.sql(
