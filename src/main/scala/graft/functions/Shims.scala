@@ -18,7 +18,6 @@ object Shims {
     "list_aggregate" -> "aggregate",
     "quantile_cont" -> "percentile",
     "quantile" -> "percentile",
-    "string_agg" -> "listagg",
     "list" -> "collect_list",
     "arbitrary" -> "any_value",
     "strlen" -> "length",
@@ -31,7 +30,8 @@ object Shims {
     val step2 = rewriteVarcharCasts(step1)
     val step3 = rewriteArrayLiterals(step2) // before list_aggregate: bracket commas break arg splitting
     val step4 = rewriteListAggregate(step3)
-    renameCalls(step4)
+    val step5 = rewriteStringAgg(step4)
+    renameCalls(step5)
   }
 
   /** `::VARCHAR` and `CAST(x AS VARCHAR)` (no length) -> STRING. */
@@ -83,6 +83,35 @@ object Shims {
         }
       }
       i += 1
+    }
+    sql
+  }
+
+  /** `STRING_AGG(x[, sep])` -> `array_join(collect_list(x), sep)`
+    * (Spark's listagg variant availability differs across builds; the
+    * collect_list form is stable). Order is partition order, matching
+    * DuckDB's insertion order on small unordered inputs.
+    */
+  private def rewriteStringAgg(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\bstring_agg\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val inner = sql.substring(open + 1, close)
+        val im = Scan.buildMask(inner)
+        val parts = Scan.splitTopLevel(inner, im, ',', 0, inner.length)
+          .map { case (s, e) => inner.substring(s, e).trim }
+        val (x, sep) = parts match {
+          case a :: Nil => (a, "','")
+          case a :: b :: Nil => (a, b)
+          case _ => (null, null)
+        }
+        if (x != null)
+          return rewriteStringAgg(sql.substring(0, m.start) +
+            s"array_join(collect_list($x), $sep)" + sql.substring(close + 1))
+      }
     }
     sql
   }

@@ -46,8 +46,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   /** Expand a statement; None = not a measure query (passthrough). */
   def expand(stmtRaw: String): Option[String] = {
     // comments must go before reassembly onto one line (a surviving line
-    // comment would swallow the rest of the generated statement)
-    val stmt = expandCurly(Scan.blankComments(stmtRaw).trim.stripSuffix(";"))
+    // comment would swallow the rest of the generated statement); qualified
+    // refs written as `s . year` are tightened so the identifier scanner
+    // sees one token
+    val stmt = expandCurly(normalizeDots(Scan.blankComments(stmtRaw)).trim.stripSuffix(";"))
     val mask = Scan.buildMask(stmt)
     val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
     if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
@@ -105,6 +107,31 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     if (mainExpanded.isDefined) changed = true
     if (!changed) None
     else Some(s"WITH ${if (recursive) "RECURSIVE " else ""}${newCtes.mkString(", ")} ${mainExpanded.getOrElse(main)}")
+  }
+
+  /** Collapse whitespace around '.' in qualified references (outside
+    * literals): `s . year` -> `s.year`.
+    */
+  private def normalizeDots(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && sql.charAt(i).isWhitespace) {
+        var j = i
+        while (j < sql.length && !mask(j) && sql.charAt(j).isWhitespace) j += 1
+        val prevOk = sb.nonEmpty && Scan.isIdentChar(sb.last)
+        if (prevOk && j < sql.length && !mask(j) && sql.charAt(j) == '.') {
+          var k = j + 1
+          while (k < sql.length && !mask(k) && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && !mask(k) && (sql.charAt(k).isLetter || sql.charAt(k) == '_')) {
+            sb.append('.')
+            i = k
+          } else { sb.append(sql.substring(i, j)); i = j }
+        } else { sb.append(sql.substring(i, j)); i = j }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   // ------------------------------------------------------------- sugar
@@ -516,12 +543,16 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         items.filter(_.kind == "dim").map(i => dimFor(i.exprNoAlias, i.alias))
     }
 
+    val itemAliases: Set[String] = items.flatMap(_.alias).map(_.toLowerCase).toSet
     def dimTokenMap(tok: String): Option[String] = {
       val stripped = Scan.stripQual(tok, allAliases)
       dims.find(d =>
         d.outName.equalsIgnoreCase(stripped) ||
         Scan.lastPart(d.queryExpr).equalsIgnoreCase(stripped) && SqlClauses.plainColumnName(d.queryExpr).isDefined
       ).map(d => s"$outerName.${d.outName}")
+        // `alias.output_alias` (reference allows FROM-alias-qualified refs to
+        // output aliases in ORDER BY); Spark resolves only the bare alias
+        .orElse(if (stripped != tok && itemAliases.contains(stripped.toLowerCase)) Some(stripped) else None)
     }
 
     // ---- resolve calls to views + fold contexts ------------------------
