@@ -43,6 +43,51 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   private case class FromTable(name: String, alias: String)
   private case class Frame(cte: String, sql: String, joinOn: Option[String], valueRef: String)
 
+  /** A context frame shared by every measure evaluated in the same
+    * (grouping keys, SET conditions, filter) context: one shuffle produces
+    * N value columns. The reference expands each call into its own subquery
+    * (no sharing); merging is the optimizer rule SURVEY §4.2 flags as ours.
+    */
+  private final class MergedFrame(val cte: String, val baseCte: String,
+                                  val innerKeys: List[String], val whereSql: Option[String],
+                                  val joinOn: Option[String], val isWindow: Boolean) {
+    // (valueCol, aggExprSql, windowGuardMeasureName)
+    val values = scala.collection.mutable.LinkedHashMap[String, (String, Option[String])]()
+    private val byExpr = scala.collection.mutable.HashMap[String, String]()
+    def valueCol(exprSql: String, guardName: Option[String]): String =
+      byExpr.getOrElseUpdate(graft.syntax.Scan.norm(exprSql) + guardName.getOrElse(""), {
+        val col = s"__v${values.size}"
+        values.put(col, (exprSql, guardName))
+        col
+      })
+    def sql: String = {
+      val where = whereSql.map(w => s" WHERE $w").getOrElse("")
+      if (!isWindow) {
+        val valueCols = values.map { case (col, (e, _)) => s"$e AS $col" }.mkString(", ")
+        if (innerKeys.isEmpty) s"SELECT $valueCols FROM $baseCte$where"
+        else {
+          val keyCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __k$i" }.mkString(", ")
+          s"SELECT $keyCols, $valueCols FROM $baseCte$where GROUP BY ${innerKeys.mkString(", ")}"
+        }
+      } else {
+        // per-row window values in context, then a single-distinct-value
+        // guard per measure (measures.rs:5233-5247)
+        val wCols = values.zipWithIndex.map { case ((_, (e, _)), j) => s"$e AS __w$j" }.mkString(", ")
+        val guards = values.zipWithIndex.map { case ((col, (_, g)), j) =>
+          val name = g.getOrElse("window measure")
+          s"CASE WHEN size(collect_set(__w$j)) > 1 THEN raise_error(concat('Window measure $name is not single-valued in this context: ', cast(size(collect_set(__w$j)) AS STRING), ' distinct values')) ELSE element_at(collect_set(__w$j), 1) END AS $col"
+        }.mkString(", ")
+        if (innerKeys.isEmpty)
+          s"SELECT $guards FROM (SELECT $wCols FROM $baseCte$where)"
+        else {
+          val innerCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __ik$i" }.mkString(", ")
+          val keyCols = innerKeys.indices.map(i => s"__ik$i AS __k$i").mkString(", ")
+          s"SELECT $keyCols, $guards FROM (SELECT $innerCols, $wCols FROM $baseCte$where) GROUP BY ${innerKeys.indices.map(i => s"__ik$i").mkString(", ")}"
+        }
+      }
+    }
+  }
+
   /** Expand a statement; None = not a measure query (passthrough). */
   def expand(stmtRaw: String): Option[String] = {
     // comments must go before reassembly onto one line (a surviving line
@@ -612,7 +657,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       name
     }
 
-    val frames = scala.collection.mutable.LinkedHashMap[String, Frame]() // signature -> frame
+    val frames = scala.collection.mutable.LinkedHashMap[String, MergedFrame]() // context signature -> frame
     var frameCounter = -1
     val inlineAggs = scala.collection.mutable.LinkedHashMap[String, (String, String)]() // sig -> (col, aggExpr)
     var inlineCounter = -1
@@ -751,47 +796,26 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         return s"$outerName.$col"
       }
 
-      // frame
+      // frame — merged per (view, keys, SETs, filter, window?) context so N
+      // measures in the same context share one shuffle
       val baseCte = baseCteFor(v)
       val corrKeys = correlate.map(d => substToBase(d.queryExpr, v, allAliases))
       val innerKeys = corrKeys ++ setConds.map(_._1)
-      val sig = List(v.viewName.toLowerCase, Scan.norm(aggExpr),
+      val sig = List(v.viewName.toLowerCase,
         innerKeys.map(Scan.norm).mkString("|"),
         setConds.map(s => Scan.norm(s._2)).mkString("|"),
         filterSql.map(Scan.norm).getOrElse(""), if (isWindow) "w" else "a").mkString("§")
       val frame = frames.getOrElseUpdate(sig, {
         frameCounter += 1
         val fname = s"__f${u}_$frameCounter"
-        val vcol = s"__v"
-        val whereSql = filterSql.map(f => s" WHERE $f").getOrElse("")
-        val sql =
-          if (!isWindow) {
-            if (innerKeys.isEmpty)
-              s"SELECT $aggExpr AS $vcol FROM $baseCte$whereSql"
-            else {
-              val keyCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __k$i" }
-              s"SELECT ${keyCols.mkString(", ")}, $aggExpr AS $vcol FROM $baseCte$whereSql GROUP BY ${innerKeys.mkString(", ")}"
-            }
-          } else {
-            // window measure: evaluate per-row window values in context, then
-            // require a single distinct value (reference:
-            // wrap_window_rows_as_single_value, measures.rs:5233-5247)
-            val guard = s"CASE WHEN size(collect_set(__w)) > 1 THEN raise_error(concat('Window measure ${meas.name} is not single-valued in this context: ', cast(size(collect_set(__w)) AS STRING), ' distinct values')) ELSE element_at(collect_set(__w), 1) END"
-            if (innerKeys.isEmpty)
-              s"SELECT $guard AS $vcol FROM (SELECT $aggExpr AS __w FROM $baseCte$whereSql)"
-            else {
-              val keyCols = innerKeys.zipWithIndex.map { case (_, i) => s"__ik$i AS __k$i" }
-              val innerCols = innerKeys.zipWithIndex.map { case (k, i) => s"$k AS __ik$i" }
-              s"SELECT ${keyCols.mkString(", ")}, $guard AS $vcol FROM (SELECT ${innerCols.mkString(", ")}, $aggExpr AS __w FROM $baseCte$whereSql) GROUP BY ${keyCols.indices.map(i => s"__ik$i").mkString(", ")}"
-            }
-          }
         val joinConds =
           corrKeys.indices.map(i => s"$outerName.${correlate(i).outName} <=> $fname.__k$i") ++
           setConds.zipWithIndex.map { case ((_, outerV), j) => s"$fname.__k${corrKeys.length + j} <=> ($outerV)" }
         val joinOn = if (innerKeys.isEmpty) None else Some(joinConds.mkString(" AND "))
-        Frame(fname, sql, joinOn, s"$fname.$vcol")
+        new MergedFrame(fname, baseCte, innerKeys, filterSql, joinOn, isWindow)
       })
-      frame.valueRef
+      val col = frame.valueCol(aggExpr, if (isWindow) Some(meas.name) else None)
+      s"${frame.cte}.$col"
     }
 
     // plain aggregate items are hoisted into __outer under a stable name
