@@ -65,6 +65,11 @@ object SparkEntry {
           |SELECT year(l_shipdate) AS yr,
           |  SUM(l_quantity) OVER (PARTITION BY year(l_shipdate)) AS MEASURE yr_qty
           |FROM lineitem""".stripMargin)
+      e.sql(
+        """CREATE VIEW li_rows AS
+          |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+          |  AVG(l_quantity) AS MEASURE avg_qty
+          |FROM lineitem""".stripMargin)
       e
     })
 
@@ -128,6 +133,10 @@ object SparkEntry {
     "m_rollup" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(revenue), 2) AS revenue FROM li_v " +
         "GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag NULLS FIRST"),
+    "m_groupingsets" -> m(
+      "SELECT l_returnflag, l_linestatus, ROUND(AGGREGATE(revenue), 2) AS revenue FROM li_v " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "m_multifact" -> m(
       "SELECT o.yr, ROUND(AGGREGATE(total_price), 2) AS total_price, ROUND(AGGREGATE(li_rev), 2) AS li_rev " +
         "FROM ord_v o JOIN li_y l ON o.yr = l.yr ORDER BY o.yr"),
@@ -143,6 +152,19 @@ object SparkEntry {
       "SELECT l_returnflag, ROUND(AGGREGATE(big_qty), 2) AS big_qty FROM li_v ORDER BY l_returnflag"),
     "m_string_agg" -> m(
       "SELECT l_returnflag, AGGREGATE(statuses) AS statuses FROM li_v ORDER BY l_returnflag"),
+    "m_current" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(revenue) AT (ALL l_returnflag SET ship_year = CURRENT ship_year - 1), 2) AS prior_rev " +
+        "FROM li_v WHERE ship_year = 1999 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_at_all_where" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(revenue) AT (ALL l_returnflag WHERE ship_year = 1998), 2) AS rev_1998 " +
+        "FROM li_v GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_derived_at" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(net_rev), 2) AS net_rev, ROUND(AGGREGATE(net_rev) AT (ALL), 2) AS total_net " +
+        "FROM li_v ORDER BY l_returnflag"),
+    "m_rowlevel_where" -> m(
+      "SELECT l_orderkey, l_linenumber FROM li_rows o " +
+        "WHERE o.l_quantity > o.avg_qty AT (WHERE l_returnflag = o.l_returnflag) AND o.l_orderkey <= 640 " +
+        "ORDER BY l_orderkey, l_linenumber"),
     "m_ctas" -> ((s, dir) => {
       val e = engineFor(s, dir)
       e.sql("DROP TABLE IF EXISTS ctas_out")
@@ -207,6 +229,21 @@ object SparkEntry {
     "q_datetrunc" -> m(
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n
         |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin),
+    "q_exists" -> m(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "q_not_exists" -> m(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "q_in_subquery" -> m(
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "q_except" -> m(
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000 ORDER BY k LIMIT 50""".stripMargin),
 
     // ---- LLM-data-pipeline operators ----
     "d_exact" -> ((s, dir) => {
@@ -315,6 +352,11 @@ object SparkEntry {
     "m_rollup" ->
       (s"SELECT l_returnflag, CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE round(SUM($rev), 2) END AS revenue " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag NULLS FIRST"),
+    "m_groupingsets" ->
+      (s"SELECT l_returnflag, l_linestatus, CASE WHEN GROUPING(l_returnflag) = 1 OR GROUPING(l_linestatus) = 1 " +
+        s"THEN NULL ELSE round(SUM($rev), 2) END AS revenue " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "m_multifact" ->
       (s"SELECT o.yr, o.total_price, l.li_rev FROM " +
         "(SELECT CAST(year(o_orderdate) AS INT) AS yr, round(SUM(o_totalprice), 2) AS total_price FROM orders GROUP BY year(o_orderdate)) o " +
@@ -339,6 +381,35 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_ctas" ->
       "SELECT l_returnflag, round(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_current" ->
+      (s"SELECT l_returnflag, (SELECT round(SUM($rev), 2) FROM lineitem WHERE year(l_shipdate) = 1998) AS prior_rev " +
+        "FROM lineitem WHERE year(l_shipdate) = 1999 GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_at_all_where" ->
+      (s"SELECT l_returnflag, (SELECT round(SUM($rev), 2) FROM lineitem WHERE year(l_shipdate) = 1998) AS rev_1998 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_derived_at" ->
+      (s"SELECT l_returnflag, round(SUM($rev) - SUM(l_extendedprice * l_tax), 2) AS net_rev, " +
+        s"(SELECT round(SUM($rev) - SUM(l_extendedprice * l_tax), 2) FROM lineitem) AS total_net " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_rowlevel_where" ->
+      ("SELECT o.l_orderkey, o.l_linenumber FROM lineitem o " +
+        "WHERE o.l_quantity > (SELECT AVG(i.l_quantity) FROM lineitem i WHERE i.l_returnflag = o.l_returnflag) " +
+        "AND o.l_orderkey <= 640 ORDER BY o.l_orderkey, o.l_linenumber"),
+    "q_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_not_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000 ORDER BY k LIMIT 50""".stripMargin,
     "q_tpch1" ->
       (s"""SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty,
           |round(SUM(l_extendedprice), 2) AS sum_base_price, round(SUM($rev), 2) AS sum_disc_price,

@@ -543,7 +543,8 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       DimSpec(expr.trim, uniqueName(out))
     }
 
-    var groupWrapper = "" // "", "ROLLUP", "CUBE"
+    var groupWrapper = "" // "", "ROLLUP", "CUBE", "GROUPING SETS"
+    var groupingSetsRaw = "" // inner text of GROUPING SETS(...), query-level
     val dims: List[DimSpec] = clauses.groupBy match {
       case Some(g0) =>
         var g = g0.trim
@@ -551,7 +552,27 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         if (g.equalsIgnoreCase("ALL")) {
           items.filter(_.kind == "dim").map(i => dimFor(i.exprNoAlias, i.alias))
         } else {
-          for (w <- List("ROLLUP", "CUBE")) {
+          val gsSeq = Scan.findTopLevelSeq(g, gm0, Seq("GROUPING", "SETS"), 0, g.length)
+          if (gsSeq != null && gsSeq._1 == 0) {
+            val rest = g.substring(gsSeq._2).trim
+            if (rest.startsWith("(")) {
+              val rm = Scan.buildMask(rest)
+              val close = Scan.matchParen(rest, rm, 0)
+              if (close == rest.length - 1) {
+                groupWrapper = "GROUPING SETS"
+                groupingSetsRaw = rest.substring(1, close)
+                // dims = distinct column refs across all sets, in order
+                val inner = groupingSetsRaw
+                val im = Scan.buildMask(inner)
+                g = Scan.identifiers(inner, im, 0, inner.length).filter { case (_, _, e) =>
+                  var j = e
+                  while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+                  !(j < inner.length && inner.charAt(j) == '(')
+                }.map(_._1).distinct.mkString(", ")
+              }
+            }
+          }
+          for (w <- List("ROLLUP", "CUBE") if groupWrapper.isEmpty) {
             if (g.length > w.length && g.regionMatches(true, 0, w, 0, w.length)) {
               val rest = g.substring(w.length).trim
               if (rest.startsWith("(")) {
@@ -960,7 +981,14 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val outerGroupSql =
       if (dims.nonEmpty) {
         val keys = outerGroupKeys.mkString(", ")
-        val g = if (groupWrapper.nonEmpty) s" GROUP BY $groupWrapper($keys)" else s" GROUP BY $keys"
+        val g =
+          if (groupWrapper == "GROUPING SETS") {
+            val inner =
+              if (singleFact) substToBase(groupingSetsRaw, primaryView, primaryAliases)
+              else groupingSetsRaw
+            s" GROUP BY GROUPING SETS($inner)"
+          } else if (groupWrapper.nonEmpty) s" GROUP BY $groupWrapper($keys)"
+          else s" GROUP BY $keys"
         g + outerHaving.map(h => s" HAVING $h").getOrElse("")
       } else outerHaving.map(h => s" HAVING $h").getOrElse("")
     val outerSelect =
