@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for the 100 TB contract: bucketed co-located
+  * joins (no shuffle at query time) and salted joins for skewed keys.
+  */
+object ScaleLayout {
+
+  /** Persist a frame as a bucketed table: rows are hash-partitioned into
+    * `buckets` files per partition by `keys` at WRITE time, so any
+    * equi-join or aggregation on those keys later runs without an
+    * Exchange. This is the layout decision that matters most at 100 TB —
+    * the shuffle is paid once at ingest, not per query.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Salted join for skewed keys: the skewed (large) side gets a random-but-
+    * deterministic salt in [0, salts); the small side is exploded x salts.
+    * The join key becomes (key, salt), splitting each hot key's rows across
+    * `salts` reducers. Use when one key holds a disproportionate share of
+    * rows and AQE's skew-join splitting isn't available (e.g. non-AQE
+    * engines, or skew in an aggregation's shuffle).
+    *
+    * @param large  the skewed side (salt derived from a hash of its row)
+    * @param small  the side that is exploded `salts` times
+    * @param key    equi-join key column name present on both sides
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
+    val explodedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(explodedSmall,
+        saltedLarge(key) === explodedSmall(key) &&
+          saltedLarge("__salt") === explodedSmall("__salt"), joinType)
+      .drop(explodedSmall(key)).drop(explodedSmall("__salt"))
+      .drop("__salt")
+  }
+
+  /** Repartition-by-range + sortWithinPartitions: the write layout for
+    * range-pruned scans (e.g. time-partitioned event data). Query-time
+    * filters on the range column prune whole files.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, rangeCol: String, partitions: Int): Unit = {
+    df.repartitionByRange(partitions, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleLayout
+
+/** Bucketed co-located joins and salted skew joins, with plan evidence. */
+class ScaleLayoutSuite extends SparkSpec {
+
+  test("bucketed tables join without an exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    ScaleLayout.writeBucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", 8, "o_orderkey")
+    ScaleLayout.writeBucketed(lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", 8, "l_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    // at test scale everything broadcasts; disable to expose the co-located
+    // sort-merge path a 100 TB join would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      // co-located: SortMergeJoin with no shuffle (Exchange) feeding it
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join splits a hot key and preserves results") {
+    import spark.implicits._
+    // hot key: 10_000 rows on key 1; normal keys 2..5
+    val large = ((1 to 10000).map(i => (1L, i.toDouble)) ++
+      (2 to 5).flatMap(k => (1 to 10).map(i => (k.toLong, i.toDouble))))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "absent"))
+      .toDF("k", "name")
+    val plain = large.join(small, "k").groupBy("name").agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+    val salted = ScaleLayout.saltedJoin(large, small, "k", salts = 4)
+      .groupBy("name").agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+    assert(rows(plain) == rows(salted), s"salted join changed results:\n${rows(plain)}\nvs\n${rows(salted)}")
+    // the salted plan joins on (k, __salt)
+    val p = ScaleLayout.saltedJoin(large, small, "k", salts = 4).queryExecution.executedPlan.toString()
+    assert(p.contains("__salt"), "expected salt column in the join")
+  }
+
+  test("range layout prunes files on the range column") {
+    val dir = java.nio.file.Files.createTempDirectory("range-layout").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    ScaleLayout.writeRangeLayout(events, dir, "o_orderkey", 8)
+    val back = spark.read.parquet(dir).filter(col("o_orderkey") < 100)
+    assert(back.count() > 0)
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderkey"),
+      s"expected pushed filter on the range column:\n$scan")
+  }
+}
