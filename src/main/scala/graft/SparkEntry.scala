@@ -288,6 +288,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
+    "s_ivf_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5, nCells = 8, nProbe = 3)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    }),
     "t_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(docs(s, dir))
         .select("doc_id", "n_tokens", "quality_score", "lang_pred", "doc_fingerprint")

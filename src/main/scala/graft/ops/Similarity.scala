@@ -55,6 +55,55 @@ object Similarity {
       when(dot >= 0, 1L << p).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition the
+    * corpus into cells; each query probes its `nProbe` nearest cells only.
+    * The centroid table is tiny and broadcast; the corpus is shuffled once
+    * by cell id at index time — at 100 TB the cell assignment is a write-
+    * time layout (like bucketing) and queries touch nProbe/nCells of the
+    * data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 3,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids: Array[Seq[Double]] = km.clusterCenters.map(_.toArray.toSeq)
+
+    def cellDots(v: Column): Seq[Column] = centroids.toSeq.map { c =>
+      // negative squared L2 distance to centroid (monotone for nearest-cell)
+      aggregate(zip_with(v, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x) * -1.0
+    }
+    def cellRank(v: Column): Column = {
+      val scored = array(cellDots(v).zipWithIndex.map { case (d, i) =>
+        struct(d.as("score"), lit(i).as("cell"))
+      }: _*)
+      reverse(array_sort(scored))
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", cellRank(col("__cv")).getItem(0).getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(slice(cellRank(col("__qv")), 1, nProbe)))
+      .withColumn("__cell", col("__probe.cell"))
+      .select("query_id", "__qv", "__cell")
+
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine", round(col("__cos"), 6))
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: corpus bucketed once by hyperplane
     * signs; each query probes its own bucket plus all buckets at Hamming
     * distance 1 (multi-probe). Recall tunes with `planes` (fewer planes =
