@@ -70,11 +70,46 @@ object SparkEntry {
           |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
           |  AVG(l_quantity) AS MEASURE avg_qty
           |FROM lineitem""".stripMargin)
+      // raw date column exposed so AT (ALL <expr>) / AT (SET <expr> = v) can
+      // name ad-hoc expression dims (reference: measures.test SET/ALL
+      // expression-dimension cases)
+      e.sql(
+        """CREATE VIEW li_raw AS
+          |SELECT l_shipdate, l_returnflag, l_quantity,
+          |  SUM(l_extendedprice * (1 - l_discount)) AS MEASURE raw_rev
+          |FROM lineitem""".stripMargin)
+      // ordered-set aggregates + deterministic FIRST/LAST-style measures
+      // (reference: ordered_set_v battery, measures.test:2908-2960)
+      e.sql(
+        """CREATE VIEW pct_v AS
+          |SELECT l_returnflag,
+          |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS MEASURE p50_qty,
+          |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS MEASURE p25d_price,
+          |  QUANTILE_CONT(l_quantity, 0.75) AS MEASURE q75_qty,
+          |  QUANTILE_DISC(l_quantity, 0.5) AS MEASURE q50d_qty,
+          |  MIN_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS MEASURE first_price,
+          |  MAX_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS MEASURE last_price
+          |FROM lineitem""".stripMargin)
       e
     })
 
   private def m(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => engineFor(s, dir).sql(sql)
+
+  /** DROP TABLE on a session that died mid-write can leave the managed
+    * location behind; clear it so CTAS entries are re-runnable.
+    */
+  private def clearManaged(s: SparkSession, table: String): Unit = {
+    val wh = new java.io.File(new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(wh)
+    }
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -168,19 +203,63 @@ object SparkEntry {
     "m_ctas" -> ((s, dir) => {
       val e = engineFor(s, dir)
       e.sql("DROP TABLE IF EXISTS ctas_out")
-      // DROP TABLE on a session that died mid-write can leave the managed
-      // location behind; clear it so CTAS is re-runnable
-      val wh = new java.io.File(new java.net.URI(
-        s.conf.get("spark.sql.warehouse.dir")).getPath, "ctas_out")
-      if (wh.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(wh)
-      }
+      clearManaged(s, "ctas_out")
       e.sql("CREATE TABLE ctas_out AS SELECT l_returnflag, ROUND(AGGREGATE(qty), 2) AS qty FROM li_v")
       e.sql("SELECT l_returnflag, qty FROM ctas_out ORDER BY l_returnflag")
+    }),
+    // {m} sugar -> AGGREGATE(m) (reference: expand_curly_braces, measures.rs:994-1018)
+    "m_curly" -> m(
+      "SELECT l_returnflag, ROUND({revenue}, 2) AS revenue, ROUND({revenue} / {cnt}, 4) AS rev_per_item " +
+        "FROM li_v ORDER BY l_returnflag"),
+    // bare measure ref: paper-default semantics — evaluated in the visible
+    // context when the query groups (reference: measures.test:3170 Case 2)
+    "m_bare_default" -> m(
+      "SELECT l_returnflag, ROUND(revenue, 2) AS revenue FROM li_v GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // AT (ALL <expr>) with an ad-hoc expression dimension
+    "m_at_all_expr" -> m(
+      "SELECT year(l_shipdate) AS yr, ROUND(AGGREGATE(raw_rev), 2) AS revenue, " +
+        "ROUND(AGGREGATE(raw_rev) AT (ALL year(l_shipdate)), 2) AS total " +
+        "FROM li_raw GROUP BY year(l_shipdate) ORDER BY yr"),
+    // AT (SET <expr> = v): pin the expression dim to a constant
+    "m_at_set_expr" -> m(
+      "SELECT month(l_shipdate) AS mo, ROUND(AGGREGATE(raw_rev), 2) AS revenue, " +
+        "ROUND(AGGREGATE(raw_rev) AT (SET month(l_shipdate) = 3), 2) AS march_rev " +
+        "FROM li_raw GROUP BY month(l_shipdate) ORDER BY mo"),
+    "m_percentile_cont" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(p50_qty), 4) AS p50_qty FROM pct_v ORDER BY l_returnflag"),
+    "m_percentile_disc" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(p25d_price), 2) AS p25d_price FROM pct_v ORDER BY l_returnflag"),
+    "m_quantile_cont" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(q75_qty), 4) AS q75_qty FROM pct_v ORDER BY l_returnflag"),
+    "m_quantile_disc" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(q50d_qty), 2) AS q50d_qty FROM pct_v ORDER BY l_returnflag"),
+    // FIRST/LAST-style measures made deterministic via MIN_BY/MAX_BY on a
+    // unique ordering key
+    "m_first" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(first_price), 2) AS first_price FROM pct_v ORDER BY l_returnflag"),
+    "m_last" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(last_price), 2) AS last_price FROM pct_v ORDER BY l_returnflag"),
+    // TEMP measure view consumed by a materializing statement inside one
+    // batch (reference batch invariants, yardstick_extension.cpp:1498-1754)
+    "m_batch_tempview" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.sql("DROP TABLE IF EXISTS batch_out")
+      clearManaged(s, "batch_out")
+      e.sql(
+        """CREATE TEMP VIEW batch_rev_v AS
+          |SELECT l_returnflag, SUM(l_extendedprice * (1 - l_discount)) AS MEASURE brev FROM lineitem;
+          |CREATE TABLE batch_out AS
+          |SELECT l_returnflag, ROUND(AGGREGATE(brev), 2) AS revenue FROM batch_rev_v;""".stripMargin)
+      e.sql("SELECT l_returnflag, revenue FROM batch_out ORDER BY l_returnflag")
+    }),
+    // DROP VIEW keeps the measure catalog in sync; recreate under the same
+    // name with different measure semantics (measures.rs:7655-7661)
+    "m_drop_recreate" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.sql("CREATE OR REPLACE VIEW dr_v AS SELECT l_linestatus, SUM(l_quantity) AS MEASURE m1 FROM lineitem")
+      e.sql("DROP VIEW dr_v")
+      e.sql("CREATE VIEW dr_v AS SELECT l_returnflag, AVG(l_quantity) AS MEASURE m1 FROM lineitem")
+      e.sql("SELECT l_returnflag, ROUND(AGGREGATE(m1), 4) AS avg_qty FROM dr_v ORDER BY l_returnflag")
     }),
 
     // ---- classic SQL surface (engine passthrough) ----
@@ -387,6 +466,45 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_ctas" ->
       "SELECT l_returnflag, round(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "m_curly" ->
+      (s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue, " +
+        s"round(SUM($rev) / COUNT(*), 4) AS rev_per_item " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_bare_default" ->
+      (s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_at_all_expr" ->
+      (s"SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM($rev), 2) AS revenue, " +
+        s"(SELECT round(SUM($rev), 2) FROM lineitem) AS total " +
+        "FROM lineitem GROUP BY year(l_shipdate) ORDER BY yr"),
+    "m_at_set_expr" ->
+      (s"SELECT CAST(month(l_shipdate) AS INT) AS mo, round(SUM($rev), 2) AS revenue, " +
+        s"(SELECT round(SUM($rev), 2) FROM lineitem WHERE month(l_shipdate) = 3) AS march_rev " +
+        "FROM lineitem GROUP BY month(l_shipdate) ORDER BY mo"),
+    "m_percentile_cont" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_percentile_disc" ->
+      ("SELECT l_returnflag, round(quantile_disc(l_extendedprice, 0.25), 2) AS p25d_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_quantile_cont" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.75), 4) AS q75_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_quantile_disc" ->
+      ("SELECT l_returnflag, round(quantile_disc(l_quantity, 0.5), 2) AS q50d_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_first" ->
+      ("SELECT l_returnflag, round(min_by(l_extendedprice, l_orderkey * 10 + l_linenumber), 2) AS first_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_last" ->
+      ("SELECT l_returnflag, round(max_by(l_extendedprice, l_orderkey * 10 + l_linenumber), 2) AS last_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_batch_tempview" ->
+      (s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_drop_recreate" ->
+      ("SELECT l_returnflag, round(AVG(l_quantity), 4) AS avg_qty FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_current" ->
       (s"SELECT l_returnflag, (SELECT round(SUM($rev), 2) FROM lineitem WHERE year(l_shipdate) = 1998) AS prior_rev " +
         "FROM lineitem WHERE year(l_shipdate) = 1999 GROUP BY l_returnflag ORDER BY l_returnflag"),

@@ -58,6 +58,7 @@ object MeasureDdl {
     "bool_and", "bool_or", "every", "some",
     "corr", "covar_pop", "covar_samp", "skewness", "kurtosis",
     "count_if", "sum_distinct", "bit_and", "bit_or", "bit_xor",
+    "min_by", "max_by", "arg_min", "arg_max",
     "regr_avgx", "regr_avgy", "regr_count", "regr_slope", "regr_intercept",
     "regr_r2", "regr_sxx", "regr_syy", "regr_sxy",
     "histogram", "entropy", "favg", "fsum"
