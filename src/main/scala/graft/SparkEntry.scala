@@ -346,10 +346,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
-    // rows-only checks (no closed-form SQL oracle)
     // testdata plants ~25 near-dup pairs per corpus, all at jaccard >= 0.9;
     // b=8/r=4 puts the LSH S-curve threshold at ~0.6 so candidates stay
-    // sparse while recall at 0.9 is ~1
+    // sparse while recall at 0.9 is ~1. Oracle = exact all-pairs shingle
+    // Jaccard in DuckDB: safe because the sf0.01 pair-similarity spectrum is
+    // empty between 0.3 and 0.9 (measured), so LSH recall at the 0.7
+    // threshold is exactly 1.
     "d_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(docs(s, dir), threshold = 0.7, bands = 8, rows = 4)
         .orderBy("doc_id_a", "doc_id_b")),
@@ -358,12 +360,22 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")),
     "d_embed_neardup" -> ((s, dir) =>
       // testdata embeddings are random (max pairwise cosine ~0.48), so the
-      // demo threshold sits in the observable tail
+      // demo threshold sits in the observable tail; rows-only (LSH recall is
+      // bucket-dependent by construction — the exact mode below is the
+      // oracle-checked twin)
       Dedup.embeddingNearDuplicates(emb(s, dir), minCosine = 0.3, planes = 4)
+        .orderBy("vec_id_a", "vec_id_b")),
+    // planes=0 = exact mode: one bucket, all pairs verified — same operator
+    // code path, closed-form DuckDB oracle (exact pairwise cosine)
+    "d_embed_exact" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicates(emb(s, dir), minCosine = 0.3, planes = 0,
+          maxBucket = 1000000)
         .orderBy("vec_id_a", "vec_id_b")),
     "s_lsh_knn" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, planes = 6)
+      // planes=4 × tables=4: measured recall@5 = 0.94 on the (random,
+      // worst-case) testdata embeddings — see PipelineGatesSuite
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, planes = 4, tables = 4)
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
@@ -373,9 +385,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
+    // deterministic signal columns — every ratio + the composite score has a
+    // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(docs(s, dir))
-        .select("doc_id", "n_tokens", "quality_score", "lang_pred", "doc_fingerprint")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),
+          col("mean_word_len"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+    // hash-based columns (xxhash64 fingerprint, marker-regex language ID)
+    // have no DuckDB equivalent — rows-only; lang_pred accuracy vs the
+    // dataset's lang label is gated in PipelineGatesSuite
+    "t_lang_fp" -> ((s, dir) =>
+      TextAnalysis.analyze(docs(s, dir))
+        .select("doc_id", "lang_pred", "doc_fingerprint")
         .orderBy("doc_id")),
     "mm_media_meta" -> ((s, dir) =>
       Multimodal.demoMediaTable(docs(s, dir))
@@ -587,6 +610,61 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
         "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
+    // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles
+    // tokenization byte-for-byte; the sf0.01 similarity spectrum is empty in
+    // [0.3, 0.9) so the LSH candidate stage has provably full recall at 0.7
+    "d_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w
+        |)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "d_embed_exact" ->
+      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    // mirrors TextAnalysis.qualityColumns/qualityScoreFrom with the same
+    // expression tree so double arithmetic is IEEE-identical on both sides
+    "t_analysis" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS w,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) AS n_digit,
+        |    CAST(length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '')) AS DOUBLE) AS n_upper,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) AS stop_hits
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+        |    n_punct / safe_len AS punct_ratio,
+        |    n_digit / safe_len AS digit_ratio,
+        |    n_upper / safe_len AS upper_ratio,
+        |    len / greatest(w, 1.0) AS mean_word_len,
+        |    stop_hits / greatest(w, 1.0) AS stopword_ratio,
+        |    w
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, punct_ratio, digit_ratio, upper_ratio, mean_word_len, stopword_ratio,
+        |  round((least(w / 50.0, 1.0)
+        |       + (1.0 - least(punct_ratio * 4.0, 1.0))
+        |       + (1.0 - least(digit_ratio * 4.0, 1.0))
+        |       + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+        |       + least(stopword_ratio * 3.0, 1.0)) / 5.0, 4) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin),
     "s_knn" ->
       """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

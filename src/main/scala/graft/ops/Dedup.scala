@@ -207,22 +207,29 @@ object Dedup {
   /** Embedding-cosine near-duplicates, LSH-bucketed via random hyperplanes.
     * Shuffle on the sign-pattern bucket key; exact cosine verification on
     * candidates. Deterministic hyperplanes derived from a seed.
+    *
+    * `planes = 0` is the exact mode: every vector lands in one bucket, so the
+    * verification step sees all pairs — only usable when the corpus (or a
+    * pre-blocked partition of it) is small enough for the all-pairs join, but
+    * it makes the operator oracle-checkable against exact pairwise cosine.
     */
   def embeddingNearDuplicates(df: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
                               minCosine: Double = 0.95, planes: Int = 12,
                               seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(seed)
+    lazy val dim = df.select(size(col(vecCol))).head().getInt(0)
     val hyper: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
 
     def dotLit(v: Column, plane: Seq[Double]): Column =
       aggregate(zip_with(v, array(plane.map(lit): _*), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)
 
+    val bucketExpr =
+      if (planes == 0) lit(0L)
+      else (0 until planes).map(p => when(dotLit(col("__v"), hyper(p)) >= 0, 1L << p).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b))
     val keyed = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
-      .withColumn("__bucket",
-        (0 until planes).map(p => when(dotLit(col("__v"), hyper(p)) >= 0, 1L << p).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)))
+      .withColumn("__bucket", bucketExpr)
       .persist()
     val sizes = keyed.groupBy("__bucket").agg(count(lit(1)).as("__bsz"))
     val capped = keyed.join(sizes.filter(col("__bsz") <= maxBucket), Seq("__bucket"))

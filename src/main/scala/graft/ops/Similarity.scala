@@ -104,33 +104,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed approximate top-k: corpus bucketed once by hyperplane
-    * signs; each query probes its own bucket plus all buckets at Hamming
-    * distance 1 (multi-probe). Recall tunes with `planes` (fewer planes =
-    * bigger buckets = higher recall, more compute).
+  /** LSH-bucketed approximate top-k: `tables` independent hash tables
+    * (OR-amplification), each bucketing the corpus by `planes` hyperplane
+    * signs; each query probes, per table, its own bucket plus all buckets at
+    * Hamming distance 1 (multi-probe). A neighbor is a candidate if ANY
+    * table matches — recall is 1-(1-p_table)^tables, so it tunes up with
+    * `tables` (at index-size cost ×tables) and p_table tunes with `planes`
+    * (fewer planes = bigger buckets = higher recall, more compute).
     *
-    * At 100 TB: corpus.repartition(bucket) written bucketed once, queries
-    * exploded xN probes and hash-joined on bucket — shuffle is on the
-    * query side only, proportional to queries × probes, never corpus².
+    * At 100 TB: corpus written bucketed once per table (index size ×tables,
+    * the standard LSH trade), queries exploded ×tables×(planes+1) probes and
+    * hash-joined on (table, bucket) — shuffle is on the query side only,
+    * proportional to queries × probes, never corpus².
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
-              vecCol: String = "embedding", idCol: String = "vec_id",
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 4,
+              tables: Int = 4, vecCol: String = "embedding", idCol: String = "vec_id",
               seed: Long = 7L): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(seed)
-    val hyper: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+    val hyper: Seq[Seq[Seq[Double]]] =
+      Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian())))
 
+    val tableBuckets = (vc: Column) => array((0 until tables).map { t =>
+      struct(lit(t).as("t"), signBucket(vc, hyper(t)).as("b"))
+    }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__bucket", signBucket(col("__cv"), hyper))
+      .withColumn("__tb", explode(tableBuckets(col("__cv"))))
+      .withColumn("__table", col("__tb.t"))
+      .withColumn("__bucket", col("__tb.b"))
+      .select("neighbor_id", "__cv", "__table", "__bucket")
     // multi-probe: own bucket + flip each bit once
     val probeIds = (0 to planes).map(i => if (i == 0) lit(0L) else lit(1L << (i - 1)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qbucket", signBucket(col("__qv"), hyper))
+      .withColumn("__tb", explode(tableBuckets(col("__qv"))))
       .withColumn("__probe", explode(array(probeIds: _*)))
-      .withColumn("__bucket", col("__qbucket").bitwiseXOR(col("__probe")))
-      .select("query_id", "__qv", "__bucket")
+      .withColumn("__table", col("__tb.t"))
+      .withColumn("__bucket", col("__tb.b").bitwiseXOR(col("__probe")))
+      .select("query_id", "__qv", "__table", "__bucket")
 
-    val scored = c.join(q, Seq("__bucket"))
+    val scored = c.join(q, Seq("__table", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", cosine(col("__qv"), col("__cv")))
       .dropDuplicates("query_id", "neighbor_id")

@@ -10,7 +10,7 @@ class EntrySuite extends SparkSpec {
 
   // queries that may legitimately return few/zero rows (near-dup search on
   // a corpus with no near-duplicates)
-  private val mayBeEmpty = Set("d_minhash", "d_simhash", "d_embed_neardup")
+  private val mayBeEmpty = Set("d_minhash", "d_simhash", "d_embed_neardup", "d_embed_exact")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"entry: $name") {

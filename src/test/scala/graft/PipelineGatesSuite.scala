@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Ground-truth gates for the approximate pipeline operators: each
+  * LSH/IVF/sketch path is measured against an exact, independently computed
+  * reference on the real sf0.01 testdata, with hard recall/precision floors.
+  * (The driver's DuckDB oracle covers the exact-mode twins; these gates cover
+  * the approximate modes the oracle cannot express.)
+  */
+class PipelineGatesSuite extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** Exact all-pairs word-3-shingle Jaccard (independent brute force — a
+    * crossJoin, deliberately NOT the LSH candidate path under test).
+    */
+  private lazy val exactJaccard: Map[(Long, Long), Double] = {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+    val a = sh.select(col("doc_id").as("ida"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("idb"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = size(array_union(col("sa"), col("sb"))).cast("double")
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("j", inter / uni)
+      .filter(col("j") >= 0.5)
+      .select("ida", "idb", "j")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(df.columns(0), df.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH at 0.7 returns exactly the exact-Jaccard>=0.7 pairs") {
+    val planted = exactJaccard.filter(_._2 >= 0.7).keySet
+    info(s"exact pairs >= 0.7: ${planted.size}")
+    val got = pairSet(Dedup.minhashNearDuplicates(docs, threshold = 0.7, bands = 8, rows = 4))
+    assert(got == planted,
+      s"missed=${(planted -- got).take(5)} spurious=${(got -- planted).take(5)}")
+  }
+
+  test("simhash near-dups: full precision, recall >= 0.8 on planted pairs") {
+    val planted = exactJaccard.filter(_._2 >= 0.9).keySet
+    val got = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 12))
+    val spurious = got -- exactJaccard.keySet // anything below jaccard 0.5 is a false positive
+    val recall = (got & planted).size.toDouble / planted.size
+    info(s"simhash pairs=${got.size}, planted=${planted.size}, recall=$recall")
+    assert(spurious.isEmpty, s"false positives: ${spurious.take(5)}")
+    assert(recall >= 0.8, s"recall $recall < 0.8")
+  }
+
+  test("embedding near-dup exact mode == independent brute force") {
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("c", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("c") >= 0.3)
+      .select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(Dedup.embeddingNearDuplicates(emb, minCosine = 0.3, planes = 0,
+      maxBucket = 1000000))
+    info(s"exact pairs=${exact.size}")
+    assert(got == exact)
+  }
+
+  test("embedding near-dup LSH mode is a subset of exact") {
+    val exact = pairSet(Dedup.embeddingNearDuplicates(emb, minCosine = 0.3, planes = 0,
+      maxBucket = 1000000))
+    val lsh = pairSet(Dedup.embeddingNearDuplicates(emb, minCosine = 0.3, planes = 4))
+    info(s"lsh=${lsh.size} of exact=${exact.size}")
+    assert((lsh -- exact).isEmpty, s"LSH produced non-pairs: ${(lsh -- exact).take(5)}")
+    assert(lsh.nonEmpty)
+  }
+
+  private def knnPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val knnQueries = emb.filter(col("vec_id") < 20)
+  private lazy val knnTruth = knnPairs(Similarity.bruteForceTopK(emb, knnQueries, k = 5))
+
+  // the testdata embeddings are uniformly random — the ANN worst case (no
+  // cluster structure, top-5 neighbors sit at cosine ~0.4). Measured grid
+  // (tools/ProbeRecall): planes=4/tables=4 -> 0.94, planes=3/tables=6 -> 1.0;
+  // IVF nProbe 3/8 -> 0.72, 5/8 -> 0.94. Gates sit at >= 0.9 on deterministic
+  // seeds, so any regression in the bucketing/probing machinery trips them.
+  test("LSH kNN recall@5 >= 0.9 vs brute force (planes=4, tables=4)") {
+    val got = knnPairs(Similarity.lshTopK(emb, knnQueries, k = 5, planes = 4, tables = 4))
+    val recall = (got & knnTruth).size.toDouble / knnTruth.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("IVF kNN recall@5 >= 0.9 vs brute force (nProbe=5 of 8 cells)") {
+    val got = knnPairs(Similarity.ivfTopK(emb, knnQueries, k = 5, nCells = 8, nProbe = 5))
+    val recall = (got & knnTruth).size.toDouble / knnTruth.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("IVF full probe (nProbe = nCells) reaches recall 1") {
+    val got = knnPairs(Similarity.ivfTopK(emb, knnQueries, k = 5, nCells = 8, nProbe = 8))
+    assert(got == knnTruth)
+  }
+
+  // the testdata `lang` label is uncorrelated with the text (every doc uses
+  // the same synthetic English-ish vocabulary), so accuracy-vs-label is not
+  // a meaningful gate — langId is tested on genuine sentences instead
+  test("language ID on genuine sentences per supported language") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "The results of the experiment showed that the model is accurate and that it generalizes."),
+      ("de", "Der Hund lief durch die Stadt und das Kind ist nicht allein geblieben."),
+      ("fr", "Le chat est sur la table et les enfants regardent des images dans le jardin."),
+      ("es", "Los resultados muestran que es una buena idea y que el modelo funciona."),
+      ("it", "Il governo ha detto che la situazione per una parte del paese resta difficile."),
+      ("pt", "O presidente disse que uma parte do problema vem da falta de recursos."),
+      ("nl", "De kinderen speelden in het park en een hond liep niet ver weg van hen."),
+      ("und", "12345 67890 !!!")
+    ).toDF("expected", "text")
+    val preds = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+      .select("expected", "pred").collect()
+    val wrong = preds.filter(r => r.getString(0) != r.getString(1))
+    assert(wrong.isEmpty, wrong.map(r => s"${r.getString(0)} -> ${r.getString(1)}").mkString(", "))
+  }
+}
