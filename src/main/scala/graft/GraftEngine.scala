@@ -110,9 +110,17 @@ final class GraftEngine(val spark: SparkSession) {
     } catch {
       case e: Throwable =>
         // half-state emulation of the reference's dual catalogs: the measure
-        // catalog rolls back, batch-created temp views are gone
-        for (name <- batchTempCreated)
+        // catalog rolls back, batch-created temp views are gone — but a
+        // shadowed permanent view must get its Spark temp view back, or the
+        // restored catalog would claim a view that no longer resolves
+        for (name <- batchTempCreated) {
           try spark.catalog.dropTempView(name) catch { case _: Exception => }
+          snap.get(name.toLowerCase) match {
+            case Some(prev) if !prev.temporary && prev.cleanViewSql.nonEmpty =>
+              try spark.sql(prev.cleanViewSql) catch { case _: Exception => }
+            case _ =>
+          }
+        }
         catalog.restore(snap)
         throw e
     }
@@ -143,7 +151,9 @@ final class GraftEngine(val spark: SparkSession) {
   private val prepared = TrieMap.empty[String, String]
 
   private def executeStatement(stmt0: String): DataFrame = {
-    val stmt = Shims(stripSemantic(stmt0))
+    // comments are blanked before the SEMANTIC check — a batch statement may
+    // lead with a line comment ahead of its SEMANTIC prefix
+    val stmt = Shims(stripSemantic(Scan.blankComments(stmt0)))
 
     stmt match {
       case setWarningsRe(v) =>

@@ -30,8 +30,90 @@ object Shims {
     val step2 = rewriteVarcharCasts(step1)
     val step3 = rewriteArrayLiterals(step2) // before list_aggregate: bracket commas break arg splitting
     val step4 = rewriteListAggregate(step3)
-    val step5 = rewriteStringAgg(step4)
-    renameCalls(step5)
+    val step5 = rewriteOrderedAggs(step4) // before rewriteStringAgg / LIST rename
+    val step6 = rewriteStringAgg(step5)
+    val step7 = rewriteProductEntropy(step6)
+    renameCalls(step7)
+  }
+
+  /** `STRING_AGG(x, sep ORDER BY y [DESC])` / `LIST(x ORDER BY y)` /
+    * `ARRAY_AGG(x ORDER BY y)` — Spark's collect_list has no ORDER BY, so
+    * the ordering is reconstructed by collecting (order-key, value) structs
+    * and sorting: struct comparison is field-by-field, so __o sorts first.
+    */
+  private def rewriteOrderedAggs(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\b(string_agg|list|array_agg)\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val fn = m.group(1).toLowerCase
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val inner = sql.substring(open + 1, close)
+        val im = Scan.buildMask(inner)
+        val ob = Scan.findTopLevelSeq(inner, im, Seq("ORDER", "BY"), 0, inner.length)
+        if (ob != null) {
+          val argsText = inner.substring(0, ob._1).trim
+          var orderText = inner.substring(ob._2).trim
+          var asc = true
+          if (orderText.toUpperCase.endsWith(" DESC")) {
+            asc = false; orderText = orderText.substring(0, orderText.length - 5).trim
+          } else if (orderText.toUpperCase.endsWith(" ASC"))
+            orderText = orderText.substring(0, orderText.length - 4).trim
+          val am = Scan.buildMask(argsText)
+          val parts = Scan.splitTopLevel(argsText, am, ',', 0, argsText.length)
+            .map { case (s, e) => argsText.substring(s, e).trim }
+          val x = parts.headOption.getOrElse("")
+          val sortedArr =
+            s"transform(sort_array(collect_list(struct(($orderText) AS __o, ($x) AS __x)), $asc), s -> s.__x)"
+          val repl = fn match {
+            case "string_agg" =>
+              val sep = if (parts.length > 1) parts(1) else "','"
+              s"array_join($sortedArr, $sep)"
+            case _ => sortedArr
+          }
+          if (x.nonEmpty)
+            return rewriteOrderedAggs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+      }
+    }
+    sql
+  }
+
+  /** DuckDB aggregates Spark lacks, rebuilt from Spark aggregates:
+    *  - `PRODUCT(x)` = sign-corrected `exp(sum(ln(abs(x))))` with an exact
+    *    zero short-circuit (any zero -> 0).
+    *  - `ENTROPY(x)` = Shannon entropy (log2) over the value histogram. The
+    *    histogram is built by collecting the group and counting per distinct
+    *    value with HOFs — correct but O(n·d) per group and interpreted; at
+    *    real scale entropy should be a two-stage groupBy (value counts, then
+    *    -sum(p·log2 p)), which is what the pipeline operators do.
+    */
+  private def rewriteProductEntropy(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\b(product|entropy)\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val fn = m.group(1).toLowerCase
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val x = sql.substring(open + 1, close).trim
+        val repl = fn match {
+          case "product" =>
+            s"(CASE WHEN count(CASE WHEN ($x) = 0 THEN 1 END) > 0 THEN CAST(0 AS DOUBLE) " +
+              s"WHEN count($x) = 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE CAST(1 - 2 * pmod(count(CASE WHEN ($x) < 0 THEN 1 END), 2) AS DOUBLE) " +
+              s"* exp(sum(ln(abs(CASE WHEN ($x) <> 0 THEN ($x) END)))) END)"
+          case _ =>
+            s"(CASE WHEN count($x) = 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE aggregate(transform(array_distinct(collect_list($x)), " +
+              s"v -> size(filter(collect_list($x), e -> e <=> v))), CAST(0 AS DOUBLE), " +
+              s"(acc, c) -> acc - (c / count($x)) * log2(c / count($x))) END)"
+        }
+        return rewriteProductEntropy(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+      }
+    }
+    sql
   }
 
   /** `::VARCHAR` and `CAST(x AS VARCHAR)` (no length) -> STRING. */

@@ -89,7 +89,13 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   }
 
   /** Expand a statement; None = not a measure query (passthrough). */
-  def expand(stmtRaw: String): Option[String] = {
+  def expand(stmtRaw: String): Option[String] = expand(stmtRaw, Set.empty)
+
+  /** @param cteNames WITH-clause names in scope — they shadow measure views
+    *                 of the same name (the user's CTE wins, as in the
+    *                 reference where binder scoping resolves CTEs first)
+    */
+  private def expand(stmtRaw: String, cteNames: Set[String]): Option[String] = {
     // comments must go before reassembly onto one line (a surviving line
     // comment would swallow the rest of the generated statement); qualified
     // refs written as `s . year` are tightened so the identifier scanner
@@ -98,8 +104,8 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val mask = Scan.buildMask(stmt)
     val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
     if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
-      expandWith(stmt, mask, withPos)
-    else expandSelect(stmt)
+      expandWith(stmt, mask, withPos, cteNames)
+    else expandSelect(stmt, cteNames)
   }
 
   // ---------------------------------------------------------------- CTEs
@@ -107,20 +113,22 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   /** Expand each top-level CTE body and the main query independently.
     * (Reference: expand_cte_queries, measures.rs:2113-2251.)
     */
-  private def expandWith(stmt: String, mask: Array[Boolean], withPos: Int): Option[String] = {
+  private def expandWith(stmt: String, mask: Array[Boolean], withPos: Int,
+                         outerCtes: Set[String]): Option[String] = {
     var i = withPos + 4
     def skipWs(): Unit = { while (i < stmt.length && stmt.charAt(i).isWhitespace) i += 1 }
     skipWs()
     var recursive = false
     if (stmt.regionMatches(true, i, "RECURSIVE", 0, 9)) { recursive = true; i += 9; skipWs() }
-    val ctes = scala.collection.mutable.ListBuffer[(String, String, String)]() // (name+cols, body, raw)
+    val ctes = scala.collection.mutable.ListBuffer[(String, String, String, String)]() // (name, name+cols, body, raw)
     var parsing = true
     while (parsing) {
       skipWs()
       val nameStart = i
       while (i < stmt.length && Scan.isIdentChar(stmt.charAt(i))) i += 1
       if (i == nameStart) return None
-      var header = stmt.substring(nameStart, i)
+      val cteName = stmt.substring(nameStart, i)
+      var header = cteName
       skipWs()
       if (i < stmt.length && stmt.charAt(i) == '(') { // column list
         val close = Scan.matchParen(stmt, mask, i)
@@ -136,19 +144,23 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       val close = Scan.matchParen(stmt, mask, i)
       if (close < 0) return None
       val body = stmt.substring(i + 1, close)
-      ctes += ((header, body, stmt.substring(nameStart, close + 1)))
+      ctes += ((cteName, header, body, stmt.substring(nameStart, close + 1)))
       i = close + 1
       skipWs()
       if (i < stmt.length && stmt.charAt(i) == ',') { i += 1 } else parsing = false
     }
     val main = stmt.substring(i)
     var changed = false
-    val newCtes = ctes.map { case (header, body, _) =>
-      val expanded = if (recursive) None else expand(body)
+    // each CTE body sees the names declared BEFORE it; the main query sees
+    // all of them — in-scope CTE names shadow same-named measure views
+    var inScope = outerCtes
+    val newCtes = ctes.map { case (name, header, body, _) =>
+      val expanded = if (recursive) None else expand(body, inScope)
       if (expanded.isDefined) changed = true
+      inScope = inScope + name.toLowerCase
       s"$header AS (${expanded.getOrElse(body)})"
     }
-    val mainExpanded = expand(main)
+    val mainExpanded = expand(main, inScope)
     if (mainExpanded.isDefined) changed = true
     if (!changed) None
     else Some(s"WITH ${if (recursive) "RECURSIVE " else ""}${newCtes.mkString(", ")} ${mainExpanded.getOrElse(main)}")
@@ -460,12 +472,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   }
 
   // The main single-statement expansion.
-  private def expandSelect(stmt: String): Option[String] = {
+  private def expandSelect(stmt: String, cteNames: Set[String] = Set.empty): Option[String] = {
     val clauses = SqlClauses.parse(stmt).getOrElse(return None)
     if (clauses.hasSetOp) return None
     val fromText = clauses.from.getOrElse(return None)
     val tables = parseFromTables(fromText)
-    val measureViews = tables.filter(t => catalog.contains(t.name))
+    // a WITH-clause name shadows a same-named measure view: the FROM ref
+    // reads the user's CTE, so it must not be measure-expanded (the table
+    // stays in `tables` so its alias still participates in qualifier
+    // stripping)
+    val measureViews = tables.filter(t =>
+      catalog.contains(t.name) && !cteNames.contains(t.name.toLowerCase))
     if (measureViews.isEmpty) return None
     val aliasToView: Map[String, MeasureView] =
       measureViews.flatMap(t => catalog.get(t.name).map(v => t.alias.toLowerCase -> v)).toMap ++
@@ -512,6 +529,14 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       explicit ++ findSugarCalls(w, wm, explicit.map(c => (c.start, c.end)), measureNames, allAliases)
         .filter(_.modifiers.nonEmpty) // bare refs in WHERE stay ordinary columns
     }
+    // Spark has no QUALIFY clause — fail loudly rather than silently
+    // dropping the filter from the rewritten statement
+    def rejectQualify(): Unit =
+      if (clauses.qualify.isDefined)
+        throw new GraftException(
+          "QUALIFY is not supported in measure queries (Spark has no QUALIFY clause); " +
+            "wrap the query and filter on the projected value instead")
+
     if (whereCalls.nonEmpty) {
       val rowLevelOk = singleFact && clauses.groupBy.isEmpty &&
         items.forall(_.calls.isEmpty) && !items.exists(_.kind == "plainagg") &&
@@ -519,6 +544,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       if (!rowLevelOk)
         throw new GraftException(
           "AGGREGATE calls in the outer WHERE clause are only supported for ungrouped row-level queries (paper Listing 12)")
+      rejectQualify()
       return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
     }
 
@@ -526,6 +552,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       clauses.having.exists(h => AtParser.extractCalls(h, Scan.buildMask(h), 0, h.length).nonEmpty) ||
       clauses.orderBy.exists(o => AtParser.extractCalls(o, Scan.buildMask(o), 0, o.length).nonEmpty)
     if (!anyCalls) return None
+    rejectQualify()
 
     // ---- dims ----------------------------------------------------------
     var dimCounter = -1
@@ -619,9 +646,22 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         // `alias.output_alias` (reference allows FROM-alias-qualified refs to
         // output aliases in ORDER BY); Spark resolves only the bare alias
         .orElse(if (stripped != tok && itemAliases.contains(stripped.toLowerCase)) Some(stripped) else None)
+        // DuckDB's literal `alias.` output-namespace (measures.test:1190): a
+        // qualifier spelled `alias` that is NOT a real FROM table refers to
+        // the output alias — unless a real table named `alias` shadows it
+        .orElse {
+          val dot = tok.indexOf('.')
+          if (dot > 0 && tok.substring(0, dot).equalsIgnoreCase("alias") &&
+              !allAliases.contains("alias") &&
+              itemAliases.contains(tok.substring(dot + 1).toLowerCase))
+            Some(tok.substring(dot + 1))
+          else None
+        }
     }
 
     // ---- resolve calls to views + fold contexts ------------------------
+    // bare measure names resolve against the non-CTE-shadowed FROM tables
+    val resolvableTables = tables.map(_.name).filterNot(n => cteNames.contains(n.toLowerCase))
     case class PlannedCall(call: AggCall, view: MeasureView, viewAliases: Set[String], ctx: EvalCtx)
     def planCall(c: AggCall): PlannedCall = {
       val v = c.qualifier match {
@@ -630,10 +670,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           aliasToView.get(q.toLowerCase).flatMap { view =>
             if (view.measureNamesLower.contains(c.measureName.toLowerCase)) Some(view) else None
           }.getOrElse(
-            catalog.resolveMeasure(c.measureName, tables.map(_.name))
+            catalog.resolveMeasure(c.measureName, resolvableTables)
               .getOrElse(throw new GraftException(s"Unknown measure: ${c.measureRaw}")))
         case None =>
-          catalog.resolveMeasure(c.measureName, tables.map(_.name))
+          catalog.resolveMeasure(c.measureName, resolvableTables)
             .getOrElse(throw new GraftException(s"Unknown measure: ${c.measureRaw}"))
       }
       val valiases = tables.filter(_.name.equalsIgnoreCase(v.viewName))
@@ -760,16 +800,27 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         val conjuncts = splitTopAnd(w, Scan.buildMask(w))
         val dropped = conjuncts.flatMap { c =>
           val cm = Scan.buildMask(c)
-          val ownsDim = Scan.identifiers(c, cm, 0, c.length).exists { case (tok, _, e) =>
+          val ownsDim = Scan.identifiers(c, cm, 0, c.length).exists { case (tok, ts, e) =>
             var j = e
             while (j < c.length && c.charAt(j).isWhitespace) j += 1
             val isCall = j < c.length && c.charAt(j) == '('
+            // `DATE '2023-01-01'` — a type keyword directly followed by a
+            // string literal is a typed literal, not a column named `date`;
+            // `CAST(x AS DATE)` — a token right after AS is a cast target
+            // type (reference pin-detection breadth, measures.rs:6984-7107)
+            val isTypedLiteral = j < c.length && c.charAt(j) == '\''
+            val isCastType = {
+              var k = ts - 1
+              while (k >= 0 && c.charAt(k).isWhitespace) k -= 1
+              k >= 1 && c.regionMatches(true, k - 1, "AS", 0, 2) &&
+                (k - 2 < 0 || !Scan.isIdentChar(c.charAt(k - 2)))
+            }
             // a qualifier naming another FROM table means the filter is on
             // that table's column, not this measure's dimension
             val dot = tok.indexOf('.')
             val foreignQualified = dot > 0 && !valiases.contains(tok.substring(0, dot).toLowerCase)
             val stripped = Scan.stripQual(tok, allAliases)
-            !isCall && !foreignQualified && !stripped.contains('.') &&
+            !isCall && !isTypedLiteral && !isCastType && !foreignQualified && !stripped.contains('.') &&
               (v.dimensionExprs.contains(stripped.toLowerCase) ||
                baseColumns(v.viewName.toLowerCase).contains(stripped.toLowerCase))
           }
@@ -872,7 +923,27 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     }
 
     // having / qualify / order by
-    def rewriteTail(text: String): String = {
+    /** Post-aggregation tails: ANY_VALUE(x) over a grouped output is x
+      * itself (every group key is single-valued), and Spark rejects
+      * aggregate calls in the post-join ORDER BY — strip the wrapper when
+      * the argument holds no measure call (measures.test:1215).
+      */
+    def stripAnyValue(text: String): String = {
+      val m = Scan.buildMask(text)
+      val re = "(?i)\\bany_value\\s*\\(".r
+      for (mm <- re.findAllMatchIn(text) if !m(mm.start)) {
+        val open = text.indexOf('(', mm.start)
+        val close = Scan.matchParen(text, m, open)
+        if (close > 0) {
+          val inner = text.substring(open + 1, close)
+          if (AtParser.extractCalls(inner, Scan.buildMask(inner), 0, inner.length).isEmpty)
+            return stripAnyValue(text.substring(0, mm.start) + "(" + inner + ")" + text.substring(close + 1))
+        }
+      }
+      text
+    }
+    def rewriteTail(text0: String): String = {
+      val text = stripAnyValue(text0)
       val m = Scan.buildMask(text)
       val calls = AtParser.extractCalls(text, m, 0, text.length)
       val spans = calls.map(c => (c.start, c.end, planFrame(planCall(c))))
@@ -1118,7 +1189,15 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       if (stripped != tok) Some(stripped) else None
     }
     val whereRendered = renderWithReplacements(w, spans, tokenToBase)
-    val itemsRendered = clauses.selectItems.map(i => mapTokens(i, tokenToBase)).mkString(", ")
+    // `*` (or `alias.*` on the measure view) must project the BASE relation
+    // only — a bare star over the joined shape would leak the row frames'
+    // internal __k/__v columns into the output schema
+    val itemsRendered = clauses.selectItems.map { i =>
+      val t = i.trim
+      if (t == "*") s"$baseName.*"
+      else if (t.endsWith(".*") && valiases.contains(t.dropRight(2).toLowerCase)) s"$baseName.*"
+      else mapTokens(i, tokenToBase)
+    }.mkString(", ")
     val orderRendered = clauses.orderBy.map(o => mapTokens(o, tokenToBase))
 
     val sb = new StringBuilder

@@ -247,4 +247,76 @@ class SemanticsSuite extends SparkSpec {
         |2023	EU	225
         |2023	US	225""".stripMargin)
   }
+
+  // QUALIFY must error, never be silently dropped (Spark has no QUALIFY)
+  test("QUALIFY in a measure query errors loudly") {
+    val e = intercept[GraftException](engine.sql(
+      "SELECT year, region, AGGREGATE(revenue) AS rev FROM cw_v " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY year ORDER BY rev) = 1"))
+    assert(e.getMessage.contains("QUALIFY"))
+  }
+
+  // row-level WHERE (Listing 12) with SELECT *: the star must project only
+  // the base relation, not the internal __rf frame columns
+  test("row-level WHERE with SELECT * keeps the base schema") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW rl_rows AS
+        |SELECT * FROM VALUES (1, 'a', 10.0), (2, 'a', 90.0), (3, 'b', 30.0), (4, 'b', 50.0)
+        |AS t(id, grp, amount)""".stripMargin)
+    engine.sql("CREATE VIEW rl_v AS SELECT id, grp, amount, AVG(amount) AS MEASURE avg_amt FROM rl_rows")
+    val df = engine.sql(
+      "SELECT * FROM rl_v o WHERE o.amount > o.avg_amt AT (WHERE grp = o.grp) ORDER BY id")
+    // star = the base relation's columns (measure placeholders are not rows)
+    assert(df.columns.toSeq == Seq("id", "grp", "amount"),
+      s"star leaked internal columns: ${df.columns.mkString(",")}")
+    assert(df.select("id").collect().map(_.getInt(0)).toSeq == Seq(2, 4))
+  }
+
+  // a CTE that shadows a measure-view name must win over the catalog entry
+  test("CTE shadowing a measure view name reads the CTE") {
+    val df = engine.sql(
+      """WITH cw_v AS (SELECT 42 AS answer)
+        |SELECT answer FROM cw_v""".stripMargin)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
+  }
+
+  // batch failure: a temp measure view that shadowed a permanent one is
+  // rolled back AND the permanent view's Spark temp view is re-registered
+  test("failed batch restores a shadowed permanent measure view") {
+    intercept[Exception](engine.sql(
+      """CREATE TEMP VIEW cw_v AS SELECT year, SUM(amount) AS MEASURE shadow_rev FROM cw_sales;
+        |SELECT no_such_column FROM nowhere;""".stripMargin))
+    // the permanent cw_v must still answer measure queries
+    checkGolden(engine.sql(
+      "SELECT year, AGGREGATE(revenue) AS rev FROM cw_v GROUP BY year ORDER BY year"),
+      """2022	150
+        |2023	225""".stripMargin)
+  }
+
+  // DuckDB aggregate shims: PRODUCT / ENTROPY / ordered STRING_AGG / LIST
+  // (corpus fan-out battery, measures.test:2420-2560)
+  test("PRODUCT, ENTROPY, ordered STRING_AGG and LIST shims") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW shim_rows AS
+        |SELECT * FROM VALUES (25), (30), (35), (40) AS t(age)""".stripMargin)
+    val df = engine.sql(
+      """SELECT PRODUCT(age) AS prod, ENTROPY(age) AS ent,
+        |STRING_AGG(CAST(age AS STRING), ',' ORDER BY age DESC) AS joined,
+        |LIST(age ORDER BY age) AS ages
+        |FROM shim_rows""".stripMargin)
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 1050000.0) < 1e-3, s"product = ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-9, s"entropy = ${r.getDouble(1)}")
+    assert(r.getString(2) == "40,35,30,25")
+    assert(r.getSeq[Int](3) == Seq(25, 30, 35, 40))
+  }
+
+  test("PRODUCT shim: zero and negative handling") {
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
+    val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
+    assert(math.abs(neg - (-24.0)) < 1e-9, s"product = $neg")
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz0 AS SELECT * FROM VALUES (2.0), (0.0), (4.0) AS t(x)")
+    val zero = engine.sql("SELECT PRODUCT(x) AS p FROM pz0").collect().head.getDouble(0)
+    assert(zero == 0.0)
+  }
 }

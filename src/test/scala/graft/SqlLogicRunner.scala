@@ -19,9 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
 
+  /** `errorSkips` counts `query` directives that THREW at execution —
+    * tracked apart from untranslatable-setup skips so a regression that
+    * turns passing queries into errors can be gated (a plain `skipped`
+    * ceiling would let errors hide among setup skips).
+    */
   case class Summary(var statementsOk: Int = 0, var statementErrOk: Int = 0,
                      var queriesPassed: Int = 0, var queriesFailed: Int = 0,
-                     var skipped: Int = 0,
+                     var skipped: Int = 0, var errorSkips: Int = 0,
                      val failures: mutable.ListBuffer[String] = mutable.ListBuffer())
 
   // virtual tables: name -> (colsDdl, rows)
@@ -150,6 +155,7 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
     case b: java.lang.Boolean => if (b) "true" else "false"
     case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
     case d: java.sql.Date => d.toString
+    case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ", ", "]") // DuckDB list format
     case x => x.toString
   }
 
@@ -249,6 +255,7 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
           } catch {
             case e: Exception =>
               summary.skipped += 1
+              summary.errorSkips += 1
               summary.failures += s"SKIP(error): ${sql.take(100).replaceAll("\\s+", " ")} -> ${Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption.getOrElse("")}"
           }
         }
