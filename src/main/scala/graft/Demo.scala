@@ -30,6 +30,7 @@ object Demo {
         |SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
         |       SUM(l_extendedprice * (1 - l_discount)) AS MEASURE revenue,
         |       SUM(l_quantity) AS MEASURE qty,
+        |       AVG(l_extendedprice) AS MEASURE avg_price,
         |       COUNT(DISTINCT l_partkey) AS MEASURE parts
         |FROM lineitem""".stripMargin)
 
@@ -69,8 +70,17 @@ object Demo {
       }
     }
     expectError("unknown measure", "SELECT l_returnflag, AGGREGATE(nope) FROM li_v")
-    expectError("measure call in WHERE",
+    // plain (visible-context) AGGREGATE in WHERE is circular and must error;
+    // re-contexted calls (AT ...) are supported, demoed below
+    expectError("circular visible AGGREGATE in WHERE",
       "SELECT l_returnflag, AGGREGATE(revenue) FROM li_v WHERE AGGREGATE(qty) > 5")
+    // grouped measure-predicate WHERE: rows above their group's average
+    // price, then grouped (filtered-base expansion)
+    engine.sql(
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(AGGREGATE(revenue), 2) AS rev
+        |FROM li_v o
+        |WHERE o.l_extendedprice > o.avg_price AT (WHERE l_returnflag = o.l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).show(5, truncate = false)
 
     // warnings: AT (ALL dim) over a filtered ungrouped dim
     engine.sql("SELECT l_returnflag, AGGREGATE(revenue) AT (ALL l_returnflag) AS t FROM li_v WHERE l_linestatus = 'F' GROUP BY l_returnflag").collect()

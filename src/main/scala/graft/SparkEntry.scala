@@ -200,6 +200,13 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber FROM li_rows o " +
         "WHERE o.l_quantity > o.avg_qty AT (WHERE l_returnflag = o.l_returnflag) AND o.l_orderkey <= 640 " +
         "ORDER BY l_orderkey, l_linenumber"),
+    // measure predicate in the WHERE of a GROUPED query: rows filter through
+    // the measure first (__vbase), then group; the visible context reads the
+    // filtered base (reference WHERE-position calls, measures.rs:7110-7592)
+    "m_where_grouped" -> m(
+      "SELECT l_returnflag, COUNT(*) AS n, ROUND(AGGREGATE(avg_qty), 4) AS filtered_avg " +
+        "FROM li_rows o WHERE o.l_quantity > o.avg_qty AT (WHERE l_returnflag = o.l_returnflag) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_ctas" -> ((s, dir) => {
       val e = engineFor(s, dir)
       e.sql("DROP TABLE IF EXISTS ctas_out")
@@ -542,6 +549,10 @@ object SparkEntry {
       ("SELECT o.l_orderkey, o.l_linenumber FROM lineitem o " +
         "WHERE o.l_quantity > (SELECT AVG(i.l_quantity) FROM lineitem i WHERE i.l_returnflag = o.l_returnflag) " +
         "AND o.l_orderkey <= 640 ORDER BY o.l_orderkey, o.l_linenumber"),
+    "m_where_grouped" ->
+      ("SELECT o.l_returnflag, COUNT(*) AS n, round(AVG(o.l_quantity), 4) AS filtered_avg FROM lineitem o " +
+        "WHERE o.l_quantity > (SELECT AVG(i.l_quantity) FROM lineitem i WHERE i.l_returnflag = o.l_returnflag) " +
+        "GROUP BY o.l_returnflag ORDER BY o.l_returnflag"),
     "q_exists" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)

@@ -541,14 +541,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       val rowLevelOk = singleFact && clauses.groupBy.isEmpty &&
         items.forall(_.calls.isEmpty) && !items.exists(_.kind == "plainagg") &&
         clauses.having.isEmpty
-      if (!rowLevelOk)
+      if (rowLevelOk) {
+        rejectQualify()
+        return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
+      }
+      if (!singleFact)
         throw new GraftException(
-          "AGGREGATE calls in the outer WHERE clause are only supported for ungrouped row-level queries (paper Listing 12)")
-      rejectQualify()
-      return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
+          "AGGREGATE calls in the outer WHERE clause are only supported on a single measure view")
+      // grouped single-fact query: handled below via the filtered-base CTE
     }
 
-    val anyCalls = items.exists(_.calls.nonEmpty) ||
+    val anyCalls = items.exists(_.calls.nonEmpty) || whereCalls.nonEmpty ||
       clauses.having.exists(h => AtParser.extractCalls(h, Scan.buildMask(h), 0, h.length).nonEmpty) ||
       clauses.orderBy.exists(o => AtParser.extractCalls(o, Scan.buildMask(o), 0, o.length).nonEmpty)
     if (!anyCalls) return None
@@ -725,6 +728,35 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
     val outerWhere = clauses.where
 
+    // Grouped WHERE with measure calls: base rows are filtered through
+    // row-level frames FIRST (__vbase), and the visible context reads the
+    // filtered base. (Reference: expand_aggregate_with_at handles
+    // WHERE-position calls, measures.rs:7110-7592.) Non-visible contexts
+    // (AT ALL / SET / WHERE) keep reading the unfiltered base, exactly as a
+    // plain WHERE is ignored by them today.
+    val vbaseName = s"__vbase$u"
+    val rowWhere: Option[(List[RowFrame], String)] =
+      if (whereCalls.isEmpty) None
+      else {
+        val baseName = baseCteFor(primaryView)
+        val (rframes, spans) =
+          buildRowFrames(u, baseName, primaryView, primaryAliases, allAliases, whereCalls)
+        def tokenToBase(tok: String): Option[String] = {
+          val stripped = Scan.stripQual(tok, allAliases)
+          if (stripped != tok) Some(stripped) else None
+        }
+        Some((rframes, renderWithReplacements(outerWhere.get, spans, tokenToBase)))
+      }
+    // for warning/CURRENT analysis of the WHERE text, blank the call spans
+    // (the frame machinery owns them)
+    val outerWhereAnalysis: Option[String] =
+      if (rowWhere.isEmpty) outerWhere
+      else outerWhere.map { w =>
+        val sb = new StringBuilder(w)
+        for (c <- whereCalls; i <- c.start until math.min(c.end, sb.length)) sb.setCharAt(i, ' ')
+        sb.toString
+      }
+
     def visibleFilterFor(v: MeasureView, valiases: Set[String]): Option[String] =
       outerWhere.flatMap { w =>
         if (singleFact) Some(substToBase(w, v, allAliases))
@@ -757,7 +789,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
       // SET conditions
       val setConds: List[(String, String)] = ctx.sets.map { case (dimSpec, rawExpr) =>
-        val resolved = ContextFold.resolveCurrent(rawExpr, dims.map(_.queryExpr), outerWhere)
+        val resolved = ContextFold.resolveCurrent(rawExpr, dims.map(_.queryExpr), outerWhereAnalysis)
         val innerExpr = substToBase(dimSpec, v, allAliases)
         val outerValue = mapTokens(resolved, { tok =>
           val stripped = Scan.stripQual(tok, allAliases)
@@ -768,9 +800,12 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         (innerExpr, outerValue)
       }
 
+      // with a measure-predicate WHERE, the visible context IS the filtered
+      // base CTE — the frame reads __vbase with no extra filter
+      val visibleOnVbase = rowWhere.isDefined && ctx.filter == CtxFilter.VisibleFilter
       val filterSql: Option[String] = ctx.filter match {
         case CtxFilter.NoFilter => None
-        case CtxFilter.VisibleFilter => visibleFilterFor(v, valiases)
+        case CtxFilter.VisibleFilter => if (visibleOnVbase) None else visibleFilterFor(v, valiases)
         case CtxFilter.CondFilter(c) => Some(substToBase(c, v, allAliases))
       }
 
@@ -779,7 +814,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       // (Reference: warning_for_at_all_ungrouped_where_with_qualifiers,
       // measures.rs:6984-7107.)
       val hasAllModifier = ctx.grand || ctx.removedDims.nonEmpty
-      if (hasAllModifier && ctx.filter != CtxFilter.VisibleFilter && outerWhere.isDefined) {
+      if (hasAllModifier && ctx.filter != CtxFilter.VisibleFilter && outerWhereAnalysis.isDefined) {
         // Per AND-conjunct: does the filtered expression survive into the AT
         // context — as a correlation key, a SET pin, or re-filtered inside an
         // AT (WHERE ...)? Compare at base-column level so view aliases and
@@ -796,7 +831,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           (correlate.map(d => Scan.norm(substToBase(d.queryExpr, v, allAliases))) ++
            ctx.sets.map { case (sd, _) => Scan.norm(substToBase(sd, v, allAliases)) } ++
            atWherePins).toSet
-        val w = outerWhere.get
+        val w = outerWhereAnalysis.get
         val conjuncts = splitTopAnd(w, Scan.buildMask(w))
         val dropped = conjuncts.flatMap { c =>
           val cm = Scan.buildMask(c)
@@ -868,12 +903,12 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         return s"$outerName.$col"
       }
 
-      // frame — merged per (view, keys, SETs, filter, window?) context so N
-      // measures in the same context share one shuffle
-      val baseCte = baseCteFor(v)
+      // frame — merged per (view, base CTE, keys, SETs, filter, window?)
+      // context so N measures in the same context share one shuffle
+      val baseCte = if (visibleOnVbase) vbaseName else baseCteFor(v)
       val corrKeys = correlate.map(d => substToBase(d.queryExpr, v, allAliases))
       val innerKeys = corrKeys ++ setConds.map(_._1)
-      val sig = List(v.viewName.toLowerCase,
+      val sig = List(v.viewName.toLowerCase, baseCte,
         innerKeys.map(Scan.norm).mkString("|"),
         setConds.map(s => Scan.norm(s._2)).mkString("|"),
         filterSql.map(Scan.norm).getOrElse(""), if (isWindow) "w" else "a").mkString("§")
@@ -968,6 +1003,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
     if (singleFact) baseCteFor(primaryView) // ensure base CTE exists when inline-only
     for ((name, sql) <- baseCtes) cteList += s"$name AS ($sql)"
+    // measure-predicate WHERE: row frames + the filtered base come right
+    // after the base CTEs they read
+    rowWhere.foreach { case (rframes, rendered) =>
+      for (f <- rframes) cteList += s"${f.cte} AS (${f.sql})"
+      val joins = rframes.map(f => f.joinOn match {
+        case Some(on) => s" LEFT JOIN ${f.cte} ON $on"
+        case None => s" LEFT JOIN ${f.cte} ON true"
+      }).mkString
+      val baseName = baseCteFor(primaryView)
+      cteList += s"$vbaseName AS (SELECT $baseName.* FROM $baseName$joins WHERE $rendered)"
+    }
 
     // __outer
     val outerProjections = scala.collection.mutable.ListBuffer[String]()
@@ -1044,11 +1090,13 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       }
 
     val outerFrom =
-      if (singleFact) baseCteFor(primaryView)
+      if (rowWhere.isDefined) vbaseName // the measure-predicate WHERE lives inside __vbase
+      else if (singleFact) baseCteFor(primaryView)
       else dedupJoinFrom.getOrElse(fromText)
     val outerWhereSql =
-      (if (singleFact) outerWhere.map(w => substToBase(w, primaryView, primaryAliases))
-       else outerWhere).map(w => s" WHERE $w").getOrElse("")
+      if (rowWhere.isDefined) ""
+      else (if (singleFact) outerWhere.map(w => substToBase(w, primaryView, primaryAliases))
+            else outerWhere).map(w => s" WHERE $w").getOrElse("")
     val outerGroupSql =
       if (dims.nonEmpty) {
         val keys = outerGroupKeys.mkString(", ")
@@ -1097,14 +1145,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     * (Reference: measures.test:3351-3360 via the m-AT rewrite into a
     * correlated scalar subquery.)
     */
-  private def expandRowLevel(clauses: SelectClauses, v: MeasureView,
-                             valiases: Set[String], allAliases: Set[String],
-                             calls: List[AggCall]): String = {
-    val u = uid.incrementAndGet()
-    val baseName = s"__base$u"
-    val w = clauses.where.get
+  private case class RowFrame(cte: String, sql: String, joinOn: Option[String], valueRef: String)
 
-    case class RowFrame(cte: String, sql: String, joinOn: Option[String], valueRef: String)
+  /** Plan per-row measure frames for AGGREGATE calls appearing in a WHERE
+    * clause: each call becomes a grouped frame keyed on its correlated
+    * conjuncts, left-joined against the base relation row-by-row. Shared by
+    * the ungrouped Listing-12 path and the grouped filtered-base path.
+    * Returns (frames in plan order, call spans with replacement text).
+    */
+  private def buildRowFrames(u: Int, baseName: String, v: MeasureView,
+                             valiases: Set[String], allAliases: Set[String],
+                             calls: List[AggCall]): (List[RowFrame], List[(Int, Int, String)]) = {
     var fc = -1
     val frames = scala.collection.mutable.LinkedHashMap[String, RowFrame]()
 
@@ -1184,6 +1235,16 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     }
 
     val spans = calls.map(c => (c.start, c.end, planRowCall(c)))
+    (frames.values.toList, spans)
+  }
+
+  private def expandRowLevel(clauses: SelectClauses, v: MeasureView,
+                             valiases: Set[String], allAliases: Set[String],
+                             calls: List[AggCall]): String = {
+    val u = uid.incrementAndGet()
+    val baseName = s"__base$u"
+    val w = clauses.where.get
+    val (frames, spans) = buildRowFrames(u, baseName, v, valiases, allAliases, calls)
     def tokenToBase(tok: String): Option[String] = {
       val stripped = Scan.stripQual(tok, allAliases)
       if (stripped != tok) Some(stripped) else None
@@ -1202,9 +1263,9 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
     val sb = new StringBuilder
     sb.append(s"WITH $baseName AS (${v.baseRelationSql})")
-    for ((_, f) <- frames) sb.append(s", ${f.cte} AS (${f.sql})")
+    for (f <- frames) sb.append(s", ${f.cte} AS (${f.sql})")
     sb.append(s" SELECT ${if (clauses.distinct) "DISTINCT " else ""}$itemsRendered FROM $baseName")
-    for ((_, f) <- frames) {
+    for (f <- frames) {
       f.joinOn match {
         case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
         case None => sb.append(s" LEFT JOIN ${f.cte} ON true")

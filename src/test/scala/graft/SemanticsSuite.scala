@@ -311,6 +311,41 @@ class SemanticsSuite extends SparkSpec {
     assert(r.getSeq[Int](3) == Seq(25, 30, 35, 40))
   }
 
+  // AGGREGATE in the outer WHERE of a GROUPED query: base rows are filtered
+  // through the measure predicate first, then grouped (reference:
+  // expand_aggregate_with_at WHERE-position calls, measures.rs:7110-7592)
+  test("AGGREGATE in WHERE of a grouped query filters rows before grouping") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW gw_rows AS
+        |SELECT * FROM VALUES (1, 'a', 10.0), (2, 'a', 90.0), (3, 'b', 30.0), (4, 'b', 50.0)
+        |AS t(id, grp, amount)""".stripMargin)
+    engine.sql("CREATE VIEW gw_v AS SELECT id, grp, amount, AVG(amount) AS MEASURE avg_amt FROM gw_rows")
+    // per-group averages: a=50, b=40 -> rows 2 (90>50) and 4 (50>40) survive
+    checkGolden(engine.sql(
+      """SELECT grp, COUNT(*) AS n, SUM(amount) AS total
+        |FROM gw_v o
+        |WHERE o.amount > o.avg_amt AT (WHERE grp = o.grp)
+        |GROUP BY grp ORDER BY grp""".stripMargin),
+      """a	1	90
+        |b	1	50""".stripMargin)
+    // a measure item evaluates in the VISIBLE (filtered) context
+    checkGolden(engine.sql(
+      """SELECT grp, AGGREGATE(avg_amt) AS filtered_avg
+        |FROM gw_v o
+        |WHERE o.amount > o.avg_amt AT (WHERE grp = o.grp)
+        |GROUP BY grp ORDER BY grp""".stripMargin),
+      """a	90
+        |b	50""".stripMargin)
+    // AT (ALL) still sees the UNFILTERED base, like any plain WHERE
+    checkGolden(engine.sql(
+      """SELECT grp, AGGREGATE(avg_amt) AT (ALL) AS unfiltered_avg
+        |FROM gw_v o
+        |WHERE o.amount > o.avg_amt AT (WHERE grp = o.grp)
+        |GROUP BY grp ORDER BY grp""".stripMargin),
+      """a	45
+        |b	45""".stripMargin)
+  }
+
   test("PRODUCT shim: zero and negative handling") {
     engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
     val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
