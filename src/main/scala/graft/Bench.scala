@@ -29,10 +29,24 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
+      // join strategy, measured on the 10x dataset (ProbeJoin2 grid):
+      // broadcasting a 25 MB/1.5M-row fact side costs ~4 s/run in driver
+      // collect + hash build, while a 32-partition shuffled-hash join runs
+      // in 0.97 s — so dims under 20 MB broadcast, anything bigger shuffles
+      // into parallel hash builds (sort-merge only helps pre-sorted data;
+      // at real scale AQE re-picks per stage and handles skew)
+      .config("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // the 128 MB default split puts a whole 100 MB table in ONE input
+      // partition — the scan+join+partial-agg stage then runs on one core.
+      // 8 MB splits spread the bench inputs across the 32 cores; at real
+      // scale the default is fine because files dwarf it
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

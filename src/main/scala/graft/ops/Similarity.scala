@@ -69,7 +69,15 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // centroids are fit on a bounded sample — at 100 TB a full k-means pass
+    // over the corpus would dwarf the queries it serves; ~100k rows bound the
+    // fit regardless of corpus size with no measurable recall cost
+    val maxFit = 100000L
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxFit) corpus
+      else corpus.sample(withReplacement = false, maxFit.toDouble / n, seed)
+    val train = sampled.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
     val centroids: Array[Seq[Double]] = km.clusterCenters.map(_.toArray.toSeq)
 

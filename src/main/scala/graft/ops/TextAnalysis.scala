@@ -95,15 +95,23 @@ object TextAnalysis {
     "nl" -> Seq(" de ", " het ", " een ", " van ", " en ", " niet ")
   )
 
-  /** Heuristic language ID: count function-word marker hits per language
-    * (one alternation regex per language — a single pass each, not one
-    * split per marker), pick the max; "und" when nothing hits.
+  /** Heuristic language ID in ONE regex pass: extract every marker hit with
+    * a single union alternation (longest-first so multi-word markers win),
+    * then score each language by membership of the extracted hits. The
+    * per-language HOFs run over the tiny hit array, not the document — the
+    * previous one-regex-per-language version cost 7 full text scans per row
+    * and dominated the t_analysis bench line.
     */
   def langId(text: Column): Column = {
     val lowered = lower(text)
+    val allMarkers = langMarkers.flatMap(_._2).map(_.trim).distinct.sortBy(-_.length)
+    val unionPat = "\\b(" + allMarkers.map(_.replaceAll("\\s+", "\\\\s+")).mkString("|") + ")\\b"
+    val hits = transform(
+      regexp_extract_all(lowered, lit(unionPat), lit(1)),
+      h => regexp_replace(h, "\\s+", " "))
     val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
-      val alts = markers.map(_.trim.replaceAll("\\s+", "\\\\s+")).mkString("|")
-      lang -> regexp_count(lowered, lit(s"\\b($alts)\\b"))
+      val set = markers.map(_.trim.replaceAll("\\s+", " "))
+      lang -> size(filter(hits, h => h.isin(set: _*)))
     }
     val structs = array(scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }: _*)
     val best = array_max(structs)

@@ -985,12 +985,13 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       renderWithReplacements(text, spans, dimTokenMap)
     }
     // HAVING without measure calls (plain aggregate condition) stays inside
-    // __outer; with calls it becomes a post-join filter
+    // __outer — for multi-fact queries the join FROM is __outer's input, so
+    // the raw text applies directly; with calls it becomes a post-join filter
     val (outerHaving, havingRendered) = clauses.having match {
       case Some(h) =>
         val hm = Scan.buildMask(h)
-        if (AtParser.extractCalls(h, hm, 0, h.length).isEmpty && singleFact)
-          (Some(substToBase(h, primaryView, primaryAliases)), None)
+        if (AtParser.extractCalls(h, hm, 0, h.length).isEmpty)
+          (Some(if (singleFact) substToBase(h, primaryView, primaryAliases) else h), None)
         else (None, Some(rewriteTail(h)))
       case None => (None, None)
     }

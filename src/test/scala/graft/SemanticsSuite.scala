@@ -346,6 +346,33 @@ class SemanticsSuite extends SparkSpec {
         |b	45""".stripMargin)
   }
 
+  // multi-fact join + plain-aggregate HAVING: the condition stays inside the
+  // grouped __outer over the join (previously rejected, PERF.md §5)
+  test("multi-fact HAVING with a plain aggregate") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mf_orders AS
+        |SELECT * FROM VALUES (2022, 10.0), (2022, 20.0), (2023, 5.0)
+        |AS t(yr, price)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mf_items AS
+        |SELECT * FROM VALUES (2022, 1.0), (2023, 2.0), (2023, 3.0)
+        |AS t(yr, amt)""".stripMargin)
+    engine.sql("CREATE VIEW mf_ord_v AS SELECT yr, SUM(price) AS MEASURE tp FROM mf_orders")
+    engine.sql("CREATE VIEW mf_li_v AS SELECT yr, SUM(amt) AS MEASURE ta FROM mf_items")
+    // COUNT(*) counts JOIN rows per year: 2022 -> 2x1=2, 2023 -> 1x2=2;
+    // HAVING COUNT(*) >= 2 keeps both, > 2 keeps none
+    checkGolden(engine.sql(
+      """SELECT o.yr, AGGREGATE(tp) AS tp, AGGREGATE(ta) AS ta
+        |FROM mf_ord_v o JOIN mf_li_v l ON o.yr = l.yr
+        |GROUP BY o.yr HAVING COUNT(*) >= 2 ORDER BY o.yr""".stripMargin),
+      """2022	30	1
+        |2023	5	5""".stripMargin)
+    assert(engine.sql(
+      """SELECT o.yr, AGGREGATE(tp) AS tp
+        |FROM mf_ord_v o JOIN mf_li_v l ON o.yr = l.yr
+        |GROUP BY o.yr HAVING COUNT(*) > 2""".stripMargin).count() == 0)
+  }
+
   test("PRODUCT shim: zero and negative handling") {
     engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
     val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
