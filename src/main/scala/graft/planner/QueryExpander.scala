@@ -103,9 +103,54 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val stmt = expandCurly(normalizeDots(Scan.blankComments(stmtRaw)).trim.stripSuffix(";"))
     val mask = Scan.buildMask(stmt)
     val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
-    if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
-      expandWith(stmt, mask, withPos, cteNames)
-    else expandSelect(stmt, cteNames)
+    val top =
+      if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
+        expandWith(stmt, mask, withPos, cteNames)
+      else expandSelect(stmt, cteNames)
+    // a NON-measure statement may still hold measure queries in subquery
+    // positions (EXISTS / IN / scalar / derived tables) — expand each
+    // parenthesized SELECT body recursively (reference: expand_cte_queries
+    // recursion covers subqueries, measures.rs:2113-2251)
+    top.orElse(expandSubqueries(stmt, mask, cteNames))
+  }
+
+  /** Expand measure queries nested in `( SELECT ... )` spans of a statement
+    * that is not itself a measure query. Outermost spans only — the
+    * recursive expand() call handles deeper nesting.
+    */
+  private def expandSubqueries(stmt: String, mask: Array[Boolean],
+                               cteNames: Set[String]): Option[String] = {
+    val repls = scala.collection.mutable.ListBuffer[(Int, Int, String)]()
+    var i = 0
+    while (i < stmt.length) {
+      if (!mask(i) && stmt.charAt(i) == '(') {
+        var j = i + 1
+        while (j < stmt.length && (stmt.charAt(j).isWhitespace || mask(j))) j += 1
+        val isSelect =
+          (stmt.regionMatches(true, j, "SELECT", 0, 6) &&
+            (j + 6 >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + 6)))) ||
+          (stmt.regionMatches(true, j, "WITH", 0, 4) &&
+            (j + 4 >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + 4))))
+        if (isSelect) {
+          val close = Scan.matchParen(stmt, mask, i)
+          if (close > 0) {
+            val body = stmt.substring(i + 1, close)
+            expand(body, cteNames) match {
+              case Some(e) => repls += ((i + 1, close, e))
+              case None =>
+            }
+            i = close // skip past this span (inner spans handled recursively)
+          }
+        }
+      }
+      i += 1
+    }
+    if (repls.isEmpty) None
+    else {
+      val sb = new StringBuilder(stmt)
+      for ((s, e, rep) <- repls.sortBy(-_._1)) sb.replace(s, e, rep)
+      Some(sb.toString)
+    }
   }
 
   // ---------------------------------------------------------------- CTEs

@@ -25,7 +25,7 @@ class CorpusSuite extends SparkSpec {
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
     s.failures.take(40).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 177, s"expected >=177 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 178, s"expected >=178 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips <= 4, s"query-execution errors grew: ${s.errorSkips} > 4")
   }
 

@@ -373,6 +373,26 @@ class SemanticsSuite extends SparkSpec {
         |GROUP BY o.yr HAVING COUNT(*) > 2""".stripMargin).count() == 0)
   }
 
+  // measure queries inside subquery positions of a NON-measure outer query
+  // (reference: expand_cte_queries recursion, measures.rs:2113-2251)
+  test("measure query in IN / EXISTS / derived-table subquery positions") {
+    // IN: years whose total revenue exceeds 200 -> 2023 (225) only
+    checkGolden(engine.sql(
+      """SELECT year, COUNT(*) AS n FROM cw_sales
+        |WHERE year IN (SELECT year FROM (SELECT year, AGGREGATE(revenue) AS r FROM cw_v GROUP BY year) t WHERE r > 200)
+        |GROUP BY year ORDER BY year""".stripMargin),
+      "2023\t2")
+    // EXISTS with a measure-aggregate body
+    checkGolden(engine.sql(
+      """SELECT COUNT(*) AS n FROM cw_sales
+        |WHERE EXISTS (SELECT 1 FROM (SELECT AGGREGATE(revenue) AS r FROM cw_v) t WHERE r > 300)""".stripMargin),
+      "4")
+    // derived table in FROM of a plain query
+    checkGolden(engine.sql(
+      """SELECT MAX(r) AS max_rev FROM (SELECT year, AGGREGATE(revenue) AS r FROM cw_v GROUP BY year) t""".stripMargin),
+      "225")
+  }
+
   test("PRODUCT shim: zero and negative handling") {
     engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
     val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
