@@ -148,6 +148,7 @@ final class GraftEngine(val spark: SparkSession) {
     "(?is)^\\s*SET\\s+warnings_as_errors\\s*=\\s*(true|false)\\s*;?\\s*$".r
   private val prepareRe = "(?is)^\\s*PREPARE\\s+([A-Za-z_]\\w*)\\s+AS\\s+(.*)$".r
   private val executeRe = "(?is)^\\s*EXECUTE\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val deallocRe = "(?is)^\\s*DEALLOCATE\\s+(?:PREPARE\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
   private val prepared = TrieMap.empty[String, String]
 
   private def executeStatement(stmt0: String): DataFrame = {
@@ -168,16 +169,22 @@ final class GraftEngine(val spark: SparkSession) {
         val body = prepared.getOrElse(name.toLowerCase,
           throw new GraftException(s"Unknown prepared statement: $name"))
         return executeStatement(body)
+      case deallocRe(name) =>
+        prepared.remove(name.toLowerCase)
+        return spark.emptyDataFrame
       case _ =>
     }
 
-    // DROP VIEW: sync the measure catalog first (measures.rs:7655-7661)
+    // DROP VIEW: sync the measure catalog first (measures.rs:7655-7661).
+    // CASCADE/RESTRICT are DuckDB-isms Spark's parser rejects — our views
+    // are session temp views with no dependency tracking, so both reduce to
+    // a plain drop
     MeasureDdl.dropViewName(stmt) match {
       case Some(name) =>
         catalog.drop(name)
         baseColsCache.remove(name.toLowerCase)
         batchDropped += Scan.lastPart(name).toLowerCase
-        return spark.sql(stmt)
+        return spark.sql(stmt.replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*;?\\s*$", ""))
       case None =>
     }
 

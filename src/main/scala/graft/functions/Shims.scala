@@ -33,7 +33,37 @@ object Shims {
     val step5 = rewriteOrderedAggs(step4) // before rewriteStringAgg / LIST rename
     val step6 = rewriteStringAgg(step5)
     val step7 = rewriteProductEntropy(step6)
-    renameCalls(step7)
+    val step8 = rewriteGenerateSeries(step7)
+    renameCalls(step8)
+  }
+  // NOTE: DuckDB's `main.x` schema qualifier is deliberately NOT stripped —
+  // in DuckDB it bypasses a same-named TEMP view to read the permanent one,
+  // a semantics our single-namespace temp views cannot honor; those corpus
+  // statements stay skipped rather than silently reading the wrong view.
+
+  /** `generate_series(a, b[, step]) AS t(x)` table function -> an
+    * explode(sequence(...)) derived table.
+    */
+  private def rewriteGenerateSeries(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\bgenerate_series\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val args = sql.substring(open + 1, close)
+        val aliasRe = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_]\\w*)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)".r
+        aliasRe.findFirstMatchIn(sql.substring(close + 1)) match {
+          case Some(am) =>
+            val (alias, colName) = (am.group(1), am.group(2))
+            val repl = s"(SELECT explode(sequence($args)) AS $colName) $alias"
+            return rewriteGenerateSeries(
+              sql.substring(0, m.start) + repl + sql.substring(close + 1 + am.end))
+          case None =>
+        }
+      }
+    }
+    sql
   }
 
   /** `STRING_AGG(x, sep ORDER BY y [DESC])` / `LIST(x ORDER BY y)` /

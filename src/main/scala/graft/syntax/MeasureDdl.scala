@@ -209,7 +209,7 @@ object MeasureDdl {
     * extract_drop_view_name, measures.rs:1465).
     */
   private val dropRe =
-    """(?is)^\s*DROP\s+(?:TEMPORARY\s+|TEMP\s+)?VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*|"[^"]+"|`[^`]+`)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+|TEMP\s+)?VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*|"[^"]+"|`[^`]+`)(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$""".r
   def dropViewName(sql: String): Option[String] = sql match {
     case dropRe(_, rawName) =>
       Some(rawName.stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`"))

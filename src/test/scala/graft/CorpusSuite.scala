@@ -8,6 +8,11 @@ package graft
 class CorpusSuite extends SparkSpec {
 
   private def runCorpus(file: String): SqlLogicRunner#Summary = {
+    // sqllogictest semantics: each file runs against a fresh database — drop
+    // the managed tables the previous file's CTAS batches left behind (the
+    // suites share one SparkSession)
+    for (r <- spark.sql("SHOW TABLES IN default").collect() if !r.getBoolean(2))
+      spark.sql(s"DROP TABLE IF EXISTS default.`${r.getString(1)}`")
     val engine = GraftEngine(spark)
     val runner = new SqlLogicRunner(spark, engine)
     runner.run(file)
@@ -23,9 +28,9 @@ class CorpusSuite extends SparkSpec {
     info(s"statements ok=${s.statementsOk} errOk=${s.statementErrOk} " +
       s"queries passed=${s.queriesPassed} failed=${s.queriesFailed} " +
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
-    s.failures.take(40).foreach(f => info("  " + f))
+    s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 178, s"expected >=178 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 183, s"expected >=183 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips <= 4, s"query-execution errors grew: ${s.errorSkips} > 4")
   }
 
@@ -34,9 +39,9 @@ class CorpusSuite extends SparkSpec {
     info(s"statements ok=${s.statementsOk} errOk=${s.statementErrOk} " +
       s"queries passed=${s.queriesPassed} failed=${s.queriesFailed} " +
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
-    s.failures.take(40).foreach(f => info("  " + f))
+    s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 133, s"expected >=133 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 143, s"expected >=143 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips == 0, s"query-execution errors appeared: ${s.errorSkips}")
   }
 }

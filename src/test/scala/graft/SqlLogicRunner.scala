@@ -37,7 +37,9 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
 
   private def translateType(t: String): String = {
     val u = t.trim.toUpperCase
-    if (u == "TEXT" || u == "VARCHAR") "STRING" else t.trim
+    if (u.endsWith("[]")) s"ARRAY<${translateType(u.stripSuffix("[]"))}>"
+    else if (u == "TEXT" || u == "VARCHAR") "STRING"
+    else t.trim
   }
 
   private def refreshView(name: String): Unit = {
@@ -48,12 +50,14 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $proj WHERE 1=0")
     } else {
       val proj = vt.cols.map { case (c, t) => s"CAST($c AS ${translateType(t)}) AS $c" }.mkString(", ")
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $proj FROM (SELECT * FROM VALUES ${vt.rows.mkString(", ")} AS __t($cols))")
+      // Shims translate DuckDB-isms in VALUES text ([..] array literals)
+      spark.sql(graft.functions.Shims(
+        s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT $proj FROM (SELECT * FROM VALUES ${vt.rows.mkString(", ")} AS __t($cols))"))
     }
   }
 
   private val createTableRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+|TEMP\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*$""".r
   private val insertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s*(.*?);?\s*$""".r
   private val insertSelRe =
@@ -210,6 +214,7 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
         catch {
           case e: Exception =>
             summary.skipped += 1
+            summary.failures += s"SKIP(setup): ${sql.take(90).replaceAll("\\s+", " ")} -> ${Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption.getOrElse("").take(90)}"
             // poison tables/views this statement would have created
             for (m <- "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?(?:TABLE|VIEW)\\s+([A-Za-z_]\\w*)".r.findAllMatchIn(sql))
               poisoned += m.group(1).toLowerCase
