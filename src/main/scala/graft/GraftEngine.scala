@@ -62,6 +62,7 @@ final class GraftEngine(val spark: SparkSession) {
   private val batchConsumedMat = scala.collection.mutable.Set[String]()
   private val batchSelectRefs = scala.collection.mutable.Set[String]()
   private val batchDropped = scala.collection.mutable.Set[String]()
+  private var batchSnapshot: Map[String, MeasureView] = Map.empty
   private var stmtMaterializing = false
 
   private val expander = new QueryExpander(catalog, baseColsOf,
@@ -83,6 +84,7 @@ final class GraftEngine(val spark: SparkSession) {
   def sql(text: String): DataFrame = {
     val stmts = Scan.splitStatements(text)
     val snap = catalog.snapshot()
+    batchSnapshot = snap
     batchTempCreated.clear()
     batchConsumedMat.clear()
     batchSelectRefs.clear()
@@ -181,10 +183,24 @@ final class GraftEngine(val spark: SparkSession) {
     // a plain drop
     MeasureDdl.dropViewName(stmt) match {
       case Some(name) =>
+        val lname = Scan.lastPart(name).toLowerCase
         catalog.drop(name)
         baseColsCache.remove(name.toLowerCase)
-        batchDropped += Scan.lastPart(name).toLowerCase
-        return spark.sql(stmt.replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*;?\\s*$", ""))
+        batchDropped += lname
+        val res = spark.sql(stmt.replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*;?\\s*$", ""))
+        // mid-batch reveal: dropping a batch-created TEMP view un-shadows the
+        // permanent view it replaced — later statements in the same batch
+        // read the permanent again (reference batch semantics)
+        if (batchTempCreated.remove(lname)) {
+          batchSnapshot.get(lname) match {
+            case Some(prev) if !prev.temporary =>
+              catalog.register(prev)
+              if (prev.cleanViewSql.nonEmpty) spark.sql(prev.cleanViewSql)
+              batchDropped -= lname
+            case _ =>
+          }
+        }
+        return res
       case None =>
     }
 
@@ -292,8 +308,9 @@ final class GraftEngine(val spark: SparkSession) {
       .getOrElse(if (needsGroupByAll) " GROUP BY ALL" else "")
     val whereSql = p.clauses.where.map(w => s" WHERE $w").getOrElse("")
     val fromSql = p.clauses.from.map(f => s" FROM $f").getOrElse("")
+    val ctePfx = if (p.ctePrefix.isEmpty) "" else p.ctePrefix + " "
     val cleanSql =
-      s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS SELECT ${cleanItems.mkString(", ")}$fromSql$whereSql$groupSql"
+      s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS ${ctePfx}SELECT ${cleanItems.mkString(", ")}$fromSql$whereSql$groupSql"
 
     val prev = catalog.snapshot()
     try {

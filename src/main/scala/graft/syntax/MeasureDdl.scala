@@ -19,7 +19,10 @@ final case class ParsedMeasureView(
     baseRelationSql: String,
     dimensionExprs: Map[String, String],
     dimensionOrder: Seq[String],
-    groupByCols: Seq[String]
+    groupByCols: Seq[String],
+    // leading `WITH ctes` prefix of the view body ("" when none) — prepended
+    // to both the clean view and the base relation
+    ctePrefix: String = ""
 ) {
   def measures: Seq[ViewMeasure] = items.collect { case Right(m) => m }
 }
@@ -132,6 +135,10 @@ object MeasureDdl {
           val close = Scan.matchParen(body, m, 0)
           if (close == body.length - 1) body = body.substring(1, close).trim
         }
+        // a leading CTE list stays attached to both the clean view and the
+        // base relation (reference: CTE-bodied measure views)
+        val (ctePrefix, mainBody) = splitWithPrefix(body)
+        body = mainBody
         val clauses = SqlClauses.parse(body).getOrElse(return None)
 
         // collect measure names first (two-pass, for derived classification)
@@ -148,12 +155,13 @@ object MeasureDdl {
 
         // base relation: SELECT * FROM <from> [WHERE <where>]
         // set-op bodies get wrapped whole (measures.rs:2645-2650)
+        val pfx = if (ctePrefix.isEmpty) "" else ctePrefix + " "
         val baseRelationSql =
-          if (clauses.hasSetOp) s"SELECT * FROM ( $body ) __setop"
+          if (clauses.hasSetOp) s"${pfx}SELECT * FROM ( $body ) __setop"
           else {
             val f = clauses.from.getOrElse(return None)
             val w = clauses.where.map(w => s" WHERE $w").getOrElse("")
-            s"SELECT * FROM $f$w"
+            s"${pfx}SELECT * FROM $f$w"
           }
 
         // dimension exprs: every non-measure select item alias -> expr
@@ -183,10 +191,52 @@ object MeasureDdl {
           baseRelationSql = baseRelationSql,
           dimensionExprs = dimensionExprs,
           dimensionOrder = dimensionOrder,
-          groupByCols = groupByCols
+          groupByCols = groupByCols,
+          ctePrefix = ctePrefix
         ))
       case _ => None
     }
+  }
+
+  /** Split a leading `WITH name [cols] AS (...) [, ...]` CTE list off a view
+    * body; returns ("", body) when there is none or it cannot be scanned.
+    */
+  private def splitWithPrefix(body: String): (String, String) = {
+    val mask = Scan.buildMask(body)
+    var i = 0
+    def skipWs(): Unit = { while (i < body.length && (body.charAt(i).isWhitespace || mask(i))) i += 1 }
+    skipWs()
+    if (!body.regionMatches(true, i, "WITH", 0, 4) ||
+        (i + 4 < body.length && Scan.isIdentChar(body.charAt(i + 4)))) return ("", body)
+    i += 4
+    skipWs()
+    if (body.regionMatches(true, i, "RECURSIVE", 0, 9)) { i += 9; skipWs() }
+    var ok = true
+    var parsing = true
+    while (parsing && ok) {
+      skipWs()
+      val ns = i
+      while (i < body.length && Scan.isIdentChar(body.charAt(i))) i += 1
+      if (i == ns) ok = false
+      else {
+        skipWs()
+        if (i < body.length && body.charAt(i) == '(') { // column list
+          val c = Scan.matchParen(body, mask, i)
+          if (c < 0) ok = false else { i = c + 1; skipWs() }
+        }
+        if (ok && body.regionMatches(true, i, "AS", 0, 2) &&
+            (i + 2 >= body.length || !Scan.isIdentChar(body.charAt(i + 2)))) { i += 2; skipWs() }
+        else ok = false
+        if (ok && i < body.length && body.charAt(i) == '(') {
+          val c = Scan.matchParen(body, mask, i)
+          if (c < 0) ok = false else { i = c + 1; skipWs() }
+        } else ok = false
+        if (ok) {
+          if (i < body.length && body.charAt(i) == ',') i += 1 else parsing = false
+        }
+      }
+    }
+    if (!ok) ("", body) else (body.substring(0, i).trim, body.substring(i).trim)
   }
 
   /** "expr AS MEASURE name" -> Some((expr, name)). */

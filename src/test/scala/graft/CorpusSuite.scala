@@ -30,7 +30,7 @@ class CorpusSuite extends SparkSpec {
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 183, s"expected >=183 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 185, s"expected >=185 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips <= 4, s"query-execution errors grew: ${s.errorSkips} > 4")
   }
 
@@ -41,7 +41,7 @@ class CorpusSuite extends SparkSpec {
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 143, s"expected >=143 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 144, s"expected >=144 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips == 0, s"query-execution errors appeared: ${s.errorSkips}")
   }
 }
