@@ -78,6 +78,18 @@ object SparkEntry {
           |SELECT l_shipdate, l_returnflag, l_quantity,
           |  SUM(l_extendedprice * (1 - l_discount)) AS MEASURE raw_rev
           |FROM lineitem""".stripMargin)
+      // statistical / boolean / bitwise aggregate surface (reference fan-out
+      // battery: BOOL_AND/BOOL_OR/BIT_XOR/moments, measures.test:2480-2600)
+      e.sql(
+        """CREATE VIEW stat_v AS
+          |SELECT l_returnflag,
+          |  CORR(l_quantity, l_extendedprice) AS MEASURE qp_corr,
+          |  COVAR_SAMP(l_quantity, l_extendedprice) AS MEASURE qp_covar,
+          |  REGR_SLOPE(l_extendedprice, l_quantity) AS MEASURE price_slope,
+          |  BOOL_AND(l_quantity > 5) AS MEASURE all_big,
+          |  BOOL_OR(l_discount > 0.09) AS MEASURE any_bigdisc,
+          |  BIT_XOR(l_partkey) AS MEASURE key_xor
+          |FROM lineitem""".stripMargin)
       // ordered-set aggregates + deterministic FIRST/LAST-style measures
       // (reference: ordered_set_v battery, measures.test:2908-2960)
       e.sql(
@@ -242,6 +254,16 @@ object SparkEntry {
       "SELECT l_returnflag, ROUND(AGGREGATE(q50d_qty), 2) AS q50d_qty FROM pct_v ORDER BY l_returnflag"),
     // FIRST/LAST-style measures made deterministic via MIN_BY/MAX_BY on a
     // unique ordering key
+    "m_corr" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(qp_corr), 6) AS qp_corr, ROUND(AGGREGATE(qp_covar), 4) AS qp_covar " +
+        "FROM stat_v ORDER BY l_returnflag"),
+    "m_regr_slope" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(price_slope), 6) AS price_slope FROM stat_v ORDER BY l_returnflag"),
+    "m_bool" -> m(
+      "SELECT l_returnflag, AGGREGATE(all_big) AS all_big, AGGREGATE(any_bigdisc) AS any_bigdisc " +
+        "FROM stat_v ORDER BY l_returnflag"),
+    "m_bitxor" -> m(
+      "SELECT l_returnflag, AGGREGATE(key_xor) AS key_xor FROM stat_v ORDER BY l_returnflag"),
     "m_first" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(first_price), 2) AS first_price FROM pct_v ORDER BY l_returnflag"),
     "m_last" -> m(
@@ -523,6 +545,19 @@ object SparkEntry {
     "m_quantile_disc" ->
       ("SELECT l_returnflag, round(quantile_disc(l_quantity, 0.5), 2) AS q50d_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_corr" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qp_corr, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_regr_slope" ->
+      ("SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 6) AS price_slope " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_bool" ->
+      ("SELECT l_returnflag, bool_and(l_quantity > 5) AS all_big, bool_or(l_discount > 0.09) AS any_bigdisc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_bitxor" ->
+      ("SELECT l_returnflag, bit_xor(l_partkey) AS key_xor FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_first" ->
       ("SELECT l_returnflag, round(min_by(l_extendedprice, l_orderkey * 10 + l_linenumber), 2) AS first_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
