@@ -60,4 +60,15 @@ class PlanAuditSuite extends SparkSpec {
     val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(pushed.contains("l_linestatus"), s"filter not pushed to scan: $pushed\nplan:\n$p")
   }
+
+  test("rank<=k filter triggers WindowGroupLimit (per-partition top-k before the sort)") {
+    val p = planOf(
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3""".stripMargin)
+    assert(p.contains("WindowGroupLimit"),
+      s"expected Spark's WindowGroupLimit pushdown of the rank filter, got:\n$p")
+  }
 }
