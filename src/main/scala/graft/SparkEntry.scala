@@ -365,6 +365,7 @@ object SparkEntry {
       val d = docs(s, dir)
       d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
         length(col("text")).cast("long").as("len_chars"))
         .orderBy("doc_id")
@@ -386,6 +387,12 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")),
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 12)
+        .orderBy("doc_id_a", "doc_id_b")),
+    // exact inverted-index n-gram Jaccard — same oracle as d_minhash (both
+    // must produce the exact pair set; the ALGORITHMS differ: probabilistic
+    // banded LSH vs exact shared-token join)
+    "d_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7)
         .orderBy("doc_id_a", "doc_id_b")),
     "d_embed_neardup" -> ((s, dir) =>
       // testdata embeddings are random (max pairwise cosine ~0.48), so the
@@ -654,11 +661,29 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "t_tokens" ->
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
         "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
     // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles
     // tokenization byte-for-byte; the sf0.01 similarity spectrum is empty in
-    // [0.3, 0.9) so the LSH candidate stage has provably full recall at 0.7
+    // [0.3, 0.9) so the LSH candidate stage has provably full recall at 0.7.
+    // d_ngram (the exact inverted-index algorithm) must match the same set.
+    "d_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w
+        |)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "d_minhash" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words

@@ -136,14 +136,44 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity between all same-bucket pairs where the
-    * bucket is the exact fingerprint of the first shingle — a cheap
-    * prefix-blocked exact-Jaccard variant for short docs. For the general
-    * case use minhashNearDuplicates.
+  /** EXACT n-gram Jaccard near-duplicates via an inverted shingle index:
+    * explode shingles, self-join on the shingle token (so only pairs that
+    * actually share a shingle are generated — never all pairs), count common
+    * shingles per pair, then jaccard = common / (|a| + |b| - common).
+    *
+    * Scale shape: the shuffle key is the shingle; `maxDocFreq` drops
+    * boilerplate shingles that appear in more than N docs, which bounds the
+    * per-token pair fan-out (a shingle in k docs emits k² pairs). With the
+    * cap disabled the result is fully exact; with it, pairs whose ONLY
+    * shared shingles are boilerplate are missed — the standard
+    * positional-filter trade. Contrast minhashNearDuplicates: that is the
+    * probabilistic index (k hashes per doc regardless of length); this is
+    * the exact one (work proportional to shared-token fan-out).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        threshold: Double = 0.5, w: Int = 3): DataFrame =
-    minhashNearDuplicates(df, textCol, idCol, threshold, bands = 8, rows = 2)
+                        threshold: Double = 0.5, w: Int = 3,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), w).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .persist()
+    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("__n"))
+    val tok = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
+    val freq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("__s")
+    val tokF = tok.join(freq, "__s")
+    val common = tokF.select(col("__s"), col("doc_id").as("doc_id_a"))
+      .join(tokF.select(col("__s"), col("doc_id").as("doc_id_b")), Seq("__s"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("__n").as("__na")), Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("__n").as("__nb")), Seq("doc_id_b"))
+      .withColumn("jaccard", round(col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
 
   // -------------------------------------------------------------- simhash
 

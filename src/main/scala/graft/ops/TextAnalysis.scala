@@ -16,14 +16,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
-  /** BPE-ish subword count: splits on word boundaries / punctuation /
-    * digit runs, the usual pre-tokenizer shape (~chars/4 heuristic blended
-    * with word count is a common proxy; we count regex pieces exactly).
+  /** BPE-ish subword count: the standard pre-tokenizer piece alphabet —
+    * letter runs, digit runs, and single punctuation marks each count as one
+    * piece. One regexp_count pass (the pattern is lookaround-free, so it is
+    * also expressible in RE2-based engines for oracle checks).
     */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=[\\p{Punct}\\s])|(?<=[\\p{Punct}\\s])|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"),
-      c => length(trim(c)) > 0))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Quality signals: length, punctuation ratio, digit ratio, uppercase
     * ratio, mean word length, stopword-ish ratio (top English function
