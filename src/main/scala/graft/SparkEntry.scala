@@ -436,6 +436,12 @@ object SparkEntry {
       TextAnalysis.analyze(docs(s, dir))
         .select("doc_id", "lang_pred", "doc_fingerprint")
         .orderBy("doc_id")),
+    // winnowing (rolling-hash) fingerprint sets — xxhash64-based, so
+    // rows-only; overlap behavior is gated in PipelineGatesSuite
+    "t_winnow" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))
+        .orderBy("doc_id")),
     "mm_media_meta" -> ((s, dir) =>
       Multimodal.demoMediaTable(docs(s, dir))
         .select(col("doc_id"), col("media_meta.media_type"), col("media_meta.width"),

@@ -123,6 +123,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every char
+    * k-gram of the normalized text (the rolling-hash step — xxhash64 per
+    * k-gram substring, constant work per position), then keep the MINIMUM
+    * hash of every sliding window of `window` consecutive k-grams, distinct.
+    * Guarantees: any shared substring of length >= k + window - 1 yields at
+    * least one shared fingerprint — the standard near-dup/plagiarism
+    * fingerprint set, orders of magnitude smaller than the k-gram set.
+    * Per-row narrow computation (no shuffle); pairs are then matched by
+    * exploding the (small) fingerprint sets and joining on the fingerprint.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val n = length(norm)
+    // k-gram hashes at positions 1..n-k+1
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(k))))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - window, lit(0))),
+      w => array_min(slice(grams, w + 1, lit(window)))))
+  }
+
   /** Convenience: attach all analysis columns to a documents frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -108,6 +108,26 @@ class PipelineGatesSuite extends SparkSpec {
     assert(got == knnTruth)
   }
 
+  test("winnowing fingerprints: planted near-dups overlap, random pairs do not") {
+    // k=16: the synthetic corpus has a tiny vocabulary, so short grams
+    // collide across unrelated docs; 16-char grams separate cleanly
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k = 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Long, b: Long): Double =
+      (fps(a) & fps(b)).size.toDouble / math.max(1, math.min(fps(a).size, fps(b).size))
+    val planted = exactJaccard.filter(_._2 >= 0.9).keySet
+    val plantedOverlap = planted.toSeq.map { case (a, b) => overlap(a, b) }
+    info(s"planted mean overlap = ${plantedOverlap.sum / plantedOverlap.size}")
+    assert(plantedOverlap.forall(_ >= 0.5),
+      s"planted pair with low fingerprint overlap: ${plantedOverlap.min}")
+    // random (non-near-dup) pairs share (almost) nothing
+    val ids = fps.keys.toSeq.sorted.take(40)
+    val randomPairs = for (a <- ids; b <- ids if a < b && !planted((a, b))) yield overlap(a, b)
+    info(s"random mean overlap = ${randomPairs.sum / randomPairs.size}")
+    assert(randomPairs.sum / randomPairs.size <= 0.05)
+  }
+
   // the testdata `lang` label is uncorrelated with the text (every doc uses
   // the same synthetic English-ish vocabulary), so accuracy-vs-label is not
   // a meaningful gate — langId is tested on genuine sentences instead
