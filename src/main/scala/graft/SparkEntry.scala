@@ -667,7 +667,7 @@ object SparkEntry {
         "FROM documents GROUP BY source ORDER BY source"),
     "t_tokens" ->
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords, " +
+        "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
         "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
     // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles

@@ -84,26 +84,41 @@ object Shims {
         val ob = Scan.findTopLevelSeq(inner, im, Seq("ORDER", "BY"), 0, inner.length)
         if (ob != null) {
           val argsText = inner.substring(0, ob._1).trim
-          var orderText = inner.substring(ob._2).trim
-          var asc = true
-          if (orderText.toUpperCase.endsWith(" DESC")) {
-            asc = false; orderText = orderText.substring(0, orderText.length - 5).trim
-          } else if (orderText.toUpperCase.endsWith(" ASC"))
-            orderText = orderText.substring(0, orderText.length - 4).trim
-          val am = Scan.buildMask(argsText)
-          val parts = Scan.splitTopLevel(argsText, am, ',', 0, argsText.length)
-            .map { case (s, e) => argsText.substring(s, e).trim }
-          val x = parts.headOption.getOrElse("")
-          val sortedArr =
-            s"transform(sort_array(collect_list(struct(($orderText) AS __o, ($x) AS __x)), $asc), s -> s.__x)"
-          val repl = fn match {
-            case "string_agg" =>
-              val sep = if (parts.length > 1) parts(1) else "','"
-              s"array_join($sortedArr, $sep)"
-            case _ => sortedArr
+          val orderText = inner.substring(ob._2).trim
+          // parse the key list: per-key optional ASC/DESC; NULLS FIRST/LAST
+          // and mixed directions are out of scope for the struct-sort trick
+          // (sort_array takes one direction) — leave those unrewritten
+          val om = Scan.buildMask(orderText)
+          val keysRaw = Scan.splitTopLevel(orderText, om, ',', 0, orderText.length)
+            .map { case (s, e) => orderText.substring(s, e).trim }
+          val parsedKeys = keysRaw.map { k =>
+            val u = k.toUpperCase
+            if (u.contains("NULLS")) None
+            else if (u.endsWith(" DESC")) Some((k.substring(0, k.length - 5).trim, false))
+            else if (u.endsWith(" ASC")) Some((k.substring(0, k.length - 4).trim, true))
+            else Some((k, true))
           }
-          if (x.nonEmpty)
-            return rewriteOrderedAggs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+          val supported = parsedKeys.forall(_.isDefined) &&
+            parsedKeys.flatten.map(_._2).distinct.lengthCompare(1) == 0
+          if (supported && parsedKeys.nonEmpty) {
+            val keys = parsedKeys.flatten
+            val asc = keys.head._2
+            val am = Scan.buildMask(argsText)
+            val parts = Scan.splitTopLevel(argsText, am, ',', 0, argsText.length)
+              .map { case (s, e) => argsText.substring(s, e).trim }
+            val x = parts.headOption.getOrElse("")
+            val keyFields = keys.zipWithIndex.map { case ((k, _), i) => s"($k) AS __o$i" }.mkString(", ")
+            val sortedArr =
+              s"transform(sort_array(collect_list(struct($keyFields, ($x) AS __x)), $asc), s -> s.__x)"
+            val repl = fn match {
+              case "string_agg" =>
+                val sep = if (parts.length > 1) parts(1) else "','"
+                s"array_join($sortedArr, $sep)"
+              case _ => sortedArr
+            }
+            if (x.nonEmpty)
+              return rewriteOrderedAggs(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+          }
         }
       }
     }
@@ -213,16 +228,21 @@ object Shims {
       if (close > 0) {
         val inner = sql.substring(open + 1, close)
         val im = Scan.buildMask(inner)
-        val parts = Scan.splitTopLevel(inner, im, ',', 0, inner.length)
-          .map { case (s, e) => inner.substring(s, e).trim }
-        val (x, sep) = parts match {
-          case a :: Nil => (a, "','")
-          case a :: b :: Nil => (a, b)
-          case _ => (null, null)
+        // ordered forms are rewriteOrderedAggs' job; an unsupported ordered
+        // form (NULLS/mixed directions) must not be garbled here — leave it
+        // for Spark to reject with the original text
+        if (Scan.findTopLevelSeq(inner, im, Seq("ORDER", "BY"), 0, inner.length) == null) {
+          val parts = Scan.splitTopLevel(inner, im, ',', 0, inner.length)
+            .map { case (s, e) => inner.substring(s, e).trim }
+          val (x, sep) = parts match {
+            case a :: Nil => (a, "','")
+            case a :: b :: Nil => (a, b)
+            case _ => (null, null)
+          }
+          if (x != null)
+            return rewriteStringAgg(sql.substring(0, m.start) +
+              s"array_join(collect_list($x), $sep)" + sql.substring(close + 1))
         }
-        if (x != null)
-          return rewriteStringAgg(sql.substring(0, m.start) +
-            s"array_join(collect_list($x), $sep)" + sql.substring(close + 1))
       }
     }
     sql

@@ -143,24 +143,26 @@ object Dedup {
     *
     * Scale shape: the shuffle key is the shingle; `maxDocFreq` drops
     * boilerplate shingles that appear in more than N docs, which bounds the
-    * per-token pair fan-out (a shingle in k docs emits k² pairs). With the
-    * cap disabled the result is fully exact; with it, pairs whose ONLY
-    * shared shingles are boilerplate are missed — the standard
-    * positional-filter trade. Contrast minhashNearDuplicates: that is the
-    * probabilistic index (k hashes per doc regardless of length); this is
-    * the exact one (work proportional to shared-token fan-out).
+    * per-token pair fan-out (a shingle in k docs emits k² pairs). Both the
+    * intersection AND the set sizes are computed over the same capped
+    * universe, so the jaccard is exact over non-boilerplate shingles — and
+    * fully exact when no shingle exceeds the cap. Contrast
+    * minhashNearDuplicates: that is the probabilistic index (k hashes per
+    * doc regardless of length); this is the exact one (work proportional to
+    * shared-token fan-out).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         threshold: Double = 0.5, w: Int = 3,
                         maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), w).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .persist()
-    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("__n"))
     val tok = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
     val freq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select("__s")
-    val tokF = tok.join(freq, "__s")
+    // sizes measured over the SAME capped universe as the intersection —
+    // mismatched universes would silently underestimate jaccard
+    val tokF = tok.join(freq, "__s").persist()
+    val sizes = tokF.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val common = tokF.select(col("__s"), col("doc_id").as("doc_id_a"))
       .join(tokF.select(col("__s"), col("doc_id").as("doc_id_b")), Seq("__s"))
       .filter(col("doc_id_a") < col("doc_id_b"))

@@ -71,7 +71,12 @@ object Similarity {
 
     // centroids are fit on a bounded sample — at 100 TB a full k-means pass
     // over the corpus would dwarf the queries it serves; ~100k rows bound the
-    // fit regardless of corpus size with no measurable recall cost
+    // fit regardless of corpus size with no measurable recall cost. The
+    // count() that sizes the sample fraction reads zero columns (metadata
+    // row counts on columnar sources) and the index build it gates is a
+    // one-time cost amortized over every query the index serves; an
+    // unconditional limit() would instead bias the fit to the first
+    // partitions, which is wrong on sorted/clustered inputs.
     val maxFit = 100000L
     val n = corpus.count()
     val sampled =

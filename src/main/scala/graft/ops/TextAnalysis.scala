@@ -17,12 +17,14 @@ object TextAnalysis {
     size(split(trim(text), "\\s+"))
 
   /** BPE-ish subword count: the standard pre-tokenizer piece alphabet —
-    * letter runs, digit runs, and single punctuation marks each count as one
-    * piece. One regexp_count pass (the pattern is lookaround-free, so it is
-    * also expressible in RE2-based engines for oracle checks).
+    * letter runs, digit runs, and single punctuation/symbol marks each count
+    * as one piece. Unicode classes (`\p{L}`/`\p{N}`) so accented and
+    * non-Latin words count as one run, not one piece per character; the
+    * pattern is lookaround-free, so it is also expressible in RE2-based
+    * engines for oracle checks.
     */
   def subwordCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
   /** Quality signals: length, punctuation ratio, digit ratio, uppercase
     * ratio, mean word length, stopword-ish ratio (top English function
@@ -94,23 +96,30 @@ object TextAnalysis {
     "nl" -> Seq(" de ", " het ", " een ", " van ", " en ", " niet ")
   )
 
-  /** Heuristic language ID in ONE regex pass: extract every marker hit with
-    * a single union alternation (longest-first so multi-word markers win),
-    * then score each language by membership of the extracted hits. The
-    * per-language HOFs run over the tiny hit array, not the document — the
-    * previous one-regex-per-language version cost 7 full text scans per row
-    * and dominated the t_analysis bench line.
+  /** Heuristic language ID in TWO regex passes instead of one per language:
+    * every SINGLE-word marker goes into one union-alternation
+    * `regexp_extract_all` (single words are \b-delimited, so the union scan
+    * counts exactly what per-language scans would), and each MULTI-word
+    * marker keeps its own `regexp_count` — folding them into the union would
+    * let e.g. the Spanish "de la" swallow the French "la" in the
+    * non-overlapping scan and flip predictions. Per-language scoring is then
+    * membership counting over the tiny hit array, not the document — the
+    * one-regex-per-language version this replaces cost 7 full text scans per
+    * row and dominated the t_analysis bench line.
     */
   def langId(text: Column): Column = {
     val lowered = lower(text)
-    val allMarkers = langMarkers.flatMap(_._2).map(_.trim).distinct.sortBy(-_.length)
-    val unionPat = "\\b(" + allMarkers.map(_.replaceAll("\\s+", "\\\\s+")).mkString("|") + ")\\b"
-    val hits = transform(
-      regexp_extract_all(lowered, lit(unionPat), lit(1)),
-      h => regexp_replace(h, "\\s+", " "))
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
-      val set = markers.map(_.trim.replaceAll("\\s+", " "))
-      lang -> size(filter(hits, h => h.isin(set: _*)))
+    val trimmed = langMarkers.map { case (l, ms) => l -> ms.map(_.trim.replaceAll("\\s+", " ")) }
+    val single = trimmed.flatMap(_._2).distinct.filterNot(_.contains(' '))
+    val unionPat = "\\b(" + single.mkString("|") + ")\\b"
+    val hits = regexp_extract_all(lowered, lit(unionPat), lit(1))
+    val scores: Seq[(String, Column)] = trimmed.map { case (lang, markers) =>
+      val (multi, sing) = markers.partition(_.contains(' '))
+      val singleScore = size(filter(hits, h => h.isin(sing: _*)))
+      val score = multi.foldLeft(singleScore) { (acc, m) =>
+        acc + regexp_count(lowered, lit("\\b(" + m.replaceAll("\\s+", "\\\\s+") + ")\\b"))
+      }
+      lang -> score
     }
     val structs = array(scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }: _*)
     val best = array_max(structs)
@@ -124,14 +133,16 @@ object TextAnalysis {
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every char
-    * k-gram of the normalized text (the rolling-hash step — xxhash64 per
-    * k-gram substring, constant work per position), then keep the MINIMUM
-    * hash of every sliding window of `window` consecutive k-grams, distinct.
-    * Guarantees: any shared substring of length >= k + window - 1 yields at
-    * least one shared fingerprint — the standard near-dup/plagiarism
-    * fingerprint set, orders of magnitude smaller than the k-gram set.
-    * Per-row narrow computation (no shuffle); pairs are then matched by
-    * exploding the (small) fingerprint sets and joining on the fingerprint.
+    * k-gram of the normalized text (O(k) per position here — xxhash64 of the
+    * k-char substring; a true rolling hash would be O(1)/position but needs
+    * a custom Expression), then keep the MINIMUM hash of every sliding
+    * window of `window` consecutive k-grams, distinct. Guarantees: any
+    * shared substring of length >= k + window - 1 yields at least one shared
+    * fingerprint — the standard near-dup/plagiarism fingerprint set, orders
+    * of magnitude smaller than the k-gram set. Text shorter than k yields an
+    * EMPTY set (never a padded pseudo-gram). Per-row narrow computation (no
+    * shuffle); pairs are then matched by exploding the (small) fingerprint
+    * sets and joining on the fingerprint.
     */
   def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
@@ -140,9 +151,10 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(n - (k - 1), lit(1))),
       i => xxhash64(norm.substr(i, lit(k))))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(grams) - window, lit(0))),
-      w => array_min(slice(grams, w + 1, lit(window)))))
+    when(n < k, array().cast("array<bigint>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(grams) - window, lit(0))),
+        w => array_min(slice(grams, w + 1, lit(window))))))
   }
 
   /** Convenience: attach all analysis columns to a documents frame. */

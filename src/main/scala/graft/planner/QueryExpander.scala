@@ -103,15 +103,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val stmt = expandCurly(normalizeDots(Scan.blankComments(stmtRaw)).trim.stripSuffix(";"))
     val mask = Scan.buildMask(stmt)
     val withPos = Scan.findTopLevelWord(stmt, mask, "WITH", 0, stmt.length)
-    val top =
-      if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
-        expandWith(stmt, mask, withPos, cteNames)
-      else expandSelect(stmt, cteNames)
-    // a NON-measure statement may still hold measure queries in subquery
-    // positions (EXISTS / IN / scalar / derived tables) — expand each
-    // parenthesized SELECT body recursively (reference: expand_cte_queries
-    // recursion covers subqueries, measures.rs:2113-2251)
-    top.orElse(expandSubqueries(stmt, mask, cteNames))
+    if (withPos >= 0 && stmt.substring(0, withPos).trim.isEmpty)
+      // expandWith recurses into every CTE body and the main query with the
+      // correct accumulated CTE scope — rescanning the whole WITH here would
+      // resolve CTE-shadowed names against the catalog again
+      expandWith(stmt, mask, withPos, cteNames)
+    else
+      // a NON-measure statement may still hold measure queries in subquery
+      // positions (EXISTS / IN / scalar / derived tables) — expand each
+      // parenthesized SELECT body recursively (reference: expand_cte_queries
+      // recursion covers subqueries, measures.rs:2113-2251)
+      expandSelect(stmt, cteNames).orElse(expandSubqueries(stmt, mask, cteNames))
   }
 
   /** Expand measure queries nested in `( SELECT ... )` spans of a statement

@@ -393,6 +393,26 @@ class SemanticsSuite extends SparkSpec {
       "225")
   }
 
+  // review regression: the subquery fallback must not rescan a WITH
+  // statement with the OUTER scope — a CTE shadowing a measure-view name
+  // must shadow it inside subqueries too
+  test("CTE shadowing holds inside subqueries of the same WITH") {
+    val df = engine.sql(
+      """WITH cw_v AS (SELECT 2022 AS year, 1.0 AS revenue)
+        |SELECT year FROM cw_sales WHERE year IN (SELECT year FROM cw_v) GROUP BY year""".stripMargin)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2022))
+  }
+
+  test("ordered STRING_AGG with multiple keys and same direction") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW osa_rows AS
+        |SELECT * FROM VALUES (1, 2, 'b'), (1, 1, 'a'), (2, 0, 'c') AS t(g, o, v)""".stripMargin)
+    val r = engine.sql(
+      "SELECT STRING_AGG(v, ',' ORDER BY g DESC, o DESC) AS joined FROM osa_rows")
+      .collect().head.getString(0)
+    assert(r == "c,b,a", s"got $r")
+  }
+
   test("PRODUCT shim: zero and negative handling") {
     engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
     val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
