@@ -394,6 +394,18 @@ object SparkEntry {
     "d_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7)
         .orderBy("doc_id_a", "doc_id_b")),
+    // cluster formation over the exact pair list (min-label propagation);
+    // oracle = DuckDB recursive-CTE reachability over the same pairs
+    "d_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+    // the canonical-keeper step: corpus minus every doc that shares a
+    // cluster with a lower-id doc
+    "d_cluster_dedup" -> ((s, dir) =>
+      Dedup.dedupByPairs(docs(s, dir), Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7))
+        .select(col("doc_id"))
+        .orderBy("doc_id")),
     "d_embed_neardup" -> ((s, dir) =>
       // testdata embeddings are random (max pairwise cosine ~0.48), so the
       // demo threshold sits in the observable tail; rows-only (LSH recall is
@@ -706,6 +718,53 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // connected components over the exact-jaccard pair list: recursive
+    // reachability, component = min reachable doc_id (matches the engine's
+    // min-label propagation fixpoint by definition)
+    "d_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w
+        |), p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |), e AS (
+        |  SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+        |), reach AS (
+        |  SELECT u AS id, u AS comp FROM e
+        |  UNION
+        |  SELECT e.u AS id, r.comp FROM e JOIN reach r ON r.id = e.v
+        |)
+        |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d_cluster_dedup" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w
+        |), p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |), e AS (
+        |  SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+        |), reach AS (
+        |  SELECT u AS id, u AS comp FROM e
+        |  UNION
+        |  SELECT e.u AS id, r.comp FROM e JOIN reach r ON r.id = e.v
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING MIN(comp) != id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_embed_exact" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -43,14 +43,21 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word w-shingles of the normalized text. */
+  /** Word w-shingles of the normalized text.
+    *
+    * The word array is bound as a lambda VARIABLE (`transform` over a
+    * 1-element array) rather than referenced as a named subtree: a subtree
+    * inside the sliding-window lambda would re-run the whole
+    * normalize+split per window position (O(words x text) per row — the
+    * optimizer's projection collapsing means a named column is no
+    * protection either).
+    */
   def shingles(text: Column, w: Int = 3): Column = {
-    val words = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-    // sliding windows via transform over index range
-    val n = size(words)
-    array_distinct(transform(
-      sequence(lit(0), greatest(n - w, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+    val wordsExpr = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    element_at(transform(array(wordsExpr), words =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - w, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(w)))))), 1)
   }
 
   /** K minhash values over the shingle set. Each hash h_k(s) =
@@ -273,5 +280,68 @@ object Dedup {
       .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("vec_id_a", "vec_id_b", "cosine")
+  }
+
+  // ------------------------------------------------------------- clusters
+
+  /** Connected components over an undirected candidate-pair list, by
+    * iterative min-label propagation: every node starts labeled with the
+    * minimum of its own id and its direct neighbors', then each round
+    * replaces a node's label with the minimum label among its neighbors
+    * until nothing changes. Returns one row per node that appears in a
+    * pair: (id, component), component = the minimum node id reachable.
+    *
+    * Scale shape: each round is one shuffle join of the edge list with the
+    * label table plus a min-aggregate — no driver-side graph, no collect.
+    * Rounds needed = the cluster diameter, and near-dup graphs are
+    * quasi-cliques (pairs come from a similarity threshold), so 2-4 rounds
+    * is typical; `maxIter` bounds pathological chains. Convergence is
+    * detected with an any-label-changed existence probe (`limit(1).count`),
+    * a single scalar per round. Each round's labels are persisted and the
+    * previous round's unpersisted; at true 100 TB scale swap the persist for
+    * `localCheckpoint()` to also truncate the growing plan lineage.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
+                          bCol: String = "doc_id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+      .persist()
+    var labels = edges.groupBy(col("__u").as("id"))
+      .agg(min(col("__v")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("component"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "__v2"), col("__v") === col("__v2"))
+        .groupBy(col("__u").as("id")).agg(min(col("component")).as("__nc"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nc"), col("component"))).as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate cluster dedup: drop every document that shares a
+    * cluster with a lower-id document, keeping the cluster's minimum-id
+    * representative plus all documents not in any pair. The standard
+    * pair-list -> cluster -> canonical-keeper step that follows any of the
+    * pair generators above. One left-anti join on the id — the loser set is
+    * tiny relative to the corpus, so Spark broadcasts it.
+    */
+  def dedupByPairs(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                   aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

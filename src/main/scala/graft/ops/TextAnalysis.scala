@@ -145,16 +145,23 @@ object TextAnalysis {
     * sets and joining on the fingerprint.
     */
   def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    val n = length(norm)
-    // k-gram hashes at positions 1..n-k+1
-    val grams = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(norm.substr(i, lit(k))))
-    when(n < k, array().cast("array<bigint>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(grams) - window, lit(0))),
-        w => array_min(slice(grams, w + 1, lit(window))))))
+    val normExpr = lower(regexp_replace(trim(text), "\\s+", " "))
+    // The normalized text and the gram-hash array are each bound as lambda
+    // VARIABLES (`transform` over a 1-element array) so they evaluate once
+    // per row. Referencing them as plain subtrees re-evaluates the
+    // normalization per gram and the whole gram array per window position —
+    // O(positions^2 x length) per row, measured ~1 s/doc on 300-char docs.
+    element_at(transform(array(normExpr), norm => {
+      // k-gram hashes at positions 1..n-k+1
+      val grams = transform(
+        sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+        i => xxhash64(norm.substr(i, lit(k))))
+      element_at(transform(array(grams), gs =>
+        when(length(norm) < k, array().cast("array<bigint>")).otherwise(
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(gs) - window, lit(0))),
+            w => array_min(slice(gs, w + 1, lit(window))))))), 1)
+    }), 1)
   }
 
   /** Convenience: attach all analysis columns to a documents frame. */

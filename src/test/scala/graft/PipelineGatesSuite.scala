@@ -148,4 +148,35 @@ class PipelineGatesSuite extends SparkSpec {
     val wrong = preds.filter(r => r.getString(0) != r.getString(1))
     assert(wrong.isEmpty, wrong.map(r => s"${r.getString(0)} -> ${r.getString(1)}").mkString(", "))
   }
+
+  // min-label propagation must cross multiple hops: a 4-node chain has
+  // diameter 3, so node 40 only learns label 10 transitively
+  test("connected components: chains, disjoint clusters, keeper selection") {
+    import spark.implicits._
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
+      .toDF("doc_id_a", "doc_id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 50L, 60L -> 50L), s"got $cc")
+
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L, 60L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByPairs(corpus, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one keeper per cluster (the min id) plus the untouched singleton
+    assert(kept == Set(10L, 50L, 99L), s"got $kept")
+  }
+
+  test("connected components on the real sf0.01 exact pair list") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+    val cc = Dedup.connectedComponents(pairs)
+    val nodes = pairSet(pairs).flatMap(p => Seq(p._1, p._2))
+    val rows = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSet == nodes, "one label per node in the pair list")
+    // every component label is itself a member node and <= all its members
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp, s"component $comp not the min member id")
+    }
+  }
 }
