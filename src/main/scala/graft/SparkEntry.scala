@@ -454,6 +454,9 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))
         .orderBy("doc_id")),
+    // corpus vocabulary (top tokens by frequency, deterministic tie-break)
+    "t_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), topN = 100)),
     "mm_media_meta" -> ((s, dir) =>
       Multimodal.demoMediaTable(docs(s, dir))
         .select(col("doc_id"), col("media_meta.media_type"), col("media_meta.width"),
@@ -682,6 +685,10 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
         "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
+    "t_vocab" ->
+      ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
+        "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
     // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles
     // tokenization byte-for-byte; the sf0.01 similarity spectrum is empty in
     // [0.3, 0.9) so the LSH candidate stage has provably full recall at 0.7.

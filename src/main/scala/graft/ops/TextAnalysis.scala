@@ -26,6 +26,23 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
+  /** Corpus vocabulary: the `topN` most frequent lowercase whitespace
+    * tokens with counts — the vocabulary-building step before BPE/unigram
+    * tokenizer training. Deterministic tie-break (count DESC, token ASC).
+    *
+    * Scale shape: explode -> one hash shuffle on the token with map-side
+    * partial counts (tokens, not documents, so the shuffle payload is the
+    * distinct-token set per partition), then a TakeOrdered top-N — no full
+    * sort. `minLen` drops empty tokens from leading/trailing whitespace.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text", topN: Int = 100,
+                 minLen: Int = 1): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= minLen)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
+
   /** Quality signals: length, punctuation ratio, digit ratio, uppercase
     * ratio, mean word length, stopword-ish ratio (top English function
     * words). Composite score in [0,1] — higher = more prose-like.

@@ -149,6 +149,15 @@ class PipelineGatesSuite extends SparkSpec {
     assert(wrong.isEmpty, wrong.map(r => s"${r.getString(0)} -> ${r.getString(1)}").mkString(", "))
   }
 
+  test("vocabulary: lowercased counts with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq("The cat the dog the", "a cat  and a dog", "zebra ant").toDF("text")
+    val v = TextAnalysis.vocabulary(df, topN = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: the=3 (The lowercased), a=2, cat=2, dog=2, and/ant/zebra=1
+    assert(v == Seq(("the", 3L), ("a", 2L), ("cat", 2L), ("dog", 2L)), s"got $v")
+  }
+
   // min-label propagation must cross multiple hops: a 4-node chain has
   // diameter 3, so node 40 only learns label 10 transitively
   test("connected components: chains, disjoint clusters, keeper selection") {
