@@ -433,6 +433,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
+    // int8 quantization — integer-exact oracle (quantized-value sums);
+    // the scale column is IEEE-identical on both sides (max-abs / 127)
+    "s_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+        .orderBy("vec_id")),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -772,6 +780,17 @@ object SparkEntry {
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING MIN(comp) != id)
         |ORDER BY d.doc_id""".stripMargin,
+    "s_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(e, x -> round(x / scale))) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(e, x -> abs(round(x / scale)))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
     "d_embed_exact" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -149,6 +149,26 @@ class PipelineGatesSuite extends SparkSpec {
     assert(wrong.isEmpty, wrong.map(r => s"${r.getString(0)} -> ${r.getString(1)}").mkString(", "))
   }
 
+  test("int8 quantization: reconstruction cosine >= 0.999, top-5 recall >= 0.95") {
+    val q = Similarity.quantizeInt8(emb)
+    val recon = q.select(col("vec_id"),
+      Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+    // per-vector reconstruction fidelity
+    val minCos = recon.join(emb.select(col("vec_id"), col("embedding").as("__orig")), "vec_id")
+      .select(min(Similarity.cosine(col("embedding"), col("__orig"))))
+      .head().getDouble(0)
+    assert(minCos >= 0.999, s"worst reconstruction cosine $minCos")
+    // end-to-end: kNN over dequantized vectors must agree with exact kNN
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.bruteForceTopK(recon, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"quantized recall@5 = $recall")
+    info(f"quantized recall@5 = $recall%.2f, worst cosine = $minCos%.5f")
+  }
+
   test("vocabulary: lowercased counts with deterministic tie-break") {
     import spark.implicits._
     val df = Seq("The cat the dog the", "a cat  and a dog", "zebra ant").toDF("text")
