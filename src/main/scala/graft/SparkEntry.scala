@@ -465,6 +465,8 @@ object SparkEntry {
     // corpus vocabulary (top tokens by frequency, deterministic tie-break)
     "t_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir), topN = 100)),
+    "t_bigrams" -> ((s, dir) =>
+      TextAnalysis.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
     "mm_media_meta" -> ((s, dir) =>
       Multimodal.demoMediaTable(docs(s, dir))
         .select(col("doc_id"), col("media_meta.media_type"), col("media_meta.width"),
@@ -697,6 +699,14 @@ object SparkEntry {
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
+    "t_bigrams" ->
+      """SELECT ngram, cnt FROM (
+        |  SELECT ngram, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(0, greatest(len(words) - 2, 0) + 1),
+        |           i -> array_to_string(words[i + 1 : i + 2], ' '))) AS ngram
+        |    FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)
+        |  ) WHERE length(ngram) >= 1 GROUP BY ngram)
+        |ORDER BY cnt DESC, ngram ASC LIMIT 100""".stripMargin,
     // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles
     // tokenization byte-for-byte; the sf0.01 similarity spectrum is empty in
     // [0.3, 0.9) so the LSH candidate stage has provably full recall at 0.7.

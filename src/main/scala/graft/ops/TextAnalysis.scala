@@ -43,6 +43,23 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topN)
 
+  /** Top-N word n-gram frequencies over the corpus (n-gram LM statistics).
+    * Tokenization mirrors [[vocabulary]] (lowercase, whitespace split);
+    * windowing mirrors `Dedup.shingles` (docs shorter than n contribute
+    * their single short gram). Same scale shape as [[vocabulary]]: explode,
+    * map-side partial counts, one shuffle on the gram, TakeOrdered top-N.
+    */
+  def ngramFrequencies(df: DataFrame, textCol: String = "text", n: Int = 2,
+                       topN: Int = 100): DataFrame =
+    df.select(explode(element_at(transform(
+        array(split(lower(trim(col(textCol))), "\\s+")), words =>
+          transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+            i => concat_ws(" ", slice(words, i + 1, lit(n))))), 1)).as("ngram"))
+      .filter(length(col("ngram")) >= 1)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(topN)
+
   /** Quality signals: length, punctuation ratio, digit ratio, uppercase
     * ratio, mean word length, stopword-ish ratio (top English function
     * words). Composite score in [0,1] — higher = more prose-like.
