@@ -71,4 +71,24 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"expected Spark's WindowGroupLimit pushdown of the rank filter, got:\n$p")
   }
+
+  test("vocabulary top-N is TakeOrdered with partial counts, not a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextAnalysis.vocabulary(docs, topN = 50)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject top-N, got:\n$p")
+    assert(!p.contains("\nSort ") && !p.contains("+- Sort "),
+      s"top-N must not globally sort all tokens:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial counts before the token shuffle:\n$p")
+  }
+
+  test("int8 quantization plan is narrow: no exchange, scan-speed") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+    val p = graft.ops.Similarity.quantizeInt8(emb)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
 }
