@@ -790,16 +790,21 @@ object SparkEntry {
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING MIN(comp) != id)
         |ORDER BY d.doc_id""".stripMargin,
+    // COALESCE/CASE guards mirror the engine's zero-scale and empty-vector
+    // behavior (scale 0.0, all-zero q) so the oracle stays exact even if
+    // the testdata ever grows degenerate vectors
     "s_quant" ->
       """WITH q AS (
         |  SELECT vec_id,
-        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale,
+        |    COALESCE(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) / 127.0 AS scale,
         |    CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings
         |)
         |SELECT vec_id, scale,
-        |  CAST(list_sum(list_transform(e, x -> round(x / scale))) AS BIGINT) AS q_sum,
-        |  CAST(list_sum(list_transform(e, x -> abs(round(x / scale)))) AS BIGINT) AS q_l1
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(COALESCE(list_sum(list_transform(e, x -> round(x / scale))), 0) AS BIGINT) END AS q_sum,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(COALESCE(list_sum(list_transform(e, x -> abs(round(x / scale)))), 0) AS BIGINT) END AS q_l1
         |FROM q ORDER BY vec_id""".stripMargin,
     "d_embed_exact" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

@@ -91,9 +91,13 @@ object Shims {
           val om = Scan.buildMask(orderText)
           val keysRaw = Scan.splitTopLevel(orderText, om, ',', 0, orderText.length)
             .map { case (s, e) => orderText.substring(s, e).trim }
+          // a real NULLS FIRST/LAST suffix (not an identifier that merely
+          // contains "nulls", e.g. ORDER BY nulls_count) marks the key
+          // unsupported
+          val nullsSuffix = "(?i)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r
           val parsedKeys = keysRaw.map { k =>
             val u = k.toUpperCase
-            if (u.contains("NULLS")) None
+            if (nullsSuffix.findFirstIn(k).isDefined) None
             else if (u.endsWith(" DESC")) Some((k.substring(0, k.length - 5).trim, false))
             else if (u.endsWith(" ASC")) Some((k.substring(0, k.length - 4).trim, true))
             else Some((k, true))

@@ -43,22 +43,16 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word w-shingles of the normalized text.
-    *
-    * The word array is bound as a lambda VARIABLE (`transform` over a
-    * 1-element array) rather than referenced as a named subtree: a subtree
-    * inside the sliding-window lambda would re-run the whole
-    * normalize+split per window position (O(words x text) per row — the
-    * optimizer's projection collapsing means a named column is no
-    * protection either).
+  /** Word w-shingles of the normalized text. The word array is bound via
+    * [[Cols.bindOnce]] so the normalize+split runs once per row, not once
+    * per window position.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val wordsExpr = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-    element_at(transform(array(wordsExpr), words =>
+  def shingles(text: Column, w: Int = 3): Column =
+    Cols.bindOnce(split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")) { words =>
       array_distinct(transform(
         sequence(lit(0), greatest(size(words) - w, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(w)))))), 1)
-  }
+        i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+    }
 
   /** K minhash values over the shingle set. Each hash h_k(s) =
     * xxhash64(shingle, seed=k); minhash_k = MIN over shingles.
@@ -161,8 +155,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         threshold: Double = 0.5, w: Int = 3,
                         maxDocFreq: Int = 1000): DataFrame = {
+    // sh persisted: tok feeds both the doc-frequency count and the join,
+    // and without the cache the regex-heavy shingle computation runs per
+    // consumer. Both caches are process-lifetime (LRU-evicted) — batch
+    // callers may spark.catalog.clearCache() between corpora.
     val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), w).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist()
     val tok = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
     val freq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select("__s")
@@ -327,6 +326,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint within maxIter=$maxIter rounds — " +
+          "a cluster's diameter exceeds the bound and the labels would be silently wrong; " +
+          "raise maxIter (rounds needed = the largest cluster diameter)")
+    // returned frame stays persisted (the convergence probes materialized
+    // it; its lineage replays every round from the unpersisted edge list) —
+    // callers owning the lifecycle may unpersist() after consuming it
     labels
   }
 

@@ -52,10 +52,9 @@ object Similarity {
     * 4x (vs float32) memory reduction for ANN indexes at scale. Returns
     * (vec_id, scale, q: array<tinyint>); reconstruct with [[dequantize]].
     *
-    * Narrow per-row computation. The scale is bound as a lambda VARIABLE
-    * (`transform` over a 1-element array) so the max-abs aggregate runs
-    * once per row, not once per element. All-zero vectors quantize to all
-    * zeros (scale 0 guard).
+    * Narrow per-row computation. The scale is bound via [[Cols.bindOnce]]
+    * so the max-abs aggregate runs once per row, not once per element.
+    * All-zero vectors quantize to all zeros (scale 0 guard).
     */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
@@ -63,11 +62,12 @@ object Similarity {
     val scaleExpr =
       aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0)
     df.select(col(idCol).as("vec_id"),
-        element_at(transform(array(scaleExpr), sc =>
+        Cols.bindOnce(scaleExpr) { sc =>
           struct(sc.as("scale"),
             when(sc === 0, transform(v, _ => lit(0).cast("tinyint")))
               .otherwise(transform(v, x => round(x / sc).cast("tinyint")))
-              .as("q"))), 1).as("__s"))
+              .as("q"))
+        }.as("__s"))
       .select(col("vec_id"), col("__s.scale").as("scale"), col("__s.q").as("q"))
   }
 

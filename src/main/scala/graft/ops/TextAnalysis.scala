@@ -51,10 +51,11 @@ object TextAnalysis {
     */
   def ngramFrequencies(df: DataFrame, textCol: String = "text", n: Int = 2,
                        topN: Int = 100): DataFrame =
-    df.select(explode(element_at(transform(
-        array(split(lower(trim(col(textCol))), "\\s+")), words =>
+    df.select(explode(
+        Cols.bindOnce(split(lower(trim(col(textCol))), "\\s+")) { words =>
           transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-            i => concat_ws(" ", slice(words, i + 1, lit(n))))), 1)).as("ngram"))
+            i => concat_ws(" ", slice(words, i + 1, lit(n))))
+        }).as("ngram"))
       .filter(length(col("ngram")) >= 1)
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
@@ -178,25 +179,23 @@ object TextAnalysis {
     * shuffle); pairs are then matched by exploding the (small) fingerprint
     * sets and joining on the fingerprint.
     */
-  def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
-    val normExpr = lower(regexp_replace(trim(text), "\\s+", " "))
-    // The normalized text and the gram-hash array are each bound as lambda
-    // VARIABLES (`transform` over a 1-element array) so they evaluate once
-    // per row. Referencing them as plain subtrees re-evaluates the
-    // normalization per gram and the whole gram array per window position —
-    // O(positions^2 x length) per row, measured ~1 s/doc on 300-char docs.
-    element_at(transform(array(normExpr), norm => {
+  def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    // normalized text and gram-hash array each bound via Cols.bindOnce —
+    // as plain subtrees the normalization would re-run per gram and the
+    // gram array per window position (O(positions^2 x length) per row,
+    // measured ~1 s/doc on 300-char docs)
+    Cols.bindOnce(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
       // k-gram hashes at positions 1..n-k+1
       val grams = transform(
         sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
         i => xxhash64(norm.substr(i, lit(k))))
-      element_at(transform(array(grams), gs =>
+      Cols.bindOnce(grams) { gs =>
         when(length(norm) < k, array().cast("array<bigint>")).otherwise(
           array_distinct(transform(
             sequence(lit(0), greatest(size(gs) - window, lit(0))),
-            w => array_min(slice(gs, w + 1, lit(window))))))), 1)
-    }), 1)
-  }
+            w => array_min(slice(gs, w + 1, lit(window))))))
+      }
+    }
 
   /** Convenience: attach all analysis columns to a documents frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

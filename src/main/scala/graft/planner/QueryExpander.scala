@@ -172,7 +172,12 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     while (parsing) {
       skipWs()
       val nameStart = i
-      while (i < stmt.length && Scan.isIdentChar(stmt.charAt(i))) i += 1
+      if (i < stmt.length && mask(i)) {
+        // quoted CTE name — buildMask covers the full quoted span
+        while (i < stmt.length && mask(i)) i += 1
+      } else {
+        while (i < stmt.length && Scan.isIdentChar(stmt.charAt(i))) i += 1
+      }
       if (i == nameStart) return None
       val cteName = stmt.substring(nameStart, i)
       var header = cteName
@@ -201,8 +206,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     // each CTE body sees the names declared BEFORE it; the main query sees
     // all of them — in-scope CTE names shadow same-named measure views
     var inScope = outerCtes
+    // under RECURSIVE every body may reference any CTE of the list (incl.
+    // itself), so those bodies get the full name set
+    val allNames = outerCtes ++ ctes.map(_._1.toLowerCase)
     val newCtes = ctes.map { case (name, header, body, _) =>
-      val expanded = if (recursive) None else expand(body, inScope)
+      val expanded =
+        if (recursive)
+          // a recursive body's top level has a fixed anchor/recursive-term
+          // shape that the WITH-wrapped frame rewrite would break — expand
+          // only nested subquery spans, with the full CTE scope
+          expandSubqueries(body, Scan.buildMask(body), allNames)
+        else expand(body, inScope)
       if (expanded.isDefined) changed = true
       inScope = inScope + name.toLowerCase
       s"$header AS (${expanded.getOrElse(body)})"

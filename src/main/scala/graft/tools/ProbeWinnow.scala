@@ -19,8 +19,9 @@ object ProbeWinnow {
     val n = args.headOption.map(_.toInt).getOrElse(50)
     val t0 = System.nanoTime()
     val r = docs.limit(n).select(col("doc_id"),
-      size(TextAnalysis.winnowFingerprints(col("text"))).as("nf")).agg(sum("nf")).head()
-    println(s"winnow first $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s, sum=$r")
+      size(TextAnalysis.winnowFingerprints(col("text"))).as("nf"))
+      .agg(sum("nf")).head().getLong(0)
+    println(f"winnow first $n docs: ${(System.nanoTime() - t0) / 1e9}%.2f s, sum=$r")
     spark.stop()
   }
 }

@@ -196,6 +196,17 @@ class PipelineGatesSuite extends SparkSpec {
     assert(kept == Set(10L, 50L, 99L), s"got $kept")
   }
 
+  test("connected components fails loudly when maxIter is below the diameter") {
+    import spark.implicits._
+    // a 6-node chain has diameter 5 > maxIter=2
+    val pairs = (10L to 15L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"), e.getMessage)
+  }
+
   test("connected components on the real sf0.01 exact pair list") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
     val cc = Dedup.connectedComponents(pairs)

@@ -413,6 +413,33 @@ class SemanticsSuite extends SparkSpec {
     assert(r == "c,b,a", s"got $r")
   }
 
+  // review regression: an ORDER BY key whose NAME contains "nulls" is not a
+  // NULLS FIRST/LAST form and must still be rewritten
+  test("ordered STRING_AGG by a column named nulls_count") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW osa_nc AS
+        |SELECT * FROM VALUES (2, 'b'), (1, 'a'), (3, 'c') AS t(nulls_count, v)""".stripMargin)
+    val r = engine.sql(
+      "SELECT STRING_AGG(v, ',' ORDER BY nulls_count) AS joined FROM osa_nc")
+      .collect().head.getString(0)
+    assert(r == "a,b,c", s"got $r")
+  }
+
+  // review regression: measure queries nested in subquery spans of a
+  // RECURSIVE CTE body must still expand (the body's top-level shape is
+  // left alone; only parenthesized SELECT spans are rewritten)
+  test("measure subquery inside a WITH RECURSIVE body expands") {
+    val df = engine.sql(
+      """WITH RECURSIVE nums AS (
+        |  SELECT 1 AS i, (SELECT AGGREGATE(revenue) FROM cw_v) AS total
+        |  UNION ALL
+        |  SELECT i + 1, total FROM nums WHERE i < 3
+        |)
+        |SELECT i, total FROM nums ORDER BY i""".stripMargin)
+    val rows = df.collect().map(r => (r.getInt(0), r.getDecimal(1).doubleValue)).toSeq
+    assert(rows == Seq((1, 375.0), (2, 375.0), (3, 375.0)), s"got $rows")
+  }
+
   test("PRODUCT shim: zero and negative handling") {
     engine.sql("CREATE OR REPLACE TEMPORARY VIEW pz AS SELECT * FROM VALUES (2.0), (-3.0), (4.0) AS t(x)")
     val neg = engine.sql("SELECT PRODUCT(x) AS p FROM pz").collect().head.getDouble(0)
