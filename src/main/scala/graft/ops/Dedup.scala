@@ -296,9 +296,18 @@ object Dedup {
     * quasi-cliques (pairs come from a similarity threshold), so 2-4 rounds
     * is typical; `maxIter` bounds pathological chains. Convergence is
     * detected with an any-label-changed existence probe (`limit(1).count`),
-    * a single scalar per round. Each round's labels are persisted and the
-    * previous round's unpersisted; at true 100 TB scale swap the persist for
-    * `localCheckpoint()` to also truncate the growing plan lineage.
+    * a single scalar per round.
+    *
+    * Each round's labels are eagerly `localCheckpoint()`ed, NOT merely
+    * persisted: the label frame feeds twice into the next round (the
+    * propagation join and the keep-old-label coalesce), so without lineage
+    * truncation the logical plan tree doubles per iteration — the driver
+    * dies planning round ~20 regardless of data size. Checkpointing cuts
+    * the plan back to a leaf each round; the plan is O(1) in iterations.
+    * Superseded checkpoint blocks are released by Spark's ContextCleaner
+    * once the old frame goes out of scope. On a fault-tolerant cluster,
+    * swap for reliable `checkpoint()` if executor loss mid-job must be
+    * survivable (localCheckpoint trades that for zero HDFS I/O).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
                           bCol: String = "doc_id_b", maxIter: Int = 20): DataFrame = {
@@ -308,7 +317,7 @@ object Dedup {
     var labels = edges.groupBy(col("__u").as("id"))
       .agg(min(col("__v")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("component"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -317,10 +326,9 @@ object Dedup {
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nc"), col("component"))).as("component"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
         .filter(col("component") =!= col("__old")).limit(1).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       iter += 1
@@ -331,9 +339,8 @@ object Dedup {
         s"connectedComponents did not reach a fixpoint within maxIter=$maxIter rounds — " +
           "a cluster's diameter exceeds the bound and the labels would be silently wrong; " +
           "raise maxIter (rounds needed = the largest cluster diameter)")
-    // returned frame stays persisted (the convergence probes materialized
-    // it; its lineage replays every round from the unpersisted edge list) —
-    // callers owning the lifecycle may unpersist() after consuming it
+    // returned frame is a materialized local checkpoint — no lineage back
+    // to the edge list, so consuming it never replays the iteration
     labels
   }
 

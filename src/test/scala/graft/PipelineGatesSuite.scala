@@ -207,6 +207,22 @@ class PipelineGatesSuite extends SparkSpec {
     assert(e.getMessage.contains("maxIter"), e.getMessage)
   }
 
+  // Regression: the label frame feeds twice into each round, so without
+  // per-round lineage truncation the logical plan doubles per iteration
+  // (OOMed the test heap inside explainString at ~20 rounds in round 4).
+  // A 14-node chain needs >10 propagation rounds; the returned plan must
+  // still be a checkpoint leaf, not a 2^rounds tree.
+  test("connected components: plan size is O(1) in iteration count") {
+    import spark.implicits._
+    val pairs = (100L to 113L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 30)
+    val planNodes = cc.queryExecution.logical.collect { case p => p }.size
+    assert(planNodes <= 3, s"lineage not truncated: $planNodes logical nodes")
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (100L to 113L).map(_ -> 100L).toMap, s"got $labels")
+  }
+
   test("connected components on the real sf0.01 exact pair list") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
     val cc = Dedup.connectedComponents(pairs)
