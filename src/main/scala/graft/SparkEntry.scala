@@ -46,6 +46,7 @@ object SparkEntry {
           |  MAX(l_extendedprice) AS MEASURE max_price,
           |  SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS MEASURE disc_price,
           |  SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END) AS MEASURE big_qty,
+          |  MODE(l_linenumber) AS MEASURE mode_line,
           |  array_join(array_sort(array_distinct(collect_list(l_linestatus))), ',') AS MEASURE statuses
           |FROM lineitem""".stripMargin)
       e.sql(
@@ -197,6 +198,13 @@ object SparkEntry {
       "SELECT l_returnflag, ROUND(AGGREGATE(disc_price), 2) AS disc_price FROM li_v ORDER BY l_returnflag"),
     "m_case_measure" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(big_qty), 2) AS big_qty FROM li_v ORDER BY l_returnflag"),
+    // MODE is only hash-comparable when the mode is UNIQUE per group —
+    // tie-break is engine-defined (reference: docs/ordered_set_aggregates
+    // .md:24). Verified on the testdata: the top l_linenumber count leads
+    // the runner-up by >=10 in every l_returnflag group at sf0.001/0.01/0.1,
+    // so no tie-break can fire.
+    "m_mode" -> m(
+      "SELECT l_returnflag, AGGREGATE(mode_line) AS mode_line FROM li_v ORDER BY l_returnflag"),
     "m_string_agg" -> m(
       "SELECT l_returnflag, AGGREGATE(statuses) AS statuses FROM li_v ORDER BY l_returnflag"),
     "m_current" -> m(
@@ -219,6 +227,15 @@ object SparkEntry {
       "SELECT l_returnflag, COUNT(*) AS n, ROUND(AGGREGATE(avg_qty), 4) AS filtered_avg " +
         "FROM li_rows o WHERE o.l_quantity > o.avg_qty AT (WHERE l_returnflag = o.l_returnflag) " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // measure predicate in the WHERE of a MULTI-FACT query: the conjunct is
+    // owned by ord_v and filters its base (orders) rows through a per-view
+    // filtered base before the join; li_y's measure is untouched
+    // (reference WHERE-position calls, measures.rs:7110-7592)
+    "m_multifact_where" -> m(
+      "SELECT o.yr, ROUND(AGGREGATE(total_price), 2) AS total_price, ROUND(AGGREGATE(li_rev), 2) AS li_rev " +
+        "FROM ord_v o JOIN li_y l ON o.yr = l.yr " +
+        "WHERE o.o_totalprice > o.avg_order AT (WHERE yr = o.yr) " +
+        "GROUP BY o.yr ORDER BY o.yr"),
     "m_ctas" -> ((s, dir) => {
       val e = engineFor(s, dir)
       e.sql("DROP TABLE IF EXISTS ctas_out")
@@ -551,6 +568,9 @@ object SparkEntry {
     "m_case_measure" ->
       ("SELECT l_returnflag, round(SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END), 2) AS big_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_mode" ->
+      ("SELECT l_returnflag, mode(l_linenumber) AS mode_line " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_string_agg" ->
       ("SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
@@ -626,6 +646,17 @@ object SparkEntry {
       ("SELECT o.l_returnflag, COUNT(*) AS n, round(AVG(o.l_quantity), 4) AS filtered_avg FROM lineitem o " +
         "WHERE o.l_quantity > (SELECT AVG(i.l_quantity) FROM lineitem i WHERE i.l_returnflag = o.l_returnflag) " +
         "GROUP BY o.l_returnflag ORDER BY o.l_returnflag"),
+    "m_multifact_where" ->
+      (s"""WITH fo AS (
+         |  SELECT yr, o_totalprice FROM (
+         |    SELECT CAST(year(o_orderdate) AS INT) AS yr, o_totalprice,
+         |           AVG(o_totalprice) OVER (PARTITION BY year(o_orderdate)) AS yavg
+         |    FROM orders) t WHERE o_totalprice > yavg),
+         |fo_agg AS (SELECT yr, round(SUM(o_totalprice), 2) AS total_price FROM fo GROUP BY yr),
+         |li_agg AS (SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM($rev), 2) AS li_rev
+         |           FROM lineitem GROUP BY year(l_shipdate))
+         |SELECT f.yr, f.total_price, l.li_rev
+         |FROM fo_agg f JOIN li_agg l ON f.yr = l.yr ORDER BY f.yr""".stripMargin),
     "q_exists" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)

@@ -309,6 +309,12 @@ object Dedup {
     * swap for reliable `checkpoint()` if executor loss mid-job must be
     * survivable (localCheckpoint trades that for zero HDFS I/O).
     */
+  /** Diagnostic: propagation rounds the last connectedComponents call took
+    * (label-changed probes, excluding the final no-change round). Read by
+    * the scale demo / PERF measurements; not part of the operator contract.
+    */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
                           bCol: String = "doc_id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
@@ -332,6 +338,7 @@ object Dedup {
       labels = next
       converged = !changed
       iter += 1
+      lastCcRounds = iter
     }
     edges.unpersist()
     if (!converged)

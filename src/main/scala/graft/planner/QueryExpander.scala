@@ -606,10 +606,9 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         rejectQualify()
         return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
       }
-      if (!singleFact)
-        throw new GraftException(
-          "AGGREGATE calls in the outer WHERE clause are only supported on a single measure view")
-      // grouped single-fact query: handled below via the filtered-base CTE
+      // grouped queries: handled below via the filtered-base CTE(s) —
+      // single-fact filters the one base through __vbase; multi-fact
+      // filters each predicated view's base through its own per-view vbase
     }
 
     val anyCalls = items.exists(_.calls.nonEmpty) || whereCalls.nonEmpty ||
@@ -797,7 +796,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     // plain WHERE is ignored by them today.
     val vbaseName = s"__vbase$u"
     val rowWhere: Option[(List[RowFrame], String)] =
-      if (whereCalls.isEmpty) None
+      if (whereCalls.isEmpty || !singleFact) None
       else {
         val baseName = baseCteFor(primaryView)
         val (rframes, spans) =
@@ -808,6 +807,79 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         }
         Some((rframes, renderWithReplacements(outerWhere.get, spans, tokenToBase)))
       }
+
+    // Multi-fact measure-predicate WHERE: split the outer WHERE into
+    // top-level AND conjuncts. Call-free conjuncts stay the plain outer
+    // WHERE on the join; each call-bearing conjunct must be owned by
+    // exactly one view and filters that view's BASE rows through row-level
+    // frames in a per-view filtered base (`__vbase{u}_vN`) — the multi-fact
+    // generalization of the single-fact __vbase path. The join FROM then
+    // reads each predicated view's surviving dim combinations (see
+    // dedupJoinFrom), and that view's visible frames read its vbase.
+    // (Reference handles WHERE-position calls uniformly by rewriting each
+    // call to a correlated scalar subquery, measures.rs:7110-7592; the join
+    // formulation here is the plan-shaped equivalent.)
+    case class ViewPredicate(view: MeasureView, valiases: Set[String],
+                             vbase: String, rframes: List[RowFrame], rendered: String)
+    val (multiPlainWhere: Option[String], viewPredicates: List[ViewPredicate]) =
+      if (whereCalls.isEmpty || singleFact) (outerWhere, Nil)
+      else {
+        val w = outerWhere.get
+        def callsIn(c: String): List[AggCall] = {
+          val m = Scan.buildMask(c)
+          val explicit = AtParser.extractCalls(c, m, 0, c.length)
+          explicit ++ findSugarCalls(c, m, explicit.map(x => (x.start, x.end)), measureNames, allAliases)
+            .filter(_.modifiers.nonEmpty) // bare refs stay ordinary columns
+        }
+        val classified = splitTopAnd(w, Scan.buildMask(w)).map(p => (p, callsIn(p)))
+        val plain = classified.collect { case (p, Nil) => p }
+        val byView = scala.collection.mutable.LinkedHashMap[String, (MeasureView, Set[String], List[String])]()
+        for ((p, cs) <- classified if cs.nonEmpty) {
+          val planned = cs.map(planCall)
+          val views = planned.map(_.view.viewName.toLowerCase).distinct
+          if (views.length > 1)
+            throw new GraftException(
+              s"a WHERE conjunct may reference measures of only one view; `$p` mixes ${views.mkString(", ")}")
+          val pc = planned.head
+          // every non-call column in the conjunct must belong to the same view
+          val blanked = {
+            val sb = new StringBuilder(p)
+            for (c <- cs; i <- c.start until math.min(c.end, sb.length)) sb.setCharAt(i, ' ')
+            sb.toString
+          }
+          val bm = Scan.buildMask(blanked)
+          val foreign = Scan.identifiers(blanked, bm, 0, blanked.length).filter { case (_, _, e) =>
+            var j = e
+            while (j < blanked.length && blanked.charAt(j).isWhitespace) j += 1
+            !(j < blanked.length && blanked.charAt(j) == '(')
+          }.collect { case (t, _, _) if !tokenOwnedBy(t, pc.view, pc.viewAliases) => t }
+          if (foreign.nonEmpty)
+            throw new GraftException(
+              s"WHERE measure predicate `$p` on view ${pc.view.viewName} references " +
+                s"column(s) ${foreign.mkString(", ")} of another view; correlate via AT (WHERE ...) instead")
+          val cur = byView.getOrElseUpdate(pc.view.viewName.toLowerCase, (pc.view, pc.viewAliases, Nil))
+          byView(pc.view.viewName.toLowerCase) = (cur._1, cur._2, cur._3 :+ p)
+        }
+        val preds = byView.values.zipWithIndex.map { case ((v, valiases, conjuncts), idx) =>
+          // a predicated view must appear exactly once in FROM — with two
+          // aliases the per-alias filters would wrongly share one vbase
+          if (tables.count(_.name.equalsIgnoreCase(v.viewName)) > 1)
+            throw new GraftException(
+              s"WHERE measure predicates on self-joined view ${v.viewName} are not supported")
+          val combined = conjuncts.mkString(" AND ")
+          val (rframes, spans) = buildRowFrames(u, baseCteFor(v), v, valiases, allAliases,
+            callsIn(combined), tag = s"_v$idx")
+          def tokenToBase(tok: String): Option[String] = {
+            val stripped = Scan.stripQual(tok, allAliases)
+            if (stripped != tok) Some(stripped) else None
+          }
+          ViewPredicate(v, valiases, s"__vbase${u}_v$idx", rframes,
+            renderWithReplacements(combined, spans, tokenToBase))
+        }.toList
+        (if (plain.isEmpty) None else Some(plain.mkString(" AND ")), preds)
+      }
+    val vbaseByView: Map[String, String] =
+      viewPredicates.map(p => p.view.viewName.toLowerCase -> p.vbase).toMap
     // for warning/CURRENT analysis of the WHERE text, blank the call spans
     // (the frame machinery owns them)
     val outerWhereAnalysis: Option[String] =
@@ -819,7 +891,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       }
 
     def visibleFilterFor(v: MeasureView, valiases: Set[String]): Option[String] =
-      outerWhere.flatMap { w =>
+      (if (singleFact) outerWhere else multiPlainWhere).flatMap { w =>
+        // multi-fact reads the call-free conjuncts only — measure-predicate
+        // conjuncts live in the per-view vbase, and AGGREGATE call text must
+        // never reach substToBase
         if (singleFact) Some(substToBase(w, v, allAliases))
         else ownedConjuncts(w, v, valiases).map(c => substToBase(c, v, allAliases))
       }
@@ -861,12 +936,17 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         (innerExpr, outerValue)
       }
 
-      // with a measure-predicate WHERE, the visible context IS the filtered
-      // base CTE — the frame reads __vbase with no extra filter
-      val visibleOnVbase = rowWhere.isDefined && ctx.filter == CtxFilter.VisibleFilter
+      // with a measure-predicate WHERE, the visible context reads the
+      // filtered base CTE. Single-fact: __vbase carries the whole WHERE, so
+      // no extra filter. Multi-fact: the view's vbase carries only the
+      // measure conjuncts, so the plain owned conjuncts still apply on top.
+      val vbaseForV = vbaseByView.get(v.viewName.toLowerCase)
+      val visibleOnVbase = (rowWhere.isDefined || vbaseForV.isDefined) &&
+        ctx.filter == CtxFilter.VisibleFilter
       val filterSql: Option[String] = ctx.filter match {
         case CtxFilter.NoFilter => None
-        case CtxFilter.VisibleFilter => if (visibleOnVbase) None else visibleFilterFor(v, valiases)
+        case CtxFilter.VisibleFilter =>
+          if (rowWhere.isDefined) None else visibleFilterFor(v, valiases)
         case CtxFilter.CondFilter(c) => Some(substToBase(c, v, allAliases))
       }
 
@@ -966,7 +1046,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
       // frame — merged per (view, base CTE, keys, SETs, filter, window?)
       // context so N measures in the same context share one shuffle
-      val baseCte = if (visibleOnVbase) vbaseName else baseCteFor(v)
+      val baseCte =
+        if (!visibleOnVbase) baseCteFor(v)
+        else if (rowWhere.isDefined) vbaseName
+        else vbaseForV.get
       val corrKeys = correlate.map(d => substToBase(d.queryExpr, v, allAliases))
       val innerKeys = corrKeys ++ setConds.map(_._1)
       val sig = List(v.viewName.toLowerCase, baseCte,
@@ -1076,6 +1159,15 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       val baseName = baseCteFor(primaryView)
       cteList += s"$vbaseName AS (SELECT $baseName.* FROM $baseName$joins WHERE $rendered)"
     }
+    for (p <- viewPredicates) {
+      for (f <- p.rframes) cteList += s"${f.cte} AS (${f.sql})"
+      val joins = p.rframes.map(f => f.joinOn match {
+        case Some(on) => s" LEFT JOIN ${f.cte} ON $on"
+        case None => s" LEFT JOIN ${f.cte} ON true"
+      }).mkString
+      val baseName = baseCteFor(p.view)
+      cteList += s"${p.vbase} AS (SELECT $baseName.* FROM $baseName$joins WHERE ${p.rendered})"
+    }
 
     // __outer
     val outerProjections = scala.collection.mutable.ListBuffer[String]()
@@ -1106,12 +1198,20 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       else {
         val safe = plainAggCols.isEmpty && clauses.having.isEmpty && !clauses.distinct &&
           "(?i)\\b(LEFT|RIGHT|FULL|CROSS)\\b".r.findFirstIn(fromText).isEmpty
-        if (!safe) None
+        if (!safe) {
+          // WHERE measure predicates are enforced through the FROM-side
+          // replacement below — without it the filter would silently drop
+          if (viewPredicates.nonEmpty)
+            throw new GraftException(
+              "WHERE measure predicates in a multi-fact query require an inner join " +
+                "without plain aggregates, HAVING or DISTINCT (join rows must not be observable)")
+          None
+        }
         else {
           val refs = tableRefSpans(fromText).filter(r => catalog.contains(r.name))
           if (refs.isEmpty) None
           else {
-            val contexts = (dims.map(_.queryExpr) ++ outerWhere.toList :+ fromText).mkString(" , ")
+            val contexts = (dims.map(_.queryExpr) ++ multiPlainWhere.toList :+ fromText).mkString(" , ")
             val cm = Scan.buildMask(contexts)
             val toks = Scan.identifiers(contexts, cm, 0, contexts.length).filter { case (_, _, e) =>
               var j = e
@@ -1133,11 +1233,24 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
             val repls = refs.flatMap { r =>
               catalog.get(r.name).flatMap { v =>
                 val cols = neededCols(r, v)
-                if (cols.isEmpty) None
-                else {
-                  val sub = s"(SELECT DISTINCT ${cols.mkString(", ")} FROM ${r.name})"
-                  Some((r.nameStart, r.nameStart + r.name.length,
-                    if (r.hasAlias) sub else s"$sub ${r.alias}"))
+                vbaseByView.get(v.viewName.toLowerCase) match {
+                  case Some(vbase) =>
+                    // predicated view: the join side is the DISTINCT set of
+                    // dim combinations whose base rows survive the measure
+                    // predicate — projected at base level from the vbase
+                    val keep = if (cols.nonEmpty) cols else v.dimensionOrder.map(_.toLowerCase)
+                    val proj = keep.map(c =>
+                      v.dimensionExprs.get(c).map(e => s"$e AS $c").getOrElse(c))
+                    val sub = s"(SELECT DISTINCT ${proj.mkString(", ")} FROM $vbase)"
+                    Some((r.nameStart, r.nameStart + r.name.length,
+                      if (r.hasAlias) sub else s"$sub ${r.alias}"))
+                  case None =>
+                    if (cols.isEmpty) None
+                    else {
+                      val sub = s"(SELECT DISTINCT ${cols.mkString(", ")} FROM ${r.name})"
+                      Some((r.nameStart, r.nameStart + r.name.length,
+                        if (r.hasAlias) sub else s"$sub ${r.alias}"))
+                    }
                 }
               }
             }
@@ -1155,10 +1268,13 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       if (rowWhere.isDefined) vbaseName // the measure-predicate WHERE lives inside __vbase
       else if (singleFact) baseCteFor(primaryView)
       else dedupJoinFrom.getOrElse(fromText)
+    for (p <- viewPredicates if !outerFrom.contains(p.vbase))
+      throw new GraftException(
+        s"WHERE measure predicate on view ${p.view.viewName} could not be attached to the join FROM")
     val outerWhereSql =
       if (rowWhere.isDefined) ""
       else (if (singleFact) outerWhere.map(w => substToBase(w, primaryView, primaryAliases))
-            else outerWhere).map(w => s" WHERE $w").getOrElse("")
+            else multiPlainWhere).map(w => s" WHERE $w").getOrElse("")
     val outerGroupSql =
       if (dims.nonEmpty) {
         val keys = outerGroupKeys.mkString(", ")
@@ -1183,19 +1299,84 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
 
     for ((_, f) <- frames) cteList += s"${f.cte} AS (${f.sql})"
     sb.append(cteList.mkString(", "))
-    sb.append(" SELECT ")
-    if (clauses.distinct) sb.append("DISTINCT ")
-    sb.append(itemRendered.mkString(", "))
-    sb.append(s" FROM $outerName")
-    for ((_, f) <- frames) {
-      f.joinOn match {
-        case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
-        case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
-      }
+
+    // ORDER-BY-position subqueries: Spark's analyzer rejects subqueries in
+    // SORT BY. The inverse of the reference's own inlining
+    // (yardstick_inline_order_by_subquery_aliases, parser_ffi.rs:826, called
+    // at measures.rs:7578-7584): hoist each subquery-bearing sort expression
+    // into a hidden projected column (where Spark DOES allow subqueries and
+    // lateral alias refs), sort the wrapped query by the hidden alias, and
+    // project it away. Only applies when every select item has a derivable
+    // output name; otherwise the plain path (and Spark's error) stands.
+    val ordParts: List[String] = orderRendered.toList.flatMap { o =>
+      Scan.splitTopLevel(o, Scan.buildMask(o), ',', 0, o.length)
+        .map { case (s0, e0) => o.substring(s0, e0).trim }.filter(_.nonEmpty)
     }
-    havingRendered.foreach(h => sb.append(s" WHERE $h"))
-    orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
-    clauses.limitText.foreach(l => sb.append(s" $l"))
+    def partHasSubquery(t: String): Boolean = {
+      val m = Scan.buildMask(t)
+      "(?i)\\(\\s*select\\b".r.findAllMatchIn(t).exists(mm => !m(mm.start))
+    }
+    val outNamesOpt: Option[List[String]] =
+      if (!ordParts.exists(partHasSubquery) || clauses.distinct) None
+      else {
+        val ns = items.zipWithIndex.map { case (it, idx) =>
+          it.kind match {
+            case "dim" =>
+              dims.find(d => Scan.norm(d.queryExpr) == Scan.norm(it.exprNoAlias) ||
+                  it.alias.exists(_.equalsIgnoreCase(d.outName))).map(_.outName)
+                .orElse(it.alias).orElse(SqlClauses.plainColumnName(it.exprNoAlias))
+            case "plainagg" => Some(plainAggNames(idx))
+            case _ => it.alias
+          }
+        }
+        if (ns.forall(_.isDefined)) Some(ns.map(_.get)) else None
+      }
+
+    val inner = new StringBuilder
+    inner.append("SELECT ")
+    if (clauses.distinct) inner.append("DISTINCT ")
+    inner.append(itemRendered.mkString(", "))
+    outNamesOpt match {
+      case Some(names) =>
+        // hoist EVERY sort part (not just the subquery-bearing ones): the
+        // non-subquery parts were rendered against __outer/frame columns,
+        // which are out of scope once the query is wrapped
+        var ordN = -1
+        val dirRe = "(?is)^(.*?)((?:\\s+ASC|\\s+DESC)?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
+        val newParts = ordParts.map { p =>
+          val (expr, dir) = p match {
+            case dirRe(e0, d0) => (e0, d0)
+            case _ => (p, "")
+          }
+          ordN += 1
+          inner.append(s", ($expr) AS __ord$ordN")
+          s"__ord$ordN$dir"
+        }
+        inner.append(s" FROM $outerName")
+        for ((_, f) <- frames) {
+          f.joinOn match {
+            case Some(on) => inner.append(s" LEFT JOIN ${f.cte} ON $on")
+            case None => inner.append(s" LEFT JOIN ${f.cte} ON true")
+          }
+        }
+        havingRendered.foreach(h => inner.append(s" WHERE $h"))
+        sb.append(s" SELECT ${names.mkString(", ")} FROM ($inner) __sort$u")
+        sb.append(s" ORDER BY ${newParts.mkString(", ")}")
+        clauses.limitText.foreach(l => sb.append(s" $l"))
+      case None =>
+        sb.append(" ")
+        sb.append(inner)
+        sb.append(s" FROM $outerName")
+        for ((_, f) <- frames) {
+          f.joinOn match {
+            case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
+            case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
+          }
+        }
+        havingRendered.foreach(h => sb.append(s" WHERE $h"))
+        orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
+        clauses.limitText.foreach(l => sb.append(s" $l"))
+    }
     Some(sb.toString)
   }
 
@@ -1217,7 +1398,8 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     */
   private def buildRowFrames(u: Int, baseName: String, v: MeasureView,
                              valiases: Set[String], allAliases: Set[String],
-                             calls: List[AggCall]): (List[RowFrame], List[(Int, Int, String)]) = {
+                             calls: List[AggCall],
+                             tag: String = ""): (List[RowFrame], List[(Int, Int, String)]) = {
     var fc = -1
     val frames = scala.collection.mutable.LinkedHashMap[String, RowFrame]()
 
@@ -1280,7 +1462,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         filters.map(Scan.norm).mkString("&")).mkString("§")
       val f = frames.getOrElseUpdate(sig, {
         fc += 1
-        val name = s"__rf${u}_$fc"
+        val name = s"__rf$u${tag}_$fc"
         val whereSql = if (filters.isEmpty) "" else s" WHERE ${filters.mkString(" AND ")}"
         val sql =
           if (pairs.isEmpty) s"SELECT $aggExpr AS __v FROM $baseName$whereSql"
@@ -1288,9 +1470,13 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
             val keyCols = pairs.zipWithIndex.map { case ((in, _), i) => s"$in AS __k$i" }
             s"SELECT ${keyCols.mkString(", ")}, $aggExpr AS __v FROM $baseName$whereSql GROUP BY ${pairs.map(_._1).mkString(", ")}"
           }
+        // the correlated outer ref may be a view-level expression dim
+        // (yr = year(o_orderdate)); join on its base-level expression, which
+        // resolves against the base CTE the frame is joined to
         val joinOn =
           if (pairs.isEmpty) None
-          else Some(pairs.zipWithIndex.map { case ((_, out), i) => s"$name.__k$i <=> $baseName.$out" }.mkString(" AND "))
+          else Some(pairs.zipWithIndex.map { case ((_, out), i) =>
+            s"$name.__k$i <=> (${substToBase(out, v, allAliases)})" }.mkString(" AND "))
         RowFrame(name, sql, joinOn, s"$name.__v")
       })
       f.valueRef

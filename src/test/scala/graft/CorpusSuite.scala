@@ -28,10 +28,19 @@ class CorpusSuite extends SparkSpec {
     info(s"statements ok=${s.statementsOk} errOk=${s.statementErrOk} " +
       s"queries passed=${s.queriesPassed} failed=${s.queriesFailed} " +
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
+    info(s"skip census: ${s.skipCensus.toSeq.sortBy(_._1).mkString(", ")}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 185, s"expected >=185 corpus queries green, got ${s.queriesPassed}")
-    assert(s.errorSkips <= 4, s"query-execution errors grew: ${s.errorSkips} > 4")
+    assert(s.queriesPassed >= 187, s"expected >=187 corpus queries green, got ${s.queriesPassed}")
+    // exact skip census — a NEW skip of any category is a failure, not
+    // drift. Current residue: 2 DuckDB-qualified-name batch views (setup),
+    // 3 directives reading those views (poisoned), 1 kurtosis/skewness
+    // moment-convention query, 2 runtime errors (setseed/random()-dependent
+    // lag-without-ORDER directives, legitimately engine-defined).
+    assert(s.skipCensus == Map(
+      "setup-untranslatable" -> 2, "poisoned-reference" -> 3,
+      "engine-defined" -> 1, "execution-error" -> 2),
+      s"skip census drifted: ${s.skipCensus}")
   }
 
   test("reference corpus: no_semantic_prefix.test") {
@@ -39,9 +48,11 @@ class CorpusSuite extends SparkSpec {
     info(s"statements ok=${s.statementsOk} errOk=${s.statementErrOk} " +
       s"queries passed=${s.queriesPassed} failed=${s.queriesFailed} " +
       s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
+    info(s"skip census: ${s.skipCensus.toSeq.sortBy(_._1).mkString(", ")}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
     assert(s.queriesPassed >= 144, s"expected >=144 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips == 0, s"query-execution errors appeared: ${s.errorSkips}")
+    assert(s.skipped == 5, s"skip count drifted: ${s.skipped} (census ${s.skipCensus})")
   }
 }

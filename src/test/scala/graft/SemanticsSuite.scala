@@ -346,6 +346,57 @@ class SemanticsSuite extends SparkSpec {
         |b	45""".stripMargin)
   }
 
+  // multi-fact WHERE measure predicate: each call-bearing conjunct filters
+  // its own view's BASE rows through a per-view filtered base before the
+  // join (reference handles WHERE-position calls uniformly,
+  // measures.rs:7110-7592)
+  test("multi-fact WHERE measure predicate filters one view's base pre-join") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mw_sales AS
+        |SELECT * FROM VALUES
+        |  (2022, 'a', 10.0), (2022, 'a', 90.0), (2022, 'b', 30.0), (2022, 'b', 50.0),
+        |  (2023, 'a', 40.0), (2023, 'a', 60.0), (2024, 'c', 20.0)
+        |AS t(yr, grp, amount)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mw_targets AS
+        |SELECT * FROM VALUES (2022, 5.0), (2023, 7.0), (2024, 9.0) AS t(yr, target)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW mw_sales_v AS SELECT yr, grp, amount,
+        |AVG(amount) AS MEASURE avg_amt, SUM(amount) AS MEASURE total FROM mw_sales""".stripMargin)
+    engine.sql("CREATE VIEW mw_tgt_v AS SELECT yr, SUM(target) AS MEASURE t_sum FROM mw_targets")
+    // per-(yr,grp) averages: 2022a=50 -> 90 survives; 2022b=40 -> 50
+    // survives; 2023a=50 -> 60 survives; 2024c=20 -> nothing survives, so
+    // 2024 must vanish from the JOIN even though mw_tgt_v has a 2024 row
+    checkGolden(engine.sql(
+      """SELECT s.yr, AGGREGATE(total) AS tot, AGGREGATE(t_sum) AS tgt
+        |FROM mw_sales_v s JOIN mw_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE grp = s.grp AND yr = s.yr)
+        |GROUP BY s.yr ORDER BY s.yr""".stripMargin),
+      """2022	140	5
+        |2023	60	7""".stripMargin)
+    // AT (ALL) still reads the UNFILTERED base, like any plain WHERE
+    checkGolden(engine.sql(
+      """SELECT s.yr, AGGREGATE(total) AT (ALL) AS grand
+        |FROM mw_sales_v s JOIN mw_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE grp = s.grp AND yr = s.yr)
+        |GROUP BY s.yr ORDER BY s.yr""".stripMargin),
+      """2022	300
+        |2023	300""".stripMargin)
+    // a plain conjunct rides along at join level and in the visible frames
+    checkGolden(engine.sql(
+      """SELECT s.yr, AGGREGATE(total) AS tot
+        |FROM mw_sales_v s JOIN mw_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE grp = s.grp AND yr = s.yr) AND s.grp = 'a'
+        |GROUP BY s.yr ORDER BY s.yr""".stripMargin),
+      """2022	90
+        |2023	60""".stripMargin)
+    // a conjunct mixing measures of two views is rejected loudly
+    val e = intercept[GraftException](engine.sql(
+      """SELECT s.yr FROM mw_sales_v s JOIN mw_tgt_v t ON s.yr = t.yr
+        |WHERE s.total AT (ALL) > t.t_sum AT (ALL) GROUP BY s.yr""".stripMargin))
+    assert(e.getMessage.contains("only one view"), e.getMessage)
+  }
+
   // multi-fact join + plain-aggregate HAVING: the condition stays inside the
   // grouped __outer over the join (previously rejected, PERF.md §5)
   test("multi-fact HAVING with a plain aggregate") {

@@ -27,7 +27,18 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
   case class Summary(var statementsOk: Int = 0, var statementErrOk: Int = 0,
                      var queriesPassed: Int = 0, var queriesFailed: Int = 0,
                      var skipped: Int = 0, var errorSkips: Int = 0,
-                     val failures: mutable.ListBuffer[String] = mutable.ListBuffer())
+                     var setupSkips: Int = 0, var poisonedSkips: Int = 0,
+                     var engineDefinedSkips: Int = 0,
+                     val failures: mutable.ListBuffer[String] = mutable.ListBuffer()) {
+    /** Exact census of every skip category — asserted by CorpusSuite so a
+      * NEW skip of any kind is a test failure, not silent drift.
+      */
+    def skipCensus: Map[String, Int] = Map(
+      "setup-untranslatable" -> setupSkips,
+      "poisoned-reference" -> poisonedSkips,
+      "engine-defined" -> engineDefinedSkips,
+      "execution-error" -> errorSkips)
+  }
 
   // virtual tables: name -> (colsDdl, rows)
   private case class VTable(cols: Seq[(String, String)], rows: mutable.ListBuffer[String])
@@ -214,6 +225,7 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
         catch {
           case e: Exception =>
             summary.skipped += 1
+            summary.setupSkips += 1
             summary.failures += s"SKIP(setup): ${sql.take(90).replaceAll("\\s+", " ")} -> ${Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption.getOrElse("").take(90)}"
             // poison tables/views this statement would have created
             for (m <- "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?(?:TABLE|VIEW)\\s+([A-Za-z_]\\w*)".r.findAllMatchIn(sql))
@@ -226,7 +238,7 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
         try {
           exec(sql)
           // executing without error is a FAIL only when setup was healthy
-          if (referencedPoisoned(sql)) summary.skipped += 1
+          if (referencedPoisoned(sql)) { summary.skipped += 1; summary.poisonedSkips += 1 }
           else { summary.queriesFailed += 1; summary.failures += s"expected error but succeeded: ${sql.take(120)}" }
         } catch { case _: Exception => summary.statementErrOk += 1 }
       } else if (line.startsWith("query")) {
@@ -237,7 +249,10 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
         // engine-defined differences vs DuckDB (bias-corrected vs population
         // moments) — not comparable, like MODE tie-breaks
         val engineDefined = "(?i)kurtosis|skewness".r.findFirstIn(sql).isDefined
-        if (referencedPoisoned(sql) || engineDefined) summary.skipped += 1
+        if (referencedPoisoned(sql) || engineDefined) {
+          summary.skipped += 1
+          if (engineDefined) summary.engineDefinedSkips += 1 else summary.poisonedSkips += 1
+        }
         else {
           try {
             var got = runQuery(sql)
