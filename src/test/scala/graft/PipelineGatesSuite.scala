@@ -128,6 +128,28 @@ class PipelineGatesSuite extends SparkSpec {
     assert(randomPairs.sum / randomPairs.size <= 0.05)
   }
 
+  // Converse precision fence for the winnowing guarantee: the guarantee
+  // (shared substring >= k+window-1 => shared fingerprint) is gated above
+  // on planted near-dups; here, documents built from DISJOINT alphabets
+  // share no k-gram at all, so they must share exactly ZERO fingerprints
+  // (anything else would be an xxhash64 collision at ~2^-64).
+  test("winnowing fingerprints: disjoint-alphabet docs share zero fingerprints") {
+    import spark.implicits._
+    def doc(alphabet: String, words: Int): String =
+      (0 until words).map(i => alphabet * (2 + i % 3)).mkString(" ")
+    val disjoint = Seq(
+      (1L, doc("abcd", 60)), (2L, doc("efgh", 60)),
+      (3L, doc("ijkl", 60)), (4L, doc("mnop", 60))).toDF("doc_id", "text")
+    val fps = disjoint.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k = 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (a <- fps.keys; b <- fps.keys if a < b) {
+      assert((fps(a) & fps(b)).isEmpty,
+        s"docs $a/$b share ${(fps(a) & fps(b)).size} fingerprints despite disjoint alphabets")
+      assert(fps(a).nonEmpty && fps(b).nonEmpty, "empty fingerprint set")
+    }
+  }
+
   // the testdata `lang` label is uncorrelated with the text (every doc uses
   // the same synthetic English-ish vocabulary), so accuracy-vs-label is not
   // a meaningful gate — langId is tested on genuine sentences instead
