@@ -113,15 +113,23 @@ object Dedup {
         xxhash64(concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bucket"))
     }
     // the banded frame feeds three consumers (bucket-size stats + both join
-    // sides); persist so the signature computation runs once
+    // sides); persist so the signature computation runs once. The shingle
+    // side is corpus-sized by definition — force a shuffle join so the
+    // optimizer can never elect to broadcast it (measured: a 20 MB
+    // broadcast threshold flips this join and costs ~1 s at sf0.1; at real
+    // scale broadcasting the corpus is fatal)
     val docs = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
       .select(col("doc_id"), col("__bk.band"), col("__bk.bucket"))
-      .join(shingled, "doc_id")
+      .join(shingled.hint("shuffle_hash"), "doc_id")
       .persist()
 
-    // shuffle on (band, bucket); cap runaway buckets
+    // shuffle on (band, bucket); cap runaway buckets. bucketed feeds BOTH
+    // sides of the candidate self-join — persist so the cap join runs once,
+    // not once per side
     val bucketSizes = docs.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-    val bucketed = docs.join(bucketSizes.filter(col("__bsz") <= maxBucket), Seq("band", "bucket"))
+    val bucketed = docs.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+      Seq("band", "bucket"))
+      .persist()
 
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
     val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
@@ -163,12 +171,15 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .persist()
     val tok = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
+    // freq and sizes are corpus-order relations (distinct shingles / one row
+    // per doc) — shuffle-hash hints keep the optimizer from ever electing to
+    // broadcast them off a post-aggregate size estimate (fatal at real scale)
     val freq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq).select("__s")
     // sizes measured over the SAME capped universe as the intersection —
     // mismatched universes would silently underestimate jaccard
-    val tokF = tok.join(freq, "__s").persist()
-    val sizes = tokF.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val tokF = tok.join(freq.hint("shuffle_hash"), "__s").persist()
+    val sizes = tokF.groupBy("doc_id").agg(count(lit(1)).as("__n")).hint("shuffle_hash")
     val common = tokF.select(col("__s"), col("doc_id").as("doc_id_a"))
       .join(tokF.select(col("__s"), col("doc_id").as("doc_id_b")), Seq("__s"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -228,8 +239,11 @@ object Dedup {
       }: _*)).as("__ck"))
       .select(col("doc_id"), col("__sim"), col("__ck.chunk"), col("__ck.key"))
       .persist()
+    // bucket stats are corpus-order in the worst case (one bucket per doc)
+    // — never let a size estimate flip this join to broadcast
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
-    val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("chunk", "key"))
+    val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+      Seq("chunk", "key"))
     val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"), col("__sim").as("__sim_a"))
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"), col("__sim").as("__sim_b"))
     a.join(b, Seq("chunk", "key"))
@@ -270,7 +284,8 @@ object Dedup {
       .withColumn("__bucket", bucketExpr)
       .persist()
     val sizes = keyed.groupBy("__bucket").agg(count(lit(1)).as("__bsz"))
-    val capped = keyed.join(sizes.filter(col("__bsz") <= maxBucket), Seq("__bucket"))
+    val capped = keyed.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+      Seq("__bucket"))
     val a = capped.select(col("__bucket"), col("vec_id").as("vec_id_a"), col("__v").as("__va"))
     val b = capped.select(col("__bucket"), col("vec_id").as("vec_id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
