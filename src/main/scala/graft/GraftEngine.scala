@@ -156,7 +156,29 @@ final class GraftEngine(val spark: SparkSession) {
   private def executeStatement(stmt0: String): DataFrame = {
     // comments are blanked before the SEMANTIC check — a batch statement may
     // lead with a line comment ahead of its SEMANTIC prefix
-    val stmt = Shims(stripSemantic(Scan.blankComments(stmt0)))
+    val stmtShimmed = Shims(stripSemantic(Scan.blankComments(stmt0)))
+
+    // DROP VIEW main.x while a TEMP view shadows x drops the PERMANENT one
+    // (DuckDB schema semantics; measures.test:538): suppress its batch-end
+    // restore, leave the temp shadow untouched. Handled before the general
+    // main.-rewrite so the drop is not redirected at the hidden view.
+    MeasureDdl.dropViewName(stmtShimmed) match {
+      case Some(name) if name.toLowerCase.startsWith("main.") =>
+        val lname = Scan.lastPart(name).toLowerCase
+        val shadowedPerm = catalog.get(lname).exists(_.temporary) &&
+          batchSnapshot.get(lname).exists(p => !p.temporary)
+        if (shadowedPerm) {
+          batchDropped += lname
+          val hidden = hiddenNameOf(lname)
+          catalog.drop(hidden)
+          try spark.catalog.dropTempView(hidden) catch { case _: Exception => }
+          return spark.emptyDataFrame
+        }
+      // unshadowed: the qualifier is a no-op — fall through to the rewrite
+      case _ =>
+    }
+
+    val stmt = resolveMainQualified(stmtShimmed)
 
     stmt match {
       case setWarningsRe(v) =>
@@ -236,6 +258,48 @@ final class GraftEngine(val spark: SparkSession) {
         spark.sql(expanded)
       case None => spark.sql(normalizeDdl(stmt))
     }
+  }
+
+  /** DuckDB's `main.` (default-schema) qualifier on a view name bypasses a
+    * same-named TEMP view and reads the PERMANENT one
+    * (measures.test:490). Our views share a single session temp-view
+    * namespace, so the shadowed permanent definition is re-materialized
+    * under a hidden name and the qualified reference rewritten to it;
+    * unshadowed references just drop the qualifier.
+    */
+  private def hiddenNameOf(lname: String): String = "__graft_perm_" + lname
+
+  private def resolveMainQualified(stmt: String): String = {
+    val re = "(?i)\\bmain\\s*\\.\\s*([A-Za-z_]\\w*)".r
+    if (re.findFirstIn(stmt).isEmpty) return stmt
+    val mask = Scan.buildMask(stmt)
+    val sb = new StringBuilder
+    var pos = 0
+    for (m <- re.findAllMatchIn(stmt) if !mask(m.start) && m.start >= pos) {
+      val bare = m.group(1)
+      val lname = bare.toLowerCase
+      val repl =
+        if (catalog.get(lname).exists(_.temporary))
+          batchSnapshot.get(lname).filter(p => !p.temporary)
+            .map(materializeHidden).getOrElse(bare)
+        else bare
+      sb.append(stmt.substring(pos, m.start)).append(repl)
+      pos = m.end
+    }
+    sb.append(stmt.substring(pos))
+    sb.toString
+  }
+
+  private def materializeHidden(perm: MeasureView): String = {
+    val hidden = hiddenNameOf(perm.viewName.toLowerCase)
+    if (catalog.get(hidden).isEmpty) {
+      val hiddenSql = perm.cleanViewSql.replaceFirst(
+        "(?i)\\bVIEW\\s+" + java.util.regex.Pattern.quote(perm.viewName) + "\\b",
+        "VIEW " + hidden)
+      if (hiddenSql != perm.cleanViewSql && perm.cleanViewSql.nonEmpty) spark.sql(hiddenSql)
+      catalog.register(perm.copy(viewName = hidden, cleanViewSql = hiddenSql))
+    }
+    hidden
   }
 
   private val ctasRe =

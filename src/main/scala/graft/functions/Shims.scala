@@ -34,12 +34,11 @@ object Shims {
     val step6 = rewriteStringAgg(step5)
     val step7 = rewriteProductEntropy(step6)
     val step8 = rewriteGenerateSeries(step7)
-    renameCalls(step8)
+    val step9 = rewriteMoments(step8)
+    renameCalls(step9)
   }
-  // NOTE: DuckDB's `main.x` schema qualifier is deliberately NOT stripped —
-  // in DuckDB it bypasses a same-named TEMP view to read the permanent one,
-  // a semantics our single-namespace temp views cannot honor; those corpus
-  // statements stay skipped rather than silently reading the wrong view.
+  // NOTE: DuckDB's `main.x` schema qualifier is resolved by GraftEngine
+  // (permanent-view resolution under temp shadowing), not stripped here.
 
   /** `generate_series(a, b[, step]) AS t(x)` table function -> an
     * explode(sequence(...)) derived table.
@@ -160,6 +159,43 @@ object Shims {
               s"(acc, c) -> acc - (c / count($x)) * log2(c / count($x))) END)"
         }
         return rewriteProductEntropy(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+      }
+    }
+    sql
+  }
+
+  /** DuckDB's KURTOSIS/SKEWNESS are the bias-corrected SAMPLE statistics
+    * (G2/G1); Spark's builtins are the population ones (g2/g1). Rebuilt from
+    * raw moments so the values match DuckDB:
+    *   G1 = sqrt(n(n-1))/(n-2) * m3/m2^1.5          (NULL when n<3 or m2=0)
+    *   G2 = (n-1)/((n-2)(n-3)) * ((n+1)(m4/m2^2 - 3) + 6)   (NULL when n<4)
+    * Central moments come from raw power sums (Catalyst dedupes the repeated
+    * avg/count aggregates into one physical pass). Fine at corpus magnitudes;
+    * catastrophic cancellation at |mean| >> stddev is the documented trade.
+    */
+  private def rewriteMoments(sql: String): String = {
+    val mask = Scan.buildMask(sql)
+    val re = "(?i)\\b(kurtosis|skewness)\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql) if !mask(m.start)) {
+      val fn = m.group(1).toLowerCase
+      val open = sql.indexOf('(', m.start)
+      val close = Scan.matchParen(sql, mask, open)
+      if (close > 0) {
+        val x = s"CAST((${sql.substring(open + 1, close).trim}) AS DOUBLE)"
+        val n = s"count($x)"
+        val mu = s"avg($x)"
+        val m2 = s"(avg($x*$x) - $mu*$mu)"
+        val m3 = s"(avg($x*$x*$x) - 3*$mu*avg($x*$x) + 2*$mu*$mu*$mu)"
+        val m4 = s"(avg($x*$x*$x*$x) - 4*$mu*avg($x*$x*$x) + 6*$mu*$mu*avg($x*$x) - 3*$mu*$mu*$mu*$mu)"
+        val repl = fn match {
+          case "skewness" =>
+            s"(CASE WHEN $n < 3 OR $m2 <= 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE sqrt($n*($n-1.0))/($n-2.0) * $m3 / pow($m2, 1.5) END)"
+          case _ =>
+            s"(CASE WHEN $n < 4 OR $m2 <= 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE ($n-1.0)/(($n-2.0)*($n-3.0)) * (($n+1.0) * ($m4/($m2*$m2) - 3.0) + 6.0) END)"
+        }
+        return rewriteMoments(sql.substring(0, m.start) + repl + sql.substring(close + 1))
       }
     }
     sql

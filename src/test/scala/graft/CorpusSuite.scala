@@ -31,15 +31,16 @@ class CorpusSuite extends SparkSpec {
     info(s"skip census: ${s.skipCensus.toSeq.sortBy(_._1).mkString(", ")}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 187, s"expected >=187 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 191, s"expected >=191 corpus queries green, got ${s.queriesPassed}")
     // exact skip census — a NEW skip of any category is a failure, not
-    // drift. Current residue: 2 DuckDB-qualified-name batch views (setup),
-    // 3 directives reading those views (poisoned), 1 kurtosis/skewness
-    // moment-convention query, 2 runtime errors (setseed/random()-dependent
-    // lag-without-ORDER directives, legitimately engine-defined).
+    // drift. Round-5 recoveries: main.-qualified batch views (permanent
+    // resolution under temp shadowing) and DuckDB-convention
+    // kurtosis/skewness both pass now. Remaining residue: 2 runtime errors
+    // (setseed/random()-dependent lag-without-ORDER directives,
+    // legitimately engine-defined).
     assert(s.skipCensus == Map(
-      "setup-untranslatable" -> 2, "poisoned-reference" -> 3,
-      "engine-defined" -> 1, "execution-error" -> 2),
+      "setup-untranslatable" -> 0, "poisoned-reference" -> 0,
+      "engine-defined" -> 0, "execution-error" -> 2),
       s"skip census drifted: ${s.skipCensus}")
   }
 
@@ -51,8 +52,8 @@ class CorpusSuite extends SparkSpec {
     info(s"skip census: ${s.skipCensus.toSeq.sortBy(_._1).mkString(", ")}")
     s.failures.take(80).foreach(f => info("  " + f))
     assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
-    assert(s.queriesPassed >= 144, s"expected >=144 corpus queries green, got ${s.queriesPassed}")
+    assert(s.queriesPassed >= 147, s"expected >=147 corpus queries green, got ${s.queriesPassed}")
     assert(s.errorSkips == 0, s"query-execution errors appeared: ${s.errorSkips}")
-    assert(s.skipped == 5, s"skip count drifted: ${s.skipped} (census ${s.skipCensus})")
+    assert(s.skipped == 0, s"skip count drifted: ${s.skipped} (census ${s.skipCensus})")
   }
 }

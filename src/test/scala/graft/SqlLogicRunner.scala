@@ -246,12 +246,9 @@ final class SqlLogicRunner(spark: SparkSession, engine: GraftEngine) {
         i += 1
         val sql = collectSql()
         val golden = collectGolden()
-        // engine-defined differences vs DuckDB (bias-corrected vs population
-        // moments) — not comparable, like MODE tie-breaks
-        val engineDefined = "(?i)kurtosis|skewness".r.findFirstIn(sql).isDefined
-        if (referencedPoisoned(sql) || engineDefined) {
+        if (referencedPoisoned(sql)) {
           summary.skipped += 1
-          if (engineDefined) summary.engineDefinedSkips += 1 else summary.poisonedSkips += 1
+          summary.poisonedSkips += 1
         }
         else {
           try {
