@@ -52,21 +52,40 @@ object Bench {
     }
   }
 
+  /** Total bytes under a parquet path (file or directory of part files). */
+  private def pathBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().map(_.length()).sum
+    else if (f.isFile) f.length()
+    else 0L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // AQE's stage-by-stage replanning costs whole scheduling rounds, which
-    // dominates sub-second queries at bench scale; it pays for itself on
-    // real (100 TB) inputs. Bench uses the small-input configuration; the
-    // shuffle partition count likewise tracks input size, not core count.
+    // Config tracks input size (measured on the 100x crossover dataset):
+    //  - small inputs (sf0.1, 11 MB lineitem): AQE's stage-by-stage
+    //    replanning costs whole scheduling rounds, which dominates
+    //    sub-second queries — AQE off, 32 shuffle partitions.
+    //  - large inputs (100x, 1.1 GB lineitem): AQE on (it right-sizes
+    //    partitions per stage, which also keeps every shuffled-hash build
+    //    inside execution memory — the fixed 32-partition config OOMed the
+    //    60M x 15M join build), shuffle partitions scaled at ~8 MB of input
+    //    per partition. This is the knob that must track data, not cores.
+    val liBytes = pathBytes(s"$sfDir/lineitem.parquet")
+    val bigInput = liBytes > 100L * 1024 * 1024
+    val defaultShuffle =
+      if (bigInput) math.min(256L, math.max(32L, liBytes / (8L * 1024 * 1024))).toString
+      else "32"
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", defaultShuffle))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", if (bigInput) "true" else "false"))
       // join strategy, measured on the 10x dataset (ProbeJoin2 grid):
       // broadcasting a 25 MB/1.5M-row fact side costs ~4 s/run in driver
       // collect + hash build, while a 32-partition shuffled-hash join runs
@@ -74,7 +93,7 @@ object Bench {
       // into parallel hash builds (sort-merge only helps pre-sorted data;
       // at real scale AQE re-picks per stage and handles skew)
       .config("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.join.preferSortMergeJoin", sys.env.getOrElse("SPARK_GRAFT_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
