@@ -292,13 +292,13 @@ final class GraftEngine(val spark: SparkSession) {
 
   private def materializeHidden(perm: MeasureView): String = {
     val hidden = hiddenNameOf(perm.viewName.toLowerCase)
-    if (catalog.get(hidden).isEmpty) {
-      val hiddenSql = perm.cleanViewSql.replaceFirst(
-        "(?i)\\bVIEW\\s+" + java.util.regex.Pattern.quote(perm.viewName) + "\\b",
-        "VIEW " + hidden)
-      if (hiddenSql != perm.cleanViewSql && perm.cleanViewSql.nonEmpty) spark.sql(hiddenSql)
-      catalog.register(perm.copy(viewName = hidden, cleanViewSql = hiddenSql))
-    }
+    // always re-materialize: the permanent definition may have been replaced
+    // since a previous qualified read registered the hidden twin
+    val hiddenSql = perm.cleanViewSql.replaceFirst(
+      "(?i)\\bVIEW\\s+" + java.util.regex.Pattern.quote(perm.viewName) + "\\b",
+      "VIEW " + hidden)
+    if (hiddenSql != perm.cleanViewSql && perm.cleanViewSql.nonEmpty) spark.sql(hiddenSql)
+    catalog.register(perm.copy(viewName = hidden, cleanViewSql = hiddenSql))
     hidden
   }
 

@@ -89,7 +89,9 @@ object SparkEntry {
           |  REGR_SLOPE(l_extendedprice, l_quantity) AS MEASURE price_slope,
           |  BOOL_AND(l_quantity > 5) AS MEASURE all_big,
           |  BOOL_OR(l_discount > 0.09) AS MEASURE any_bigdisc,
-          |  BIT_XOR(l_partkey) AS MEASURE key_xor
+          |  BIT_XOR(l_partkey) AS MEASURE key_xor,
+          |  KURTOSIS(l_quantity) AS MEASURE q_kurt,
+          |  SKEWNESS(l_quantity) AS MEASURE q_skew
           |FROM lineitem""".stripMargin)
       // ordered-set aggregates + deterministic FIRST/LAST-style measures
       // (reference: ordered_set_v battery, measures.test:2908-2960)
@@ -281,6 +283,35 @@ object SparkEntry {
         "FROM stat_v ORDER BY l_returnflag"),
     "m_bitxor" -> m(
       "SELECT l_returnflag, AGGREGATE(key_xor) AS key_xor FROM stat_v ORDER BY l_returnflag"),
+    // DuckDB-convention bias-corrected sample moments (G1/G2) — the oracle
+    // runs DuckDB's own kurtosis()/skewness(), so this gates the Shims
+    // rewrite against the authoritative implementation
+    "m_moments" -> m(
+      "SELECT l_returnflag, ROUND(AGGREGATE(q_kurt), 6) AS q_kurt, ROUND(AGGREGATE(q_skew), 6) AS q_skew " +
+        "FROM stat_v ORDER BY l_returnflag"),
+    // main.-qualified reads resolve the PERMANENT measure view while a TEMP
+    // shadow owns the bare name (DuckDB schema semantics, measures.test:490).
+    // The permanent must predate the shadowing batch, as in the corpus.
+    "m_qualified_read" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.sql("DROP TABLE IF EXISTS qual_perm_result")
+      e.sql("DROP TABLE IF EXISTS qual_temp_result")
+      clearManaged(s, "qual_perm_result")
+      clearManaged(s, "qual_temp_result")
+      e.sql("CREATE OR REPLACE VIEW qual_v AS " +
+        "SELECT l_returnflag, SUM(l_quantity) AS MEASURE qqty FROM lineitem")
+      e.sql(
+        """CREATE OR REPLACE TEMP VIEW qual_v AS
+          |  SELECT l_returnflag, SUM(l_quantity * 100) AS MEASURE qqty FROM lineitem;
+          |CREATE TABLE qual_perm_result AS
+          |  SELECT l_returnflag, AGGREGATE(qqty) AS perm_qty FROM main.qual_v GROUP BY l_returnflag;
+          |CREATE TABLE qual_temp_result AS
+          |  SELECT l_returnflag, AGGREGATE(qqty) AS temp_qty FROM qual_v GROUP BY l_returnflag;""".stripMargin)
+      e.sql(
+        """SELECT p.l_returnflag, p.perm_qty, t.temp_qty
+          |FROM qual_perm_result p JOIN qual_temp_result t ON p.l_returnflag = t.l_returnflag
+          |ORDER BY p.l_returnflag""".stripMargin)
+    }),
     "m_first" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(first_price), 2) AS first_price FROM pct_v ORDER BY l_returnflag"),
     "m_last" -> m(
@@ -612,6 +643,12 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_bool" ->
       ("SELECT l_returnflag, bool_and(l_quantity > 5) AS all_big, bool_or(l_discount > 0.09) AS any_bigdisc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_moments" ->
+      ("SELECT l_returnflag, round(kurtosis(l_quantity), 6) AS q_kurt, round(skewness(l_quantity), 6) AS q_skew " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "m_qualified_read" ->
+      ("SELECT l_returnflag, SUM(l_quantity) AS perm_qty, SUM(l_quantity * 100) AS temp_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_bitxor" ->
       ("SELECT l_returnflag, bit_xor(l_partkey) AS key_xor FROM lineitem " +
