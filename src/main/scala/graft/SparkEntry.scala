@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -489,6 +489,18 @@ object SparkEntry {
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
           aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
         .orderBy("vec_id")),
+    // reproducible sampling (training-data mixing): the keep/drop decision
+    // is a pure integer-arithmetic hash predicate, so the DuckDB oracle
+    // evaluates the IDENTICAL expression — exact row-set match, any engine
+    "t_sample" -> ((s, dir) =>
+      Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25, seed = 7)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // per-stratum rates (domain/language balancing); result = kept counts
+    "t_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.9), default = 0.2, seed = 3)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -880,6 +892,18 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "t_sample" ->
+      ("""SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS b FROM documents
+        |) t WHERE (b * b + 7 * b) % 1000000007 < 250000001
+        |ORDER BY doc_id""".stripMargin),
+    "t_stratified" ->
+      ("""SELECT lang, count(*) AS n_kept FROM (
+        |  SELECT lang, ((doc_id % 1000003) * 2654435761) % 1000000007 AS b FROM documents
+        |) t WHERE (b * b + 3 * b) % 1000000007 <
+        |  CAST(FLOOR(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.9 ELSE 0.2 END * 1000000007.0) AS BIGINT)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
     // mirrors TextAnalysis.qualityColumns/qualityScoreFrom with the same
     // expression tree so double arithmetic is IEEE-identical on both sides
     "t_analysis" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Ground-truth gates for the approximate pipeline operators: each
   * LSH/IVF/sketch path is measured against an exact, independently computed
@@ -256,5 +256,32 @@ class PipelineGatesSuite extends SparkSpec {
     byComp.foreach { case (comp, members) =>
       assert(members.map(_._1).min == comp, s"component $comp not the min member id")
     }
+  }
+
+  test("deterministic sampling: reproducible, rate-accurate, seed-sensitive") {
+    val total = docs.count().toDouble
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.25, seed = 7)
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.25, seed = 7)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == s2.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "same seed must select the same rows")
+    val rate = ids1.size / total
+    assert(math.abs(rate - 0.25) < 0.05, s"kept rate $rate far from 0.25")
+    val other = Sampling.deterministicSample(docs, "doc_id", 0.25, seed = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != ids1, "different seed must select a different row set")
+  }
+
+  test("stratified sampling: per-stratum rates within tolerance") {
+    val kept = Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.9), default = 0.2, seed = 3)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(l: String) = kept.getOrElse(l, 0L).toDouble / totals(l)
+    assert(math.abs(rate("en") - 0.5) < 0.12, s"en rate ${rate("en")}")
+    assert(math.abs(rate("zh") - 0.9) < 0.12, s"zh rate ${rate("zh")}")
+    assert(math.abs(rate("de") - 0.2) < 0.12, s"de rate ${rate("de")}")
   }
 }
