@@ -114,7 +114,13 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          // even-size: average the middle two — taking the upper-middle
+          // would bias a half-contended 6-sample window upward
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
         val sec =
           try {
             var samples = Seq.fill(3)(once())

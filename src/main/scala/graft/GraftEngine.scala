@@ -62,6 +62,12 @@ final class GraftEngine(val spark: SparkSession) {
   private val batchConsumedMat = scala.collection.mutable.Set[String]()
   private val batchSelectRefs = scala.collection.mutable.Set[String]()
   private val batchDropped = scala.collection.mutable.Set[String]()
+  // permanent views dropped via main.-qualified DROP in this batch: a later
+  // main.x read must error, and a later bare DROP of the temp shadow must
+  // NOT resurrect the permanent
+  private val permDroppedInBatch = scala.collection.mutable.Set[String]()
+  // __graft_perm_* twins materialized this batch, cleaned up at batch end
+  private val batchHidden = scala.collection.mutable.Set[String]()
   private var batchSnapshot: Map[String, MeasureView] = Map.empty
   private var stmtMaterializing = false
 
@@ -89,6 +95,7 @@ final class GraftEngine(val spark: SparkSession) {
     batchConsumedMat.clear()
     batchSelectRefs.clear()
     batchDropped.clear()
+    permDroppedInBatch.clear()
     try {
       var last: DataFrame = spark.emptyDataFrame
       for (s <- stmts) last = executeStatement(s)
@@ -125,6 +132,14 @@ final class GraftEngine(val spark: SparkSession) {
         }
         catalog.restore(snap)
         throw e
+    } finally {
+      // hidden permanent twins are batch-scoped: a stale one would keep
+      // serving a definition the user later replaces or drops
+      for (h <- batchHidden) {
+        catalog.drop(h)
+        try spark.catalog.dropTempView(h) catch { case _: Exception => }
+      }
+      batchHidden.clear()
     }
   }
 
@@ -135,7 +150,10 @@ final class GraftEngine(val spark: SparkSession) {
     * EXPLAIN); returns the input when it is not a measure query.
     */
   def expandSql(text: String): String = {
-    val stmt = Shims(stripSemantic(text.trim.stripSuffix(";")))
+    // same preprocessing as sql(): main.-qualified names must resolve to the
+    // hidden permanent twin here too, or the inspected SQL is not the
+    // executed one
+    val stmt = resolveMainQualified(Shims(stripSemantic(text.trim.stripSuffix(";"))))
     expander.expand(stmt).getOrElse(stmt)
   }
 
@@ -169,6 +187,7 @@ final class GraftEngine(val spark: SparkSession) {
           batchSnapshot.get(lname).exists(p => !p.temporary)
         if (shadowedPerm) {
           batchDropped += lname
+          permDroppedInBatch += lname
           val hidden = hiddenNameOf(lname)
           catalog.drop(hidden)
           try spark.catalog.dropTempView(hidden) catch { case _: Exception => }
@@ -209,13 +228,17 @@ final class GraftEngine(val spark: SparkSession) {
         catalog.drop(name)
         baseColsCache.remove(name.toLowerCase)
         batchDropped += lname
+        // a dropped view's hidden permanent twin must not outlive it
+        catalog.drop(hiddenNameOf(lname))
+        try spark.catalog.dropTempView(hiddenNameOf(lname)) catch { case _: Exception => }
         val res = spark.sql(stmt.replaceAll("(?is)\\s+(CASCADE|RESTRICT)\\s*;?\\s*$", ""))
         // mid-batch reveal: dropping a batch-created TEMP view un-shadows the
         // permanent view it replaced — later statements in the same batch
-        // read the permanent again (reference batch semantics)
+        // read the permanent again (reference batch semantics), UNLESS the
+        // permanent itself was dropped via main.x earlier in this batch
         if (batchTempCreated.remove(lname)) {
           batchSnapshot.get(lname) match {
-            case Some(prev) if !prev.temporary =>
+            case Some(prev) if !prev.temporary && !permDroppedInBatch.contains(lname) =>
               catalog.register(prev)
               if (prev.cleanViewSql.nonEmpty) spark.sql(prev.cleanViewSql)
               batchDropped -= lname
@@ -278,6 +301,9 @@ final class GraftEngine(val spark: SparkSession) {
     for (m <- re.findAllMatchIn(stmt) if !mask(m.start) && m.start >= pos) {
       val bare = m.group(1)
       val lname = bare.toLowerCase
+      if (permDroppedInBatch.contains(lname))
+        throw new GraftException(
+          s"View main.$bare does not exist: the permanent view was dropped earlier in this batch")
       val repl =
         if (catalog.get(lname).exists(_.temporary))
           batchSnapshot.get(lname).filter(p => !p.temporary)
@@ -299,6 +325,7 @@ final class GraftEngine(val spark: SparkSession) {
       "VIEW " + hidden)
     if (hiddenSql != perm.cleanViewSql && perm.cleanViewSql.nonEmpty) spark.sql(hiddenSql)
     catalog.register(perm.copy(viewName = hidden, cleanViewSql = hiddenSql))
+    batchHidden += hidden
     hidden
   }
 

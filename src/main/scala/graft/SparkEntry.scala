@@ -895,12 +895,15 @@ object SparkEntry {
     "t_sample" ->
       ("""SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
-        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS b FROM documents
+        |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |  FROM documents
         |) t WHERE (b * b + 7 * b) % 1000000007 < 250000001
         |ORDER BY doc_id""".stripMargin),
     "t_stratified" ->
       ("""SELECT lang, count(*) AS n_kept FROM (
-        |  SELECT lang, ((doc_id % 1000003) * 2654435761) % 1000000007 AS b FROM documents
+        |  SELECT lang,
+        |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |  FROM documents
         |) t WHERE (b * b + 3 * b) % 1000000007 <
         |  CAST(FLOOR(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.9 ELSE 0.2 END * 1000000007.0) AS BIGINT)
         |GROUP BY lang ORDER BY lang""".stripMargin),

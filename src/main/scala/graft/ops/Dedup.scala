@@ -341,6 +341,7 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    lastCcRounds = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "__v2"), col("__v") === col("__v2"))
         .groupBy(col("__u").as("id")).agg(min(col("component")).as("__nc"))
@@ -353,7 +354,9 @@ object Dedup {
       labels = next
       converged = !changed
       iter += 1
-      lastCcRounds = iter
+      // count only label-changing rounds — the final probe round that
+      // observes no change is not a propagation round
+      if (changed) lastCcRounds = iter
     }
     edges.unpersist()
     if (!converged)

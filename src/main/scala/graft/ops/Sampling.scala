@@ -14,29 +14,36 @@ import org.apache.spark.sql.functions._
   * 100 TB, and independently computable by any SQL engine (the driver's
   * DuckDB oracle evaluates the identical expression).
   *
-  * Scheme: b(k) = ((k mod P1) * A) mod P2, h(k) = (b² + seed·b) mod P2,
-  * keep when h < frac * P2, with P1 = 1e6+3, A = 2654435761 (Knuth's 2^32
-  * golden-ratio multiplier), P2 = 1e9+7. The seed multiplies b (quadratic,
-  * not affine): an affine `+ seed` would rotate every bucket uniformly, so
-  * two seeds would select nearly identical row sets — here the shift is
-  * key-dependent and seed changes decorrelate the selection (measured:
-  * seed 7 vs 8 overlap ≈ the independent-sampling expectation). All
-  * intermediates stay under 2e18 for |seed| ≤ 1e9, inside BIGINT for
-  * engines that check overflow (DuckDB raises; Spark wraps — identical
-  * here because nothing wraps).
+  * Scheme over the FULL 63-bit key (split so no product overflows BIGINT):
+  *   b(k) = ((k & (2^30−1)) · A + (k >> 30) · B) mod P2
+  *   h(k) = (b² + seed·b) mod P2,          keep when h < frac · P2
+  * with A = 2654435761 (Knuth's 2^32 golden-ratio multiplier), B = 976369,
+  * P2 = 1e9+7. The low/high split (not a `k mod small-prime` pre-reduction,
+  * which would make the selection PERIODIC in the key — ids congruent mod
+  * the prime would always share their fate) keeps every key bit live.
+  * The seed multiplies b (quadratic, not affine): an affine `+ seed` would
+  * rotate every bucket uniformly, so two seeds would select nearly
+  * identical row sets — here the shift is key-dependent and seed changes
+  * decorrelate the selection (measured: seed 7 vs 8 overlap ≈ the
+  * independent-sampling expectation). All intermediates stay under 3e18
+  * for 0 ≤ seed ≤ 1e9, inside BIGINT for engines that check overflow
+  * (DuckDB raises; Spark wraps — identical here because nothing wraps).
+  * Keys must be non-negative (`>>` sign-extends).
   */
 object Sampling {
 
-  private val P1 = 1000003L
   private val A = 2654435761L
+  private val B = 976369L
   private val P2 = 1000000007L
+  private val LowMask = (1L << 30) - 1
 
-  /** The bucket expression: uniform-ish in [0, P2) for integer keys.
+  /** The bucket expression: uniform-ish in [0, P2) for integer keys ≥ 0.
     * `seed` must be in [0, 1e9] to keep b² + seed·b inside BIGINT.
     */
   def hashBucket(key: Column, seed: Long = 0L): Column = {
     require(seed >= 0 && seed <= 1000000000L, s"seed $seed outside [0, 1e9]")
-    val b = (pmod(key.cast("bigint"), lit(P1)) * lit(A)) % lit(P2)
+    val k = key.cast("bigint")
+    val b = (k.bitwiseAND(lit(LowMask)) * lit(A) + shiftright(k, 30) * lit(B)) % lit(P2)
     (b * b + lit(seed) * b) % lit(P2)
   }
 
@@ -49,8 +56,13 @@ object Sampling {
 
   /** Per-stratum fractions (domain balancing / data mixing): strata listed
     * in `fractions` keep their own rate; unlisted strata keep `default`.
-    * The hash is salted per-stratum key so a row's fate in one stratum is
-    * independent of its fate under another fraction map.
+    *
+    * Selections under one seed are NESTED across fraction maps: raising a
+    * stratum's rate keeps every previously selected row and adds more
+    * (h < t1 ⊆ h < t2 for t1 ≤ t2). That monotonicity is intentional — it
+    * is what lets a mixing recipe be scaled up incrementally without
+    * reshuffling the rows already in the training set. For an independent
+    * re-draw, change the seed.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        fractions: Map[String, Double], default: Double = 0.0,

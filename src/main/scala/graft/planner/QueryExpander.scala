@@ -749,6 +749,9 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     // A dim belongs to view v when its qualifier is v's alias, OR its bare
     // name is one of v's dimension/base columns (reference:
     // measure_group_by_cols.retain, measures.rs:7284-7295).
+    // Scan.identifiers returns SQL keywords as tokens; ownership checks must
+    // not mistake them for column references (e.g. `x IS NULL OR y IN (...)`)
+    def isSqlKeyword(tok: String): Boolean = sqlKeywords(tok.toLowerCase)
     def tokenOwnedBy(tok: String, v: MeasureView, valiases: Set[String]): Boolean = {
       val dot = tok.indexOf('.')
       val n = Scan.lastPart(tok).toLowerCase
@@ -759,10 +762,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     }
     def exprOwnedBy(expr: String, v: MeasureView, valiases: Set[String]): Boolean = {
       val mask = Scan.buildMask(expr)
-      val cols = Scan.identifiers(expr, mask, 0, expr.length).filter { case (_, _, e) =>
+      val cols = Scan.identifiers(expr, mask, 0, expr.length).filter { case (t, _, e) =>
         var j = e
         while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
-        !(j < expr.length && expr.charAt(j) == '(')
+        !(j < expr.length && expr.charAt(j) == '(') && !isSqlKeyword(t)
       }
       cols.nonEmpty && cols.forall { case (t, _, _) => tokenOwnedBy(t, v, valiases) }
     }
@@ -848,10 +851,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
             sb.toString
           }
           val bm = Scan.buildMask(blanked)
-          val foreign = Scan.identifiers(blanked, bm, 0, blanked.length).filter { case (_, _, e) =>
+          val foreign = Scan.identifiers(blanked, bm, 0, blanked.length).filter { case (t, _, e) =>
             var j = e
             while (j < blanked.length && blanked.charAt(j).isWhitespace) j += 1
-            !(j < blanked.length && blanked.charAt(j) == '(')
+            !(j < blanked.length && blanked.charAt(j) == '(') && !isSqlKeyword(t)
           }.collect { case (t, _, _) if !tokenOwnedBy(t, pc.view, pc.viewAliases) => t }
           if (foreign.nonEmpty)
             throw new GraftException(
@@ -1525,7 +1528,21 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     sb.toString
   }
 
+  /** Non-column tokens Scan.identifiers can return inside a predicate. */
+  private val sqlKeywords: Set[String] = Set(
+    "and", "or", "not", "in", "is", "null", "like", "ilike", "rlike",
+    "between", "case", "when", "then", "else", "end", "true", "false",
+    "exists", "distinct", "cast", "as", "asc", "desc", "escape",
+    "interval", "date", "timestamp", "all", "any", "some")
+
   private def splitTopAnd(w: String, mask: Array[Boolean]): List[String] = {
+    // SQL precedence: AND binds tighter than OR, so `a AND b OR c` is
+    // (a AND b) OR c — with any top-level OR the expression is ONE
+    // disjunctive predicate, not an AND-chain. Splitting it would silently
+    // regroup the precedence (conjunct classification, visible-filter
+    // pushdown); returning it whole keeps every caller conservative.
+    if (Scan.findTopLevelWord(w, mask, "OR", 0, w.length) >= 0)
+      return List(w.trim).filter(_.nonEmpty)
     val out = scala.collection.mutable.ListBuffer[String]()
     var start = 0
     var i = 0

@@ -397,6 +397,78 @@ class SemanticsSuite extends SparkSpec {
     assert(e.getMessage.contains("only one view"), e.getMessage)
   }
 
+  // SQL precedence: `a AND b OR c` is (a AND b) OR c — a top-level OR makes
+  // the WHERE one disjunctive predicate, which must evaluate row-level on
+  // the owning view's base, never be split into pseudo-conjuncts
+  test("multi-fact WHERE measure predicate under top-level OR keeps precedence") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW or_sales AS
+        |SELECT * FROM VALUES
+        |  (2022, 'a', 10.0), (2022, 'a', 90.0), (2022, 'b', 30.0), (2022, 'b', 50.0),
+        |  (2023, 'a', 40.0), (2023, 'a', 60.0), (2024, 'c', 20.0)
+        |AS t(yr, grp, amount)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW or_targets AS
+        |SELECT * FROM VALUES (2022, 5.0), (2023, 7.0), (2024, 9.0) AS t(yr, target)""".stripMargin)
+    engine.sql(
+      """CREATE VIEW or_sales_v AS SELECT yr, grp, amount,
+        |AVG(amount) AS MEASURE avg_amt, SUM(amount) AS MEASURE total FROM or_sales""".stripMargin)
+    engine.sql("CREATE VIEW or_tgt_v AS SELECT yr, SUM(target) AS MEASURE t_sum FROM or_targets")
+    // (amount > avg(grp,yr) AND grp='a') OR grp='b':
+    // 2022: 90 (a, >50) + 30 + 50 (b) = 170; 2023: 60; 2024: none
+    checkGolden(engine.sql(
+      """SELECT s.yr, AGGREGATE(total) AS tot
+        |FROM or_sales_v s JOIN or_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE grp = s.grp AND yr = s.yr) AND s.grp = 'a' OR s.grp = 'b'
+        |GROUP BY s.yr ORDER BY s.yr""".stripMargin),
+      """2022	170
+        |2023	60""".stripMargin)
+    // keywords in the predicate (OR / IS / NULL) are not column references
+    checkGolden(engine.sql(
+      """SELECT s.yr, AGGREGATE(total) AS tot
+        |FROM or_sales_v s JOIN or_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE grp = s.grp AND yr = s.yr) OR s.amount IS NULL
+        |GROUP BY s.yr ORDER BY s.yr""".stripMargin),
+      """2022	140
+        |2023	60""".stripMargin)
+    // a disjunct reaching into the OTHER view is rejected loudly, not
+    // silently regrouped (pre-fix this returned wrong rows)
+    val e = intercept[GraftException](engine.sql(
+      """SELECT s.yr FROM or_sales_v s JOIN or_tgt_v t ON s.yr = t.yr
+        |WHERE s.amount > s.avg_amt AT (WHERE yr = s.yr) OR t.target > 5
+        |GROUP BY s.yr""".stripMargin))
+    assert(e.getMessage.contains("another view"), e.getMessage)
+  }
+
+  // DuckDB schema semantics for main.-qualified drops under a temp shadow:
+  // the dropped permanent must not be readable via main.x later in the
+  // batch, and a later bare DROP of the shadow must not resurrect it
+  test("DROP VIEW main.x is honored for the rest of the batch") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW qd_sales AS
+        |SELECT * FROM VALUES (2022, 10.0), (2023, 20.0) AS t(yr, amount)""".stripMargin)
+    engine.sql("CREATE OR REPLACE VIEW qd_v AS SELECT yr, SUM(amount) AS MEASURE qm FROM qd_sales")
+    val e = intercept[GraftException](engine.sql(
+      """CREATE TEMP VIEW qd_v AS SELECT yr, SUM(amount * 2) AS MEASURE qm FROM qd_sales;
+        |DROP VIEW main.qd_v;
+        |CREATE TABLE qd_read AS SELECT yr, AGGREGATE(qm) AS v FROM main.qd_v GROUP BY yr;""".stripMargin))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+
+    engine.sql("CREATE OR REPLACE VIEW qd2_v AS SELECT yr, SUM(amount) AS MEASURE qm2 FROM qd_sales")
+    engine.sql("DROP TABLE IF EXISTS qd2_read")
+    engine.sql(
+      """CREATE TEMP VIEW qd2_v AS SELECT yr, SUM(amount * 2) AS MEASURE qm2 FROM qd_sales;
+        |CREATE TABLE qd2_read AS SELECT yr, AGGREGATE(qm2) AS v FROM qd2_v GROUP BY yr;
+        |DROP VIEW main.qd2_v;
+        |DROP VIEW qd2_v;""".stripMargin)
+    // the explicitly dropped permanent must NOT be resurrected by the
+    // bare drop of its shadow
+    intercept[Exception](engine.sql("SELECT yr, AGGREGATE(qm2) FROM qd2_v GROUP BY yr").collect())
+    checkGolden(engine.sql("SELECT yr, v FROM qd2_read ORDER BY yr"),
+      """2022	20
+        |2023	40""".stripMargin)
+  }
+
   // multi-fact join + plain-aggregate HAVING: the condition stays inside the
   // grouped __outer over the join (previously rejected, PERF.md §5)
   test("multi-fact HAVING with a plain aggregate") {
