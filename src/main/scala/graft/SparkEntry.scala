@@ -536,6 +536,14 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.demoMediaTable(docs(s, dir))
         .withColumn("blob2", col("blob")), "blob2", "doc_id")
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"), size(col("features")).as("dim"))
+        .orderBy("doc_id")),
+    // REAL image decode (Netpbm P6): blobs are deterministic synthetic
+    // gradients, so the decoded per-channel means have a closed form the
+    // oracle recomputes in SQL — the full generate->decode->reduce path is
+    // hash-gated, not rows-only
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(
+          Multimodal.demoImageTable(docs(s, dir)), "blob", "doc_id")
         .orderBy("doc_id"))
   )
 
@@ -779,6 +787,16 @@ object SparkEntry {
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
+    // closed-form recompute of the synthetic 32x24 gradient the engine
+    // actually DECODES from P6 bytes: r = x*255/31 (int div), g = y*255/23,
+    // b = ((x+y+id)%16)*16 — integer-exact per channel, averaged in double
+    "mm_decode" ->
+      ("""SELECT d.doc_id, 32 AS width, 24 AS height, 3 AS channels,
+        |  (SELECT AVG((x * 255) // 31) FROM range(32) tx(x)) AS mean_r,
+        |  (SELECT AVG((y * 255) // 23) FROM range(24) ty(y)) AS mean_g,
+        |  (SELECT AVG(((x + y + d.doc_id) % 16) * 16)
+        |     FROM range(32) tx(x), range(24) ty(y)) AS mean_b
+        |FROM documents d ORDER BY d.doc_id""".stripMargin),
     "t_bigrams" ->
       """SELECT ngram, cnt FROM (
         |  SELECT ngram, count(*) AS cnt FROM (

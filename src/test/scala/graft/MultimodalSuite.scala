@@ -52,4 +52,71 @@ class MultimodalSuite extends SparkSpec {
     val big = Multimodal.FakeCodec.resize(b, 1920, 1080)
     assert(big.length == b.length)
   }
+
+  // ---- the REAL Netpbm codec ----------------------------------------
+
+  import Multimodal.Netpbm
+
+  test("Netpbm decode: hand-built P6 with comments, exact pixels and means") {
+    // 2x2 RGB: red, green, blue, white — header with a comment line
+    val raster = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val bytes = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")) ++ raster
+    val img = Netpbm.decode(bytes)
+    assert((img.width, img.height, img.channels) == (2, 2, 3))
+    assert(img.sample(0, 0, 0) == 255 && img.sample(0, 0, 1) == 0)
+    assert(img.sample(1, 1, 2) == 255)
+    val means = Netpbm.channelMeans(img)
+    // per channel: (255+0+0+255)/4, (0+255+0+255)/4, (0+0+255+255)/4
+    assert(means.toSeq == Seq(127.5, 127.5, 127.5))
+  }
+
+  test("Netpbm encode/decode round-trips; truncated raster fails loudly") {
+    val img = Netpbm.decode(Netpbm.synthetic(42L, 16, 12))
+    val again = Netpbm.decode(Netpbm.encode(img))
+    assert(again.width == 16 && again.height == 12)
+    assert(java.util.Arrays.equals(again.pixels, img.pixels))
+    val truncated = Netpbm.encode(img).dropRight(10)
+    val e = intercept[IllegalArgumentException](Netpbm.decode(truncated))
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("Netpbm resize: nearest-neighbor picks exact source pixels") {
+    // 4x2 grayscale, distinct values; resize to 2x1 must pick (0,0) and (2,0)
+    val img = Netpbm.Image(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val r = Netpbm.resize(img, 2, 1)
+    assert(r.pixels.toSeq == Seq[Byte](10, 30))
+    // upscale keeps corner fidelity
+    val up = Netpbm.resize(img, 8, 4)
+    assert(up.sample(0, 0, 0) == 10 && up.sample(7, 3, 0) == 80)
+  }
+
+  test("Netpbm grid features: uniform image pools to its intensity") {
+    val px = Array.fill(8 * 8 * 3)(102.toByte) // 102/255 = 0.4
+    val f = Netpbm.gridFeatures(Netpbm.Image(8, 8, 3, px), grid = 2)
+    assert(f.length == 2 * 2 * 3)
+    assert(f.forall(v => math.abs(v - 0.4f) < 1e-6f))
+  }
+
+  test("Spark image path: decode, resize, features over synthetic blobs") {
+    val images = Multimodal.demoImageTable(docs.limit(50))
+    val meta = Multimodal.decodeImages(images, "blob", "doc_id")
+    assert(meta.count() == 50)
+    val row = meta.orderBy("doc_id").limit(1).collect().head
+    assert(row.getInt(1) == 32 && row.getInt(2) == 24 && row.getInt(3) == 3)
+    // mean_r of the synthetic gradient = mean of x*255/(w-1) = 127.5
+    assert(math.abs(row.getDouble(4) - 127.5) < 1.0)
+
+    val resized = Multimodal.resizeImages(images, "blob", "doc_id", 8, 6)
+    val rmeta = Multimodal.decodeImages(resized, "blob", "doc_id")
+    assert(rmeta.select("width", "height").collect().forall(r => r.getInt(0) == 8 && r.getInt(1) == 6))
+
+    val feats = Multimodal.imageGridFeatures(images, "blob", "doc_id", grid = 4)
+    val dims = feats.select(size(col("features"))).as[Int].collect()
+    assert(dims.forall(_ == 4 * 4 * 3))
+    // partitioning must not change features
+    val f1 = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.imageGridFeatures(images.repartition(7), "blob", "doc_id", grid = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+  }
 }
