@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -537,6 +537,19 @@ object SparkEntry {
         .withColumn("blob2", col("blob")), "blob2", "doc_id")
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"), size(col("features")).as("dim"))
         .orderBy("doc_id")),
+    // gap-based sessionization over the events table: the 30-min gap rule
+    // runs on integer MICROSECONDS (Spark's nanos-as-long div 1000 ==
+    // DuckDB's epoch_us — the sub-us precision DuckDB truncates away never
+    // enters the comparison), ties broken by event_id on both sides
+    "e_sessions" -> ((s, dir) => {
+      engineFor(s, dir)
+      Sessions.sessionStats(
+          s.table("events").withColumn("tus", expr("ts div 1000")),
+          "user_id", "tus", "event_id", "value", gap = 30L * 60 * 1000000)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"), col("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
     // REAL image decode (Netpbm P6): blobs are deterministic synthetic
     // gradients, so the decoded per-channel means have a closed form the
     // oracle recomputes in SQL — the full generate->decode->reduce path is
@@ -787,6 +800,16 @@ object SparkEntry {
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
+    "e_sessions" ->
+      ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       MIN(tus) AS start_us, MAX(tus) AS end_us, ROUND(SUM(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
     // closed-form recompute of the synthetic 32x24 gradient the engine
     // actually DECODES from P6 bytes: r = x*255/31 (int div), g = y*255/23,
     // b = ((x+y+id)%16)*16 — integer-exact per channel, averaged in double

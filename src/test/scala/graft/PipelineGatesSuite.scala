@@ -272,6 +272,29 @@ class PipelineGatesSuite extends SparkSpec {
     assert(other != ids1, "different seed must select a different row set")
   }
 
+  test("sessionization: gap rule, tie-break, and per-session stats") {
+    import spark.implicits._
+    // user 1: events at t=0, 10, 50 (gap>30 starts session 2); user 2: one
+    // event; tie at t=10 broken by event_id (same session either way, but
+    // the ordering must be deterministic)
+    val ev = Seq(
+      (1L, 0L, 10L, 1.0), (2L, 10L, 10L, 2.0), (3L, 10L, 10L, 3.0),
+      (4L, 50L, 10L, 4.0), (5L, 0L, 20L, 7.0)
+    ).toDF("event_id", "t", "user_id", "value")
+    val got = graft.ops.Sessions.sessionStats(ev, "user_id", "t", "event_id", "value", gap = 30L)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (10L, 1L, 3L, 0L, 10L, 6.0),   // t=0,10,10 in one session
+      (10L, 2L, 1L, 50L, 50L, 4.0),  // 40 > 30 gap
+      (20L, 1L, 1L, 0L, 0L, 7.0)))
+    // a gap of exactly `gap` does NOT split (strict >)
+    val edge = Seq((1L, 0L, 1L, 1.0), (2L, 30L, 1L, 1.0)).toDF("event_id", "t", "user_id", "value")
+    assert(graft.ops.Sessions.byGap(edge, "user_id", "t", "event_id", gap = 30L)
+      .select("session_seq").as[Long].collect().toSet == Set(1L))
+  }
+
   test("stratified sampling: per-stratum rates within tolerance") {
     val kept = Sampling.stratifiedSample(docs, "lang", "doc_id",
         Map("en" -> 0.5, "zh" -> 0.9), default = 0.2, seed = 3)
