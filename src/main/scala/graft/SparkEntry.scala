@@ -537,6 +537,21 @@ object SparkEntry {
         .withColumn("blob2", col("blob")), "blob2", "doc_id")
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"), size(col("features")).as("dim"))
         .orderBy("doc_id")),
+    // PII scrub before corpus entry: the synthetic corpus carries no PII, so
+    // identical PII-shaped suffixes are appended IN SQL on both sides — the
+    // oracle replays the same concat and the same RE2-safe replace chain,
+    // and the unmodified body doubles as the false-positive fence
+    "t_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com, ssn 123-45-6789, call 415 555-0199, host 10.0.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"))).as("redacted"))
+        .orderBy("doc_id")),
+    // Gopher-family repetition signals, computed relationally (one token
+    // shuffle with partial counts, not per-row O(n^2) HOFs)
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
     // gap-based sessionization over the events table: the 30-min gap rule
     // runs on integer MICROSECONDS (Spark's nanos-as-long div 1000 ==
     // DuckDB's epoch_us — the sub-us precision DuckDB truncates away never
@@ -800,6 +815,22 @@ object SparkEntry {
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
+    "t_redact" ->
+      ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: user' || doc_id || '@example.com, ssn 123-45-6789, call 415 555-0199, host 10.0.0.' || (doc_id % 256),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "t_repetition" ->
+      ("""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM w WHERE length(tok) >= 1 GROUP BY doc_id, tok)
+        |SELECT doc_id, SUM(n) AS n_tokens,
+        |  ROUND(1.0 - count(*) / SUM(n), 6) AS dup_frac,
+        |  ROUND(MAX(n) / SUM(n), 6) AS top_frac,
+        |  ROUND(COALESCE(SUM(CASE WHEN length(tok) > 15 THEN n END), 0) / SUM(n), 6) AS long_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "e_sessions" ->
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
         |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL

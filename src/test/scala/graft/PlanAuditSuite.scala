@@ -91,4 +91,20 @@ class PlanAuditSuite extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
+
+  test("sessionization shuffles ONCE on the user key, window sort reused") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tus", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val p = graft.ops.Sessions.sessionStats(ev, "user_id", "tus", "event_id", "value",
+        gap = 30L * 60 * 1000000)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one user-key exchange, got $exchanges:\n$p")
+    // the lag and the running counter must share one Window sort
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 2, s"window sort not reused (got $sorts sorts):\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial aggregation for the session stats:\n$p")
+  }
 }
