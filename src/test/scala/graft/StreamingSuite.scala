@@ -74,4 +74,28 @@ class StreamingSuite extends SparkSpec {
       assert(closed.contains((2L, 1, 5.0)), s"user-2 session missing: $closed")
     } finally q.stop()
   }
+
+  // the sampling predicate is stateless (pure function of the key), so it
+  // applies unchanged to streams — and MUST select exactly the rows the
+  // batch path selects, or batch-built mixtures and streaming ingestion
+  // would diverge
+  test("deterministic sampling on a stream matches the batch selection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Long]
+    val streamed = graft.ops.Sampling.deterministicSample(
+      src.toDF().toDF("doc_id"), "doc_id", 0.25, seed = 7)
+    val q = streamed.writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      src.addData(0L until 500L: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM sample_out").as[Long].collect().toSet
+      val batch = graft.ops.Sampling.deterministicSample(
+        (0L until 500L).toDF("doc_id"), "doc_id", 0.25, seed = 7)
+        .as[Long].collect().toSet
+      assert(got == batch, s"stream selected ${got.size} rows, batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
