@@ -25,6 +25,13 @@ import graft.syntax.{MeasureDdl, ParsedMeasureView, Scan}
   */
 final class GraftEngine(val spark: SparkSession) {
 
+  // session-wide optimizer extension: eager aggregation (group-by pushdown
+  // through inner equi-joins). Stats-gated, so it is inert below
+  // graft.eagerAgg.minBytes and kicks in exactly where it pays — large
+  // fact-side scans at 100 TB. Idempotent across engine instances.
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.EagerAggregation))
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.EagerAggregation)
+
   val catalog = new MeasureCatalog
 
   private val baseColsCache = TrieMap.empty[String, Set[String]]

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.plans.EagerAggregation
+
+/** Equivalence + plan-shape gates for the eager-aggregation rule: with the
+  * size gate forced open, every eligible shape must return EXACTLY the
+  * rows the un-rewritten plan returns, the pre-aggregate must appear below
+  * the join, and ineligible shapes must be left alone.
+  */
+class EagerAggSuite extends SparkSpec {
+
+  private lazy val engine = SparkEntry.engineFor(spark, "/root/testdata/sf0.001")
+
+  private def withGate[A](bytes: Long)(f: => A): A = {
+    spark.conf.set(EagerAggregation.confKey, bytes.toString)
+    try f finally spark.conf.unset(EagerAggregation.confKey)
+  }
+
+  // doubles canonicalized to 9 significant digits: regrouped aggregation
+  // legally changes float summation order by a few ulps (Spark's own
+  // partial aggregates do the same), and the driver's oracle compare
+  // applies the identical rounding
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => f"$d%.8e"
+      case f: Float => f"${f.toDouble}%.8e"
+      case x => String.valueOf(x)
+    }.mkString("[", ",", "]")).toSet
+
+  private def run(sql: String): DataFrame = { engine; spark.sql(sql) }
+
+  private def assertEquivalent(sql: String): Unit = {
+    val expected = withGate(Long.MaxValue)(rowSet(run(sql)))
+    val got = withGate(0L)(rowSet(run(sql)))
+    assert(got == expected,
+      s"eager aggregation changed the result of:\n$sql\nmissing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("single-join SUM and COUNT push: identical results, pre-agg below join") {
+    val sql =
+      """SELECT o.o_orderpriority, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+        |       COUNT(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin
+    assertEquivalent(sql)
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    assert(plan.contains("__graft_partial"), s"rule did not fire:\n$plan")
+    // a partial-producing Aggregate must sit BELOW the join (the outer
+    // aggregate also mentions the partial attr, so search past the join)
+    val joinIdx = plan.indexOf("Join Inner")
+    assert(joinIdx >= 0 && plan.indexOf("Aggregate", joinIdx) >= 0,
+      s"expected an Aggregate below the join:\n$plan")
+    assert(plan.indexOf("__graft_partial", joinIdx) > 0,
+      s"partial aggregate not below the join:\n$plan")
+  }
+
+  test("join-bearing sides are NOT pushed into (measured as pure overhead)") {
+    val sql =
+      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin
+    assertEquivalent(sql)
+    // with the lineitem side joined below the top join, the only candidate
+    // targets contain joins — the leaf-only scope must decline them all
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    assert(!plan.contains("__graft_partial"),
+      s"rule pushed into a join-bearing subtree:\n$plan")
+  }
+
+  test("fan-out multiplicity is preserved (duplicate join keys on both sides)") {
+    assertEquivalent(
+      """SELECT o.o_orderstatus, SUM(l.l_quantity) AS q, COUNT(l.l_partkey) AS np, COUNT(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey % 100 = o.o_orderkey % 100
+        |WHERE o.o_orderkey < 300 AND l.l_orderkey < 500
+        |GROUP BY o.o_orderstatus""".stripMargin.replace("% 100 = o.o_orderkey % 100",
+        "= o.o_orderkey")) // keep the equi-join eligible; dup keys come from lineitem's 1:N
+  }
+
+  test("ineligible shapes are untouched: AVG, DISTINCT, left join, global agg") {
+    for (sql <- Seq(
+      // AVG is not sum/count-pushable
+      """SELECT o.o_orderpriority, AVG(l.l_quantity) AS aq
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+      // DISTINCT blocks the push
+      """SELECT o.o_orderpriority, COUNT(DISTINCT l.l_partkey) AS dp
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+      // outer join blocks the push
+      """SELECT o.o_orderpriority, SUM(l.l_quantity) AS q
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+      // global aggregate (no GROUP BY) keeps empty-input COUNT semantics
+      """SELECT SUM(l.l_quantity) AS q, COUNT(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey < 0""".stripMargin)) {
+      val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+      assert(!plan.contains("__graft_partial"), s"rule fired on ineligible shape:\n$sql\n$plan")
+      assertEquivalent(sql)
+    }
+  }
+
+  test("measure engine results are unchanged with the gate forced open") {
+    for (q <- Seq("m_multifact", "q_join_agg", "m_agg_twodim")) {
+      val fn = SparkEntry.queries(q)
+      val expected = withGate(Long.MaxValue)(rowSet(fn(spark, "/root/testdata/sf0.001")))
+      val got = withGate(0L)(rowSet(fn(spark, "/root/testdata/sf0.001")))
+      assert(got == expected, s"$q changed under eager aggregation")
+    }
+  }
+}
