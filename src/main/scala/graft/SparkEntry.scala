@@ -562,7 +562,8 @@ object SparkEntry {
           s.table("events").withColumn("tus", expr("ts div 1000")),
           "user_id", "tus", "event_id", "value", gap = 30L * 60 * 1000000)
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          col("start_ts").as("start_us"), col("end_ts").as("end_us"), col("total_value"))
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"),
+          round(col("total_value"), 4).as("total_value"))
         .orderBy("user_id", "session_seq")
     }),
     // REAL image decode (Netpbm P6): blobs are deterministic synthetic

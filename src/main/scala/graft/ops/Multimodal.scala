@@ -57,7 +57,15 @@ object Multimodal {
       val (h, i2) = nextInt(bytes, i1)
       val (maxval, i3) = nextInt(bytes, i2)
       require(maxval > 0 && maxval <= 255, s"Netpbm: unsupported maxval $maxval")
-      val rasterStart = i3 + 1 // exactly one whitespace byte after maxval
+      // spec: exactly ONE whitespace byte after maxval, and it must BE
+      // whitespace — 'P6 2 2 255' straight into the raster, or a CRLF
+      // two-byte terminator, would otherwise shift every sample silently
+      require(i3 < bytes.length && bytes(i3).toChar.isWhitespace,
+        "Netpbm: missing whitespace after maxval")
+      require(bytes(i3) != '\r', "Netpbm: CRLF header terminator not supported (raster offset would be ambiguous)")
+      val rasterStart = i3 + 1
+      require(w > 0 && h > 0 && w.toLong * h * channels <= Int.MaxValue,
+        s"Netpbm: implausible dimensions ${w}x$h")
       val n = w * h * channels
       require(bytes.length >= rasterStart + n,
         s"Netpbm: raster truncated (${bytes.length - rasterStart} of $n bytes)")

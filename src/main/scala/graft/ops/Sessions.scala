@@ -33,7 +33,9 @@ object Sessions {
       .drop("__new")
   }
 
-  /** Per-session stats: event count, span, and summed value. */
+  /** Per-session stats: event count, span, and summed value (exact — any
+    * display rounding belongs to the caller).
+    */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
                    idCol: String, valueCol: String, gap: Long): DataFrame =
     byGap(events, userCol, tsCol, idCol, gap)
@@ -41,5 +43,5 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"),
-        round(sum(col(valueCol)), 4).as("total_value"))
+        sum(col(valueCol)).as("total_value"))
 }

@@ -50,17 +50,27 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
   private def minBytes: Long =
     SQLConf.get.getConfString(confKey, (32L * 1024 * 1024).toString).toLong
 
-  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // the rule runs after column pruning, which leaves a pure-attribute
-    // Project between the Aggregate and the Join — see through it (the
-    // aggregate's expressions reference the join's attributes either way,
-    // and the rewritten sides re-derive their own pruning)
-    case agg @ Aggregate(grouping, aggExprs, PlanWithJoin(join), _)
-        if join.joinType == Inner && join.condition.isDefined && grouping.nonEmpty =>
-      val conjuncts = splitConjunctivePredicates(join.condition.get)
-      rewrite(grouping, aggExprs, join, conjuncts, pushLeft = true)
-        .orElse(rewrite(grouping, aggExprs, join, conjuncts, pushLeft = false))
-        .getOrElse(agg)
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    // streaming plans are incrementalized AFTER this rule would run, and the
+    // UnsupportedOperationChecker validated the ORIGINAL shape — injecting a
+    // stateful pre-aggregate under a stream-static join is not sound
+    if (plan.isStreaming) return plan
+    plan.transform {
+      // the rule runs after column pruning, which leaves a pure-attribute
+      // Project between the Aggregate and the Join — see through it (the
+      // aggregate's expressions reference the join's attributes either way,
+      // and the rewritten sides re-derive their own pruning)
+      case agg @ Aggregate(grouping, aggExprs, PlanWithJoin(join), _)
+          if join.joinType == Inner && join.condition.isDefined && grouping.nonEmpty =>
+        val conjuncts = splitConjunctivePredicates(join.condition.get)
+        rewrite(grouping, aggExprs, join, conjuncts, pushLeft = true)
+          .orElse(rewrite(grouping, aggExprs, join, conjuncts, pushLeft = false))
+          .map { case (newAggExprs, newJoin) =>
+            // copy() keeps the Aggregate's hint and any future fields
+            agg.copy(aggregateExpressions = newAggExprs, child = newJoin)
+          }
+          .getOrElse(agg)
+    }
   }
 
   private object PlanWithJoin {
@@ -74,7 +84,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(grouping: Seq[Expression], aggExprs: Seq[NamedExpression],
                       join: Join, conjuncts: Seq[Expression],
-                      pushLeft: Boolean): Option[Aggregate] = {
+                      pushLeft: Boolean): Option[(Seq[NamedExpression], Join)] = {
     val (target, other) = if (pushLeft) (join.left, join.right) else (join.right, join.left)
     if (target.isInstanceOf[Aggregate]) return None // one push per side
     // leaf-side pushes only (no Join inside the target subtree): measured at
@@ -121,9 +131,15 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     val newJoin = if (pushLeft) join.copy(left = preAgg) else join.copy(right = preAgg)
     val newAggExprs = aggExprs.map(_.transform {
       case ae: AggregateExpression if partials.contains(ae.canonicalized) =>
-        AggregateExpression(Sum(partials(ae.canonicalized).toAttribute), Complete,
-          isDistinct = false)
+        val summed = AggregateExpression(
+          Sum(partials(ae.canonicalized).toAttribute), Complete, isDistinct = false)
+        // COUNT is non-nullable; a bare Sum rewrite would flip the result
+        // column nullable, making the schema depend on whether the stats
+        // gate fired. With a grouping present the group is never empty, so
+        // the coalesce only restores the nullability contract.
+        if (ae.aggregateFunction.isInstanceOf[Count]) Coalesce(Seq(summed, Literal(0L)))
+        else summed
     }.asInstanceOf[NamedExpression])
-    Some(Aggregate(grouping, newAggExprs, newJoin))
+    Some((newAggExprs, newJoin))
   }
 }

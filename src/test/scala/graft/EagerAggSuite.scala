@@ -71,13 +71,22 @@ class EagerAggSuite extends SparkSpec {
       s"rule pushed into a join-bearing subtree:\n$plan")
   }
 
-  test("fan-out multiplicity is preserved (duplicate join keys on both sides)") {
+  test("fan-out multiplicity is preserved (1:N and genuine M:N join keys)") {
+    // 1:N — orders unique per key, lineitem ~4 rows per key
     assertEquivalent(
       """SELECT o.o_orderstatus, SUM(l.l_quantity) AS q, COUNT(l.l_partkey) AS np, COUNT(*) AS n
-        |FROM lineitem l JOIN orders o ON l.l_orderkey % 100 = o.o_orderkey % 100
-        |WHERE o.o_orderkey < 300 AND l.l_orderkey < 500
-        |GROUP BY o.o_orderstatus""".stripMargin.replace("% 100 = o.o_orderkey % 100",
-        "= o.o_orderkey")) // keep the equi-join eligible; dup keys come from lineitem's 1:N
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin)
+    // M:N — l_suppkey repeats in lineitem AND o_custkey repeats in orders,
+    // so the outer re-aggregate must scale each partial by a fan-out > 1
+    val mn =
+      """SELECT o.o_orderstatus, SUM(l.l_quantity) AS q, COUNT(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_suppkey = o.o_custkey
+        |WHERE l.l_suppkey < 40
+        |GROUP BY o.o_orderstatus""".stripMargin
+    assertEquivalent(mn)
+    val plan = withGate(0L)(run(mn).queryExecution.optimizedPlan.toString())
+    assert(plan.contains("__graft_partial"), s"M:N shape did not fire:\n$plan")
   }
 
   test("ineligible shapes are untouched: AVG, DISTINCT, left join, global agg") {
