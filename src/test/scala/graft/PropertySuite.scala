@@ -106,6 +106,38 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("property: sessionization invariants on random event streams") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 91)) {
+      val rnd = new Random(seed)
+      val gap = 50L
+      // 6 users, bursty timestamps so both intra- and inter-session gaps occur
+      val events = (1 to 400).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong, math.abs(rnd.nextLong() % 5000L), rnd.nextInt(100).toDouble)
+      }
+      val df = events.toDF("event_id", "user_id", "t", "value")
+      val tagged = graft.ops.Sessions.byGap(df, "user_id", "t", "event_id", gap)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t"),
+          r.getAs[Long]("event_id"), r.getAs[Long]("session_seq")))
+      for ((user, evs) <- tagged.groupBy(_._1)) {
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        // session ids are contiguous from 1 and non-decreasing in time order
+        assert(sorted.head._4 == 1L, s"seed=$seed user=$user first session != 1")
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            val gapHere = b._2 - a._2
+            if (b._4 == a._4)
+              assert(gapHere <= gap, s"seed=$seed user=$user intra-session gap $gapHere > $gap")
+            else {
+              assert(b._4 == a._4 + 1, s"seed=$seed user=$user session ids skipped")
+              assert(gapHere > gap, s"seed=$seed user=$user split on gap $gapHere <= $gap")
+            }
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("CURRENT resolves WHERE-pinned dims to the constant") {
     // CURRENT year with year = 2022 pinned in WHERE but not grouped
     // (reference: where_has_simple_equality_constraint, measures.rs:3455)
