@@ -42,7 +42,12 @@ object Sampling {
     */
   def hashBucket(key: Column, seed: Long = 0L): Column = {
     require(seed >= 0 && seed <= 1000000000L, s"seed $seed outside [0, 1e9]")
-    val k = key.cast("bigint")
+    // a negative key would sign-extend through >> into a negative bucket
+    // that compares below every threshold (always sampled) — fail loudly
+    // instead of silently breaking the rate
+    val k = when(key.cast("bigint") < 0,
+      raise_error(concat(lit("Sampling.hashBucket: negative key "), key.cast("string"))))
+      .otherwise(key.cast("bigint"))
     val b = (k.bitwiseAND(lit(LowMask)) * lit(A) + shiftright(k, 30) * lit(B)) % lit(P2)
     (b * b + lit(seed) * b) % lit(P2)
   }

@@ -270,6 +270,14 @@ class PipelineGatesSuite extends SparkSpec {
     val other = Sampling.deterministicSample(docs, "doc_id", 0.25, seed = 8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other != ids1, "different seed must select a different row set")
+    // negative keys would silently break the rate (sign-extended shift) —
+    // the operator must refuse them loudly
+    import spark.implicits._
+    val neg = Seq(-5L, 3L).toDF("doc_id")
+    val e = intercept[Exception](
+      Sampling.deterministicSample(neg, "doc_id", 0.5).collect())
+    assert(e.getMessage.contains("negative key") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative key")), e.getMessage)
   }
 
   test("sessionization: gap rule, tie-break, and per-session stats") {
