@@ -73,6 +73,7 @@ final class GraftEngine(val spark: SparkSession) {
   // main.x read must error, and a later bare DROP of the temp shadow must
   // NOT resurrect the permanent
   private val permDroppedInBatch = scala.collection.mutable.Set[String]()
+  private var inBatch = false
   // __graft_perm_* twins materialized this batch, cleaned up at batch end
   private val batchHidden = scala.collection.mutable.Set[String]()
   private var batchSnapshot: Map[String, MeasureView] = Map.empty
@@ -98,6 +99,7 @@ final class GraftEngine(val spark: SparkSession) {
     val stmts = Scan.splitStatements(text)
     val snap = catalog.snapshot()
     batchSnapshot = snap
+    inBatch = true
     batchTempCreated.clear()
     batchConsumedMat.clear()
     batchSelectRefs.clear()
@@ -147,6 +149,7 @@ final class GraftEngine(val spark: SparkSession) {
         try spark.catalog.dropTempView(h) catch { case _: Exception => }
       }
       batchHidden.clear()
+      inBatch = false
     }
   }
 
@@ -160,8 +163,19 @@ final class GraftEngine(val spark: SparkSession) {
     // same preprocessing as sql(): main.-qualified names must resolve to the
     // hidden permanent twin here too, or the inspected SQL is not the
     // executed one
+    val before = batchHidden.toSet
     val stmt = resolveMainQualified(Shims(stripSemantic(text.trim.stripSuffix(";"))))
-    expander.expand(stmt).getOrElse(stmt)
+    val out = expander.expand(stmt).getOrElse(stmt)
+    // inspection must not leak catalog state: outside a batch nobody cleans
+    // batchHidden until the NEXT sql() call, so drop what we materialized
+    if (!inBatch) {
+      for (h <- batchHidden.diff(before)) {
+        catalog.drop(h)
+        try spark.catalog.dropTempView(h) catch { case _: Exception => }
+        batchHidden -= h
+      }
+    }
+    out
   }
 
   private def stripSemantic(stmt: String): String = {
@@ -181,7 +195,29 @@ final class GraftEngine(val spark: SparkSession) {
   private def executeStatement(stmt0: String): DataFrame = {
     // comments are blanked before the SEMANTIC check — a batch statement may
     // lead with a line comment ahead of its SEMANTIC prefix
-    val stmtShimmed = Shims(stripSemantic(Scan.blankComments(stmt0)))
+    val stmtShimmed0 = Shims(stripSemantic(Scan.blankComments(stmt0)))
+
+    // warnings as a queryable relation: `SELECT * FROM graft_warnings()` (or
+    // the bare name) reads the warnings of the most recent statement. The
+    // reference surfaces warnings out-of-band (yardstick_extension.cpp
+    // warning wrapper); a relation makes the same state SQL-visible and
+    // driver-verifiable. Materialized BEFORE this statement clears the
+    // buffer, so it always reflects the previous statement.
+    val stmtShimmed =
+      if ("(?i)\\bgraft_warnings\\b".r.findFirstIn(stmtShimmed0).isEmpty) stmtShimmed0
+      else {
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+        val rows: java.util.List[Row] =
+          lastWarnings.zipWithIndex.map { case (w, i) => Row(i + 1, w) }.asJava
+        val schema = StructType(Seq(
+          StructField("pos", IntegerType, nullable = false),
+          StructField("warning", StringType, nullable = false)))
+        spark.createDataFrame(rows, schema).coalesce(1)
+          .createOrReplaceTempView("graft_warnings")
+        stmtShimmed0.replaceAll("(?i)\\bgraft_warnings\\s*\\(\\s*\\)", "graft_warnings")
+      }
 
     // DROP VIEW main.x while a TEMP view shadows x drops the PERMANENT one
     // (DuckDB schema semantics; measures.test:538): suppress its batch-end
@@ -205,6 +241,15 @@ final class GraftEngine(val spark: SparkSession) {
     }
 
     val stmt = resolveMainQualified(stmtShimmed)
+
+    // re-creating a PERMANENT view x later in the batch revives main.x: a
+    // qualified read now has a live permanent target again
+    "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+([\\w.]+)".r
+      .findFirstMatchIn(stmt) match {
+      case Some(cm) if cm.group(1) == null =>
+        permDroppedInBatch -= Scan.lastPart(cm.group(2)).toLowerCase
+      case _ =>
+    }
 
     stmt match {
       case setWarningsRe(v) =>

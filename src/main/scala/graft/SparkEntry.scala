@@ -289,6 +289,14 @@ object SparkEntry {
     "m_moments" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(q_kurt), 6) AS q_kurt, ROUND(AGGREGATE(q_skew), 6) AS q_skew " +
         "FROM stat_v ORDER BY l_returnflag"),
+    // warning system surfaced as a relation: the AT (ALL) dropped-filter
+    // warning (measures.test:727-744) read back via graft_warnings
+    "m_warnings" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.sql("SELECT l_returnflag, AGGREGATE(revenue) AT (ALL l_returnflag) AS total " +
+        "FROM li_v WHERE ship_year = 1995 GROUP BY l_returnflag").collect()
+      e.sql("SELECT pos, warning FROM graft_warnings ORDER BY pos")
+    }),
     // main.-qualified reads resolve the PERMANENT measure view while a TEMP
     // shadow owns the bare name (DuckDB schema semantics, measures.test:490).
     // The permanent must predate the shadowing batch, as in the corpus.
@@ -699,6 +707,12 @@ object SparkEntry {
     "m_qualified_read" ->
       ("SELECT l_returnflag, SUM(l_quantity) AS perm_qty, SUM(l_quantity * 100) AS temp_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the warning text is engine-defined but deterministic; the oracle pins
+    // it as a literal so the driver hash-checks the warning surface
+    "m_warnings" ->
+      ("SELECT 1 AS pos, 'AT (ALL) over measure revenue: outer WHERE filter on ungrouped " +
+        "dimension(s) ship_year does not apply inside the AT context; " +
+        "add AT (WHERE ...), AT (SET ...) or VISIBLE to re-pin it' AS warning"),
     "m_bitxor" ->
       ("SELECT l_returnflag, bit_xor(l_partkey) AS key_xor FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
@@ -827,7 +841,7 @@ object SparkEntry {
     "t_repetition" ->
       ("""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, count(*) AS n FROM w WHERE length(tok) >= 1 GROUP BY doc_id, tok)
-        |SELECT doc_id, SUM(n) AS n_tokens,
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
         |  ROUND(1.0 - count(*) / SUM(n), 6) AS dup_frac,
         |  ROUND(MAX(n) / SUM(n), 6) AS top_frac,
         |  ROUND(COALESCE(SUM(CASE WHEN length(tok) > 15 THEN n END), 0) / SUM(n), 6) AS long_frac

@@ -180,7 +180,15 @@ object Shims {
       val fn = m.group(1).toLowerCase
       val open = sql.indexOf('(', m.start)
       val close = Scan.matchParen(sql, mask, open)
-      if (close > 0) {
+      // `kurtosis(x) OVER (w)` must not be rewritten: the raw-moment CASE is a
+      // composite of several aggregates and cannot carry a single OVER clause
+      val windowed = close > 0 && {
+        var j = close + 1
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        sql.regionMatches(true, j, "OVER", 0, 4) &&
+          (j + 4 >= sql.length || { val c = sql.charAt(j + 4); !c.isLetterOrDigit && c != '_' })
+      }
+      if (close > 0 && !windowed) {
         val x = s"CAST((${sql.substring(open + 1, close).trim}) AS DOUBLE)"
         val n = s"count($x)"
         val mu = s"avg($x)"

@@ -56,4 +56,19 @@ class CorpusSuite extends SparkSpec {
     assert(s.errorSkips == 0, s"query-execution errors appeared: ${s.errorSkips}")
     assert(s.skipped == 0, s"skip count drifted: ${s.skipped} (census ${s.skipCensus})")
   }
+
+  // third and final reference corpus file: parser-swap guard (override path
+  // with/without SEMANTIC prefix, AT expansion, plain-SQL passthrough, and
+  // the decline-to-rewrite error fallback)
+  test("reference corpus: peg_parser.test") {
+    val s = runCorpus("/root/reference/test/sql/peg_parser.test")
+    info(s"statements ok=${s.statementsOk} errOk=${s.statementErrOk} " +
+      s"queries passed=${s.queriesPassed} failed=${s.queriesFailed} " +
+      s"skipped=${s.skipped} errorSkips=${s.errorSkips}")
+    s.failures.take(20).foreach(f => info("  " + f))
+    assert(s.queriesFailed == 0, s"corpus mismatches: ${s.failures.mkString("; ")}")
+    assert(s.queriesPassed == 4, s"expected 4 corpus queries green, got ${s.queriesPassed}")
+    assert(s.statementErrOk == 1, s"expected 1 statement-error expectation, got ${s.statementErrOk}")
+    assert(s.skipped == 0, s"skip count drifted: ${s.skipped} (census ${s.skipCensus})")
+  }
 }

@@ -21,6 +21,14 @@ class EntrySuite extends SparkSpec {
     }
   }
 
+  // the oracle pins the warning text as a literal; both sides are runnable
+  // here, so the hash-equality the driver will check is asserted locally
+  test("m_warnings matches its oracle literal exactly") {
+    val got = SparkEntry.queries("m_warnings")(spark, dir).collect().map(_.toString).toSeq
+    val want = spark.sql(SparkEntry.oracleSql("m_warnings")).collect().map(_.toString).toSeq
+    assert(got == want, s"engine=$got oracle=$want")
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")

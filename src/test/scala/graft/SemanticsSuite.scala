@@ -571,4 +571,70 @@ class SemanticsSuite extends SparkSpec {
     val zero = engine.sql("SELECT PRODUCT(x) AS p FROM pz0").collect().head.getDouble(0)
     assert(zero == 0.0)
   }
+
+  // graft_warnings: the last statement's warnings as a queryable relation
+  test("graft_warnings relation surfaces last statement's warnings") {
+    engine.sql(
+      """SELECT MONTH(order_date) AS m,
+        |AGGREGATE(revenue) AT (ALL MONTH(order_date)) AS total
+        |FROM daily_orders_v WHERE YEAR(order_date) = 2023 GROUP BY MONTH(order_date)""".stripMargin)
+      .collect()
+    val rows = engine.sql("SELECT pos, warning FROM graft_warnings ORDER BY pos").collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    info("warning text: " + rows(0).getString(1))
+    assert(rows(0).getInt(0) == 1)
+    assert(rows(0).getString(1).contains("does not apply inside the AT context"), rows(0).getString(1))
+    // the read itself emitted no warnings, so a second read sees an empty set
+    assert(engine.sql("SELECT * FROM graft_warnings()").collect().isEmpty)
+  }
+
+  // windowed moments must pass through untouched: the raw-moment CASE rewrite
+  // is a composite of several aggregates and cannot carry one OVER clause
+  test("kurtosis/skewness OVER a window are not rewritten") {
+    val sql = "SELECT kurtosis(x) OVER (PARTITION BY g) AS k FROM t"
+    assert(functions.Shims(sql).contains("kurtosis(x) OVER"), functions.Shims(sql))
+    val sql2 = "SELECT skewness(x) over w AS s FROM t WINDOW w AS (PARTITION BY g)"
+    assert(functions.Shims(sql2).toLowerCase.contains("skewness(x) over"), functions.Shims(sql2))
+    // the plain aggregate in the same statement IS still rewritten
+    val mixed = functions.Shims("SELECT kurtosis(x) OVER (PARTITION BY g), skewness(y) FROM t")
+    assert(mixed.contains("kurtosis(x) OVER") && !mixed.toLowerCase.contains("skewness(y)"), mixed)
+  }
+
+  // a permanent view re-created later in the same batch revives main.x reads
+  test("re-created permanent view revives main.x in the same batch") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW rv_sales AS
+        |SELECT * FROM VALUES (2022, 10.0), (2023, 20.0) AS t(yr, amount)""".stripMargin)
+    engine.sql("CREATE OR REPLACE VIEW rv_v AS SELECT yr, SUM(amount) AS MEASURE rvm FROM rv_sales")
+    engine.sql("DROP TABLE IF EXISTS rv_read")
+    engine.sql(
+      """CREATE TEMP VIEW rv_v AS SELECT yr, SUM(amount * 2) AS MEASURE rvm FROM rv_sales;
+        |DROP VIEW main.rv_v;
+        |CREATE OR REPLACE VIEW rv_v2 AS SELECT yr, SUM(amount * 3) AS MEASURE rvm FROM rv_sales;
+        |DROP VIEW rv_v;
+        |CREATE OR REPLACE VIEW rv_v AS SELECT yr, SUM(amount * 3) AS MEASURE rvm FROM rv_sales;
+        |CREATE TABLE rv_read AS SELECT yr, AGGREGATE(rvm) AS v FROM main.rv_v GROUP BY yr;""".stripMargin)
+    checkGolden(engine.sql("SELECT yr, v FROM rv_read ORDER BY yr"),
+      """2022	30
+        |2023	60""".stripMargin)
+  }
+
+  // expandSql is inspection-only: it must not leave hidden __graft_perm_*
+  // twins registered in either catalog after it returns (temp measure shadows
+  // are batch-scoped, so the only reachable outside-a-batch shapes are the
+  // unshadowed qualified read and the cleanup of anything materialized)
+  test("expandSql leaves no hidden views behind outside a batch") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW ex_sales AS
+        |SELECT * FROM VALUES (2022, 10.0), (2023, 20.0) AS t(yr, amount)""".stripMargin)
+    engine.sql("CREATE OR REPLACE VIEW ex_v AS SELECT yr, SUM(amount) AS MEASURE exm FROM ex_sales")
+    val expanded = engine.expandSql("SELECT yr, AGGREGATE(exm) FROM main.ex_v GROUP BY yr")
+    assert(expanded.toLowerCase.contains("ex_v"), expanded)
+    assert(!spark.catalog.tableExists("__graft_perm_ex_v"),
+      "expandSql leaked hidden temp view __graft_perm_ex_v")
+    // and the expansion it reports matches what a real batch executes
+    checkGolden(engine.sql("SELECT yr, AGGREGATE(exm) AS v FROM main.ex_v GROUP BY yr ORDER BY yr"),
+      """2022	10
+        |2023	20""".stripMargin)
+  }
 }
