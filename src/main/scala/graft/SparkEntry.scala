@@ -21,14 +21,40 @@ object SparkEntry {
   private val engines = TrieMap.empty[String, GraftEngine]
 
   /** Register parquet temp views + measure views once per (session, sfDir). */
-  def engineFor(spark: SparkSession, dir: String): GraftEngine =
-    engines.getOrElseUpdate(System.identityHashCode(spark) + "|" + dir, {
+  def engineFor(spark: SparkSession, dir: String): GraftEngine = {
+    // layout-aware mode (`graft.layout.bucketed`): the big fact tables are
+    // ingested ONCE as bucketed tables on their join key, so every later
+    // equi-join/agg on that key runs without an Exchange. This is the layout
+    // a 100 TB deployment runs — the shuffle is paid at ingest, not per
+    // query (measured: q_join_agg 6.56 -> 2.80 s at 100x, ProbeBucketed100x)
+    val bucketed = spark.conf.getOption("graft.layout.bucketed")
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).exists(_.toBoolean)
+    engines.getOrElseUpdate(System.identityHashCode(spark) + "|" + dir + "|" + bucketed, {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read nanos as long (driver oracle queries avoid the ts column)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents", "embeddings"))
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      if (bucketed) {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        // ONE bucket count for both fact tables — Spark only elides the
+        // exchange on both sides of a join when the bucket counts match.
+        // Sized from the biggest table (~8 MB/bucket), floor 32 to keep all
+        // cores busy, cap 128 so small-file overhead stays bounded locally.
+        val liBytes = {
+          val f = new java.io.File(s"$dir/lineitem.parquet")
+          if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+        }
+        val buckets = math.min(128L, math.max(32L, liBytes / (8L * 1024 * 1024))).toInt
+        for ((t, key) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")) {
+          val tbl = t + "_bkt"
+          if (!spark.catalog.tableExists(tbl))
+            graft.ops.ScaleLayout.writeBucketed(
+              spark.read.parquet(s"$dir/$t.parquet"), tbl, buckets, key)
+          spark.table(tbl).createOrReplaceTempView(t)
+        }
+      }
       val e = GraftEngine(spark)
       e.sql(
         """CREATE VIEW li_v AS
@@ -107,6 +133,7 @@ object SparkEntry {
           |FROM lineitem""".stripMargin)
       e
     })
+  }
 
   private def m(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => engineFor(s, dir).sql(sql)

@@ -34,6 +34,32 @@ class ScaleLayoutSuite extends SparkSpec {
     }
   }
 
+  // the engineFor layout-aware path (graft.layout.bucketed, the Bench
+  // default): fact temp views point at bucketed tables, so the headline
+  // q_join_agg orderkey join carries no Exchange on either fact side
+  test("engineFor bucketed mode runs q_join_agg without an orderkey exchange") {
+    // bench-like config: dims broadcast (so the c ⋈ o join does not break
+    // orders' bucketed distribution), facts join co-located
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
+    spark.conf.set("graft.layout.bucketed", "true")
+    try {
+      SparkEntry.engineFor(spark, "/root/testdata/sf0.001")
+      val df = SparkEntry.queries("q_join_agg")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString()
+      val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+        .findAllIn(plan).size
+      assert(exchanges == 0, s"bucketed fact join still shuffles on orderkey:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("graft.layout.bucketed", "false")
+      // restore plain parquet temp views for later suites sharing the session
+      for (t <- Seq("lineitem", "orders"))
+        spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").createOrReplaceTempView(t)
+    }
+  }
+
   test("salted join splits a hot key and preserves results") {
     import spark.implicits._
     // hot key: 10_000 rows on key 1; normal keys 2..5
