@@ -41,7 +41,7 @@ object Bench {
     * before each query takes effect. At real (100 TB) scale the default is
     * right everywhere because files dwarf it.
     */
-  def setSplitConf(spark: SparkSession, name: String): Unit = {
+  def setSplitConf(spark: SparkSession, name: String, bigInput: Boolean = false): Unit = {
     val smallScan = name.startsWith("d_") || name.startsWith("s_") || name.startsWith("t_")
     if (smallScan) {
       spark.conf.set("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
@@ -50,6 +50,15 @@ object Bench {
       spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       spark.conf.set("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
     }
+    // shuffle width tracks the work, not the cores: at sf0.1 a 600k-row
+    // aggregate shuffles ~KBs per partition, so 32 reducers is pure task-
+    // dispatch overhead (measured: total 9.1 -> 7.8 s at 8). The pipeline
+    // family (regex/minhash/knn compute over documents) stays wide — its
+    // cost is CPU per row, not scheduling. At bigInput the data-scaled
+    // default from main() stands.
+    if (!bigInput)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", if (smallScan) "32" else "4"))
   }
 
   /** Total bytes under a parquet path (file or directory of part files). */
@@ -106,10 +115,23 @@ object Bench {
     // warm the engine + views outside the timed region
     SparkEntry.engineFor(spark, sfDir)
 
+    // hot-table caching, MEASURED OFF by default: at sf0.1 the in-memory
+    // columnar scan is slower than the 11 MB vectorized parquet decode it
+    // replaces (total 9.1 -> 11.9 s; m_at_all_pct 0.57 -> 1.54 s) and the
+    // cached lineitem loses its bucketed distribution (q_join_agg 0.63 ->
+    // 0.83 s). Kept behind a flag as the measured negative result.
+    val cacheHot = sys.env.get("SPARK_GRAFT_CACHE").exists(_.toBoolean)
+    if (cacheHot) {
+      for (t <- Seq("lineitem", "orders", "customer", "documents", "embeddings")) {
+        spark.catalog.cacheTable(t)
+        spark.table(t).write.format("noop").mode("overwrite").save()
+      }
+    }
+
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        setSplitConf(spark, name)
+        setSplitConf(spark, name, bigInput)
         // Median of 3 runs: the first run absorbs JIT/codegen warmup
         // (cold-vs-warm measured 13.4s vs 2.7s on d_minhash) and the median
         // is insensitive to one contention spike — round 4's committed
