@@ -562,16 +562,17 @@ object SparkEntry {
       TextAnalysis.vocabulary(docs(s, dir), topN = 100)),
     "t_bigrams" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
+    // REAL compressed-codec path (JDK javax.imageio, no external libs): the
+    // deterministic gradient raster goes through a genuine PNG encode ->
+    // decode; PNG is lossless, so metadata and pixel sums have closed forms
     "mm_media_meta" -> ((s, dir) =>
-      Multimodal.demoMediaTable(docs(s, dir))
-        .select(col("doc_id"), col("media_meta.media_type"), col("media_meta.width"),
-          col("media_meta.height"), col("media_meta.duration_ms"))
+      Multimodal.imageMediaMeta(
+          Multimodal.demoPngTable(docs(s, dir)), "blob", "doc_id")
         .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.demoMediaTable(docs(s, dir))
-        .withColumn("blob2", col("blob")), "blob2", "doc_id")
-        .select(col("doc_id"), element_at(col("features"), 1).as("f0"), size(col("features")).as("dim"))
-        .orderBy("doc_id")),
+      Multimodal.imageCellSums(
+          Multimodal.demoPngTable(docs(s, dir)), "blob", "doc_id", grid = 4)
+        .orderBy("doc_id", "cell")),
     // PII scrub before corpus entry: the synthetic corpus carries no PII, so
     // identical PII-shaped suffixes are appended IN SQL on both sides — the
     // oracle replays the same concat and the same RE2-safe replace chain,
@@ -893,6 +894,27 @@ object SparkEntry {
         |  (SELECT AVG(((x + y + d.doc_id) % 16) * 16)
         |     FROM range(32) tx(x), range(24) ty(y)) AS mean_b
         |FROM documents d ORDER BY d.doc_id""".stripMargin),
+    // the PNG round-trip is lossless, so the real ImageIO metadata read has
+    // a constant closed form per row
+    "mm_media_meta" ->
+      ("""SELECT doc_id, 'image/png' AS media_type, CAST(32 AS INT) AS width,
+        |  CAST(24 AS INT) AS height, CAST(3 AS INT) AS channels,
+        |  CAST(0 AS BIGINT) AS duration_ms, 'png' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    // integer-exact 4x4 grid pooling of the gradient raster the engine
+    // actually decodes from real PNG bytes: cells are exact 8x6 tiles, so
+    // per-cell channel sums recompute in SQL with no float hazard
+    "mm_features" ->
+      ("""WITH px AS (
+        |  SELECT d.doc_id, x, y,
+        |    (x * 255) // 31 AS r, (y * 255) // 23 AS g,
+        |    ((x + y + d.doc_id) % 16) * 16 AS b
+        |  FROM documents d, range(32) tx(x), range(24) ty(y))
+        |SELECT doc_id, CAST((y // 6) * 4 + (x // 8) AS INT) AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin),
     "t_bigrams" ->
       """SELECT ngram, cnt FROM (
         |  SELECT ngram, count(*) AS cnt FROM (

@@ -119,4 +119,52 @@ class MultimodalSuite extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(f1 == f2)
   }
+
+  test("ImageIO PNG round-trip reproduces the raster byte-exactly") {
+    val img = Multimodal.Netpbm.decode(Multimodal.Netpbm.synthetic(42))
+    val png = Multimodal.ImageIoCodec.encodePng(img)
+    assert(Multimodal.ImageIoCodec.formatOf(png) == "png")
+    val back = Multimodal.ImageIoCodec.decode(png)
+    assert(back.width == img.width && back.height == img.height && back.channels == 3)
+    assert(java.util.Arrays.equals(back.pixels, img.pixels),
+      "PNG decode raster differs from the encoded one")
+  }
+
+  test("ImageIO JPEG decodes (lossy, so only shape-checked)") {
+    val img = Multimodal.Netpbm.decode(Multimodal.Netpbm.synthetic(7))
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.height; x <- 0 until img.width)
+      bi.setRGB(x, y, (img.sample(x, y, 0) << 16) | (img.sample(x, y, 1) << 8) | img.sample(x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpeg", bos), "no JPEG writer in this JDK")
+    val jpeg = bos.toByteArray
+    assert(Multimodal.ImageIoCodec.formatOf(jpeg) == "jpeg")
+    val back = Multimodal.ImageIoCodec.decode(jpeg)
+    assert(back.width == img.width && back.height == img.height)
+  }
+
+  test("PNG-path grid features match the Netpbm-path features exactly") {
+    val pngs = Multimodal.demoPngTable(docs.limit(30))
+    val viaPng = Multimodal.imageIoGridFeatures(pngs, "blob", "doc_id", grid = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaPbm = Multimodal.imageGridFeatures(
+        Multimodal.demoImageTable(docs.limit(30)), "blob", "doc_id", grid = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(viaPng == viaPbm, "lossless PNG path must produce identical features")
+  }
+
+  test("imageCellSums: exact tile sums on a hand-checkable cell") {
+    val pngs = Multimodal.demoPngTable(docs.limit(5))
+    val sums = Multimodal.imageCellSums(pngs, "blob", "doc_id", grid = 4)
+    assert(sums.count() == 5 * 16)
+    // cell 0 of any doc: x in [0,8), y in [0,6) -> n_px = 48,
+    // sum_r = 6 * sum(x*255/31 for x<8), sum_g = 8 * sum(y*255/23 for y<6)
+    val r0 = (0 until 8).map(x => x * 255 / 31).sum * 6L
+    val g0 = (0 until 6).map(y => y * 255 / 23).sum * 8L
+    val c0 = sums.filter("cell = 0").orderBy("doc_id").limit(1).collect().head
+    assert(c0.getLong(2) == 48L, s"n_px ${c0.getLong(2)}")
+    assert(c0.getLong(3) == r0, s"sum_r ${c0.getLong(3)} want $r0")
+    assert(c0.getLong(4) == g0, s"sum_g ${c0.getLong(4)} want $g0")
+  }
 }
