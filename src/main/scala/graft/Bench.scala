@@ -43,7 +43,13 @@ object Bench {
     */
   def setSplitConf(spark: SparkSession, name: String, bigInput: Boolean = false): Unit = {
     val smallScan = name.startsWith("d_") || name.startsWith("s_") || name.startsWith("t_")
-    if (smallScan) {
+    if (smallScan && bigInput) {
+      // scaled pipeline corpora (100x: 57 MB documents over 32 files): the
+      // cost is CPU per row, so one task per file — 128 MB bins would put
+      // 500k docs of regex on ~2 cores
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (2L * 1024 * 1024).toString)
+    } else if (smallScan) {
       spark.conf.set("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       spark.conf.set("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
     } else {
@@ -158,8 +164,10 @@ object Bench {
             // disagrees with the window's own min by >1.5x, or with the prior
             // round by >2x, and report the better of the two 3-run medians —
             // a clean window beats averaging contended samples in
+            // the prior-round reference only means something at the driver's
+            // sf0.1 scale — at bigInput it would flag every query
             if (med > 1.5 * samples.min ||
-                priorRound.get(name).exists(p => med > 2 * p)) {
+                (!bigInput && priorRound.get(name).exists(p => med > 2 * p))) {
               System.err.println(
                 f"[bench] $name median $med%.2fs (min ${samples.min}%.2fs, " +
                   f"prior ${priorRound.getOrElse(name, Double.NaN)}%.2fs) — " +

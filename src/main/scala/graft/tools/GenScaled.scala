@@ -39,7 +39,33 @@ object GenScaled {
       .repartition(8).write.mode("overwrite").parquet(s"$dst/orders.parquet")
     replicate(cust, Map("c_custkey" -> custOff))
       .repartition(4).write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    for (t <- Seq("region", "nation", "supplier", "part", "events", "documents", "embeddings")) {
+
+    // the pipeline corpora scale too (r5 verdict: leaving them at sf0.1
+    // made the 100x d_*/t_*/s_* numbers measure scheduling floor, not
+    // scaling). Documents get lightly-MUTATED copies — per-copy suffix
+    // token, so copies are near (not exact) duplicates and the dedup
+    // workload stays honest: true clustering = n0 families of `copies`.
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+        .withColumn("text", concat(col("text"), lit(s" copytag$i")))
+        .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length.toLong))
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // embeddings: shifted ids + deterministic per-dimension jitter (breaks
+    // exact-duplicate ties without moving vectors off their label cluster)
+    val emb0 = spark.read.parquet(s"$src/embeddings.parquet")
+    val embOff = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      emb0.withColumn("vec_id", col("vec_id") + lit(i * embOff))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, d) -> x + ((vec_id * 31 + d * 7 + $i) % 101 - 50) * 1e-4)"))
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "supplier", "part", "events")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

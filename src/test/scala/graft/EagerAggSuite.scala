@@ -121,4 +121,60 @@ class EagerAggSuite extends SparkSpec {
       assert(got == expected, s"$q changed under eager aggregation")
     }
   }
+
+  // randomized equivalence property: the rule must be invisible to results
+  // on ANY inner equi-join tree x SUM/COUNT/AVG/MIN/MAX mix, not just the
+  // shapes somebody measured. Seeded, so a failure replays exactly.
+  test("randomized equivalence over 120 random join trees (rule on vs off)") {
+    import scala.util.Random
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    val names = (0 until 4).map { i =>
+      val n = 50 + rnd.nextInt(300)
+      // small key ranges force heavy duplication: 1:N and M:N fan-outs,
+      // plus keys with zero matches (ranges only partially overlap)
+      val kRange = 2 + rnd.nextInt(40)
+      val df = (0 until n).map { _ =>
+        (rnd.nextInt(kRange), rnd.nextInt(kRange) + kRange / 4,
+          rnd.nextInt(2000) / 10.0, rnd.nextInt(100).toLong, rnd.nextInt(5))
+      }.toDF("k1", "k2", "v1", "v2", "g")
+      val nm = s"ea_rand_t$i"
+      df.createOrReplaceTempView(nm)
+      nm
+    }
+    var fired = 0
+    for (caseNo <- 0 until 120) {
+      val nTables = 2 + rnd.nextInt(2)
+      val ts = rnd.shuffle(names.toList).take(nTables)
+      val aliases = ts.zipWithIndex.map { case (t, i) => s"$t a$i" }
+      val joins = (1 until nTables).map { i =>
+        val l = rnd.nextInt(i)
+        s"JOIN ${aliases(i)} ON a$l.k${1 + rnd.nextInt(2)} = a$i.k${1 + rnd.nextInt(2)}"
+      }
+      val groupCol = s"a${rnd.nextInt(nTables)}.g"
+      val aggs = (0 to rnd.nextInt(2)).map { j =>
+        val at = rnd.nextInt(nTables)
+        rnd.nextInt(6) match {
+          case 0 => s"SUM(a$at.v1) AS c$j"
+          case 1 => s"SUM(a$at.v1 * 2 + a$at.v2) AS c$j"
+          case 2 => s"COUNT(a$at.v2) AS c$j"
+          case 3 => s"COUNT(*) AS c$j"
+          case 4 => s"AVG(a$at.v1) AS c$j"
+          case _ => s"${if (rnd.nextBoolean()) "MIN" else "MAX"}(a$at.v2) AS c$j"
+        }
+      }
+      val sql = s"SELECT $groupCol AS gk, ${aggs.mkString(", ")} " +
+        s"FROM ${aliases.head} ${joins.mkString(" ")} GROUP BY $groupCol"
+      val off = withGate(Long.MaxValue)(rowSet(spark.sql(sql)))
+      val (on, plan) = withGate(0L) {
+        (rowSet(spark.sql(sql)), spark.sql(sql).queryExecution.optimizedPlan.toString())
+      }
+      if (plan.contains("__graft_partial")) fired += 1
+      assert(on == off,
+        s"case $caseNo diverged under eager aggregation:\n$sql\n" +
+          s"missing=${(off -- on).take(3)} extra=${(on -- off).take(3)}")
+    }
+    info(s"rule fired on $fired/120 random cases")
+    assert(fired >= 12, s"rule fired on only $fired/120 — generator drifted off the rule's surface")
+  }
 }
