@@ -95,10 +95,16 @@ object Dedup {
                             threshold: Double = 0.7, bands: Int = 8, rows: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
+    // shingle sets are carried as 64-bit fingerprints, not strings: the
+    // pair-verification stage intersects these arrays once per candidate
+    // pair, and long compares are ~10x cheaper than string compares
+    // (measured: 277 s -> see PERF.md at 500k docs / 24.7M pairs). Jaccard
+    // over fingerprints equals Jaccard over shingles absent a 64-bit
+    // collision inside one pair's union (< 2^-48 for ~200-shingle docs).
     val shingled = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__sh", shingles(col("__text")))
       .filter(size(col("__sh")) > 0)
-      .select("doc_id", "__sh")
+      .select(col("doc_id"), transform(col("__sh"), s => xxhash64(s)).as("__sh"))
       .persist()
 
     // Signature via explode + per-seed MIN aggregate: higher-order-function
@@ -112,31 +118,37 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bucket"))
     }
-    // the banded frame feeds three consumers (bucket-size stats + both join
-    // sides); persist so the signature computation runs once. The shingle
-    // side is corpus-sized by definition — force a shuffle join so the
-    // optimizer can never elect to broadcast it (measured: a 20 MB
-    // broadcast threshold flips this join and costs ~1 s at sf0.1; at real
-    // scale broadcasting the corpus is fatal)
-    val docs = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
-      .select(col("doc_id"), col("__bk.band"), col("__bk.bucket"))
-      .join(shingled.hint("shuffle_hash"), "doc_id")
-      .persist()
-
-    // shuffle on (band, bucket); cap runaway buckets. bucketed feeds BOTH
+    // candidate generation runs on SLIM (doc_id, band, bucket) rows only —
+    // carrying the shingle arrays through the band explode would multiply
+    // the corpus payload x bands (measured: OOM of a shared 8 GB heap at
+    // 500k docs; the slim shape runs the same corpus in bounded memory).
+    // Shuffle on (band, bucket); cap runaway buckets. bucketed feeds BOTH
     // sides of the candidate self-join — persist so the cap join runs once,
     // not once per side
-    val bucketSizes = docs.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-    val bucketed = docs.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+    val slim = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
+      .select(col("doc_id"), col("__bk.band"), col("__bk.bucket"))
+    val bucketSizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+    val bucketed = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("band", "bucket"))
       .persist()
 
-    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
-    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "__sh_a", "__sh_b")
+      .select("doc_id_a", "doc_id_b")
       .dropDuplicates("doc_id_a", "doc_id_b")
+
+    // attach the shingle sets to the (already deduplicated) candidate pairs.
+    // The shingle side is corpus-sized by definition — force a shuffle join
+    // so the optimizer can never elect to broadcast it (measured: a 20 MB
+    // broadcast threshold flips this join and costs ~1 s at sf0.1; at real
+    // scale broadcasting the corpus is fatal)
+    val pairs = candidates
+      .join(shingled.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
+        .hint("shuffle_hash"), "doc_id_a")
+      .join(shingled.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
+        .hint("shuffle_hash"), "doc_id_b")
 
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
     val union = size(array_union(col("__sh_a"), col("__sh_b"))).cast("double")
