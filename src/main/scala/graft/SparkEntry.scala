@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -592,6 +592,39 @@ object SparkEntry {
     // runs on integer MICROSECONDS (Spark's nanos-as-long div 1000 ==
     // DuckDB's epoch_us — the sub-us precision DuckDB truncates away never
     // enters the comparison), ties broken by event_id on both sides
+    // as-of join (DuckDB ASOF JOIN semantics): even events enriched with
+    // the latest odd event at-or-before them, per user. One key shuffle,
+    // no join operator (union + running-last) — plan asserted in suite.
+    "e_asof" -> ((s, dir) => {
+      engineFor(s, dir)
+      val e = s.table("events").withColumn("tus", expr("ts div 1000"))
+        .select("user_id", "event_id", "value", "tus")
+      AsOfJoin.leftAsOf(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", "tus", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("matched_id").as("matched_event"),
+          round(col("matched_value"), 4).as("matched_value"))
+        .orderBy("event_id")
+    }),
+    // range join via bin bucketing (equi-shuffle, never a nested loop):
+    // points = even events, intervals = 10 minutes after each odd event
+    "e_range" -> ((s, dir) => {
+      engineFor(s, dir)
+      val e = s.table("events").withColumn("tus", expr("ts div 1000"))
+      val pts = e.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id"), col("tus"))
+      val ivs = e.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("iv_id"), col("tus").as("lo"),
+          (col("tus") + lit(600000000L)).as("hi"))
+      RangeJoin.pointInInterval(pts, ivs, "tus", "lo", "hi",
+          binWidth = 600000000L, keys = Seq("user_id"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_pts"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .orderBy("iv_id")
+    }),
     "e_sessions" -> ((s, dir) => {
       engineFor(s, dir)
       Sessions.sessionStats(
@@ -874,6 +907,27 @@ object SparkEntry {
         |  ROUND(MAX(n) / SUM(n), 6) AS top_frac,
         |  ROUND(COALESCE(SUM(CASE WHEN length(tok) > 15 THEN n END), 0) / SUM(n), 6) AS long_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "e_range" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |i AS (SELECT user_id, event_id AS iv_id, tus AS lo, tus + 600000000 AS hi
+        |      FROM e WHERE event_id % 2 = 1)
+        |SELECT i.iv_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |       MIN(p.event_id) AS first_event, MAX(p.event_id) AS last_event
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.tus BETWEEN i.lo AND i.hi
+        |GROUP BY i.iv_id ORDER BY i.iv_id""".stripMargin),
+    // DuckDB's native ASOF JOIN is the oracle; right-side (user, ts)
+    // duplicates are collapsed to max event_id on both sides so the match
+    // is total-order deterministic
+    "e_asof" ->
+      ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, tus, max(event_id) AS mid, max_by(value, event_id) AS mval
+        |      FROM e WHERE event_id % 2 = 1 GROUP BY user_id, tus)
+        |SELECT l.event_id, l.user_id, l.tus, r.mid AS matched_event,
+        |       ROUND(r.mval, 4) AS matched_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.event_id""".stripMargin),
     "e_sessions" ->
       ("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events),
         |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
