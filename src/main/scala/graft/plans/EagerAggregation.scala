@@ -113,6 +113,16 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         (ae.aggregateFunction match {
           case Sum(c, _) => c.references.subsetOf(target.outputSet)
           case c: Count => c.references.subsetOf(target.outputSet)
+          // AVG decomposes to pushed SUM+COUNT. Restricted to float/double
+          // inputs: there Average's own buffer already accumulates a double
+          // sum, so the rewrite performs the SAME arithmetic (modulo the
+          // regroup ordering every partial aggregate has); for integral
+          // inputs our exact long partial would differ from Average's
+          // double accumulation by ULPs and break plan-invariance
+          case Average(c, _) =>
+            (c.dataType == org.apache.spark.sql.types.DoubleType ||
+              c.dataType == org.apache.spark.sql.types.FloatType) &&
+              c.references.subsetOf(target.outputSet)
           case _ => false
         })
     if (!aggCalls.forall(pushable)) return None
@@ -122,23 +132,42 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
     if (target.stats.sizeInBytes < BigInt(minBytes)) return None
 
     val partials = mutable.LinkedHashMap[Expression, Alias]()
+    // AVG needs a SECOND partial (the non-null count) next to its sum
+    val avgCounts = mutable.LinkedHashMap[Expression, Alias]()
     for (ae <- aggCalls if !partials.contains(ae.canonicalized))
-      partials(ae.canonicalized) =
-        Alias(AggregateExpression(ae.aggregateFunction, Complete, isDistinct = false),
-          "__graft_partial")()
+      ae.aggregateFunction match {
+        case Average(c, _) =>
+          partials(ae.canonicalized) =
+            Alias(AggregateExpression(Sum(c), Complete, isDistinct = false), "__graft_partial")()
+          avgCounts(ae.canonicalized) =
+            Alias(AggregateExpression(Count(Seq(c)), Complete, isDistinct = false), "__graft_partial")()
+        case _ =>
+          partials(ae.canonicalized) =
+            Alias(AggregateExpression(ae.aggregateFunction, Complete, isDistinct = false),
+              "__graft_partial")()
+      }
 
-    val preAgg = Aggregate(keys.toSeq, keys.toSeq ++ partials.values, target)
+    val preAgg = Aggregate(keys.toSeq, keys.toSeq ++ partials.values ++ avgCounts.values, target)
     val newJoin = if (pushLeft) join.copy(left = preAgg) else join.copy(right = preAgg)
     val newAggExprs = aggExprs.map(_.transform {
       case ae: AggregateExpression if partials.contains(ae.canonicalized) =>
         val summed = AggregateExpression(
           Sum(partials(ae.canonicalized).toAttribute), Complete, isDistinct = false)
-        // COUNT is non-nullable; a bare Sum rewrite would flip the result
-        // column nullable, making the schema depend on whether the stats
-        // gate fired. With a grouping present the group is never empty, so
-        // the coalesce only restores the nullability contract.
-        if (ae.aggregateFunction.isInstanceOf[Count]) Coalesce(Seq(summed, Literal(0L)))
-        else summed
+        ae.aggregateFunction match {
+          // COUNT is non-nullable; a bare Sum rewrite would flip the result
+          // column nullable, making the schema depend on whether the stats
+          // gate fired. With a grouping present the group is never empty, so
+          // the coalesce only restores the nullability contract.
+          case _: Count => Coalesce(Seq(summed, Literal(0L)))
+          // AVG = sum-of-partial-sums / sum-of-partial-counts. Double
+          // division: a 0 count pairs with a NULL sum -> NULL (and double
+          // division never raises, ANSI included)
+          case Average(c, _) =>
+            val counted = AggregateExpression(
+              Sum(avgCounts(ae.canonicalized).toAttribute), Complete, isDistinct = false)
+            Divide(Cast(summed, ae.dataType), Cast(counted, ae.dataType))
+          case _ => summed
+        }
     }.asInstanceOf[NamedExpression])
     Some((newAggExprs, newJoin))
   }

@@ -89,10 +89,22 @@ class EagerAggSuite extends SparkSpec {
     assert(plan.contains("__graft_partial"), s"M:N shape did not fire:\n$plan")
   }
 
-  test("ineligible shapes are untouched: AVG, DISTINCT, left join, global agg") {
+  test("AVG over doubles pushes as SUM+COUNT partials: identical results") {
+    val sql =
+      """SELECT o.o_orderpriority, AVG(l.l_quantity) AS aq,
+        |       AVG(l.l_extendedprice) AS ap, SUM(l.l_quantity) AS q
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin
+    assertEquivalent(sql)
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    assert(plan.contains("__graft_partial"), s"AVG push did not fire:\n$plan")
+  }
+
+  test("ineligible shapes are untouched: integral AVG, DISTINCT, left join, global agg") {
     for (sql <- Seq(
-      // AVG is not sum/count-pushable
-      """SELECT o.o_orderpriority, AVG(l.l_quantity) AS aq
+      // AVG over an integral column is NOT pushed: Average accumulates a
+      // double sum, an exact long partial would differ by ULPs
+      """SELECT o.o_orderpriority, AVG(l.l_linenumber) AS aq
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
       // DISTINCT blocks the push
