@@ -516,6 +516,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("int"))
         .orderBy("query_id", "rank")
     }),
+    // full-probe IVF (nProbe = nCells) visits every cell, so the index
+    // machinery must reproduce brute force EXACTLY — hash-checked against
+    // the same exact-cosine DuckDB oracle as s_knn (ties broken by
+    // neighbor_id on both sides)
+    "s_ivf_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5, nCells = 8, nProbe = 8)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    }),
     // int8 quantization — integer-exact oracle (quantized-value sums);
     // the scale column is IEEE-identical on both sides (max-abs / 127)
     "s_quant" -> ((s, dir) =>
@@ -1128,6 +1138,16 @@ object SparkEntry {
         |       + least(stopword_ratio * 3.0, 1.0)) / 5.0, 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin),
     "s_knn" ->
+      """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // full-probe IVF must equal brute force — same oracle as s_knn
+    "s_ivf_exact" ->
       """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,

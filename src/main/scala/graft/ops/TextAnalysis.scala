@@ -66,21 +66,28 @@ object TextAnalysis {
     * words). Composite score in [0,1] — higher = more prose-like.
     */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val len = length(text).cast("double")
+    // all counters come from ONE fused scan (graft.functions.TextStatsExpr
+    // — a native codegen'd Catalyst expression replacing three translate
+    // passes plus two java.util.regex passes); identical field semantics
+    // are property-fenced in TextStatsSuite. The struct subtree repeats
+    // per output column here — whole-stage codegen's subexpression
+    // elimination evaluates it once; analyze() below projects it once
+    // explicitly and is the hot path.
+    qualityColumnsFrom(graft.functions.TextStatsExpr.textStats(text))
+  }
+
+  /** Quality signals derived from an already-computed `text_stats` struct
+    * column — ratio arithmetic only, no text scan.
+    */
+  def qualityColumnsFrom(stats: Column): Seq[(String, Column)] = {
+    val len = stats.getField("n_chars").cast("double")
     val safeLen = greatest(len, lit(1.0))
-    // char-class counts via translate (a codegen'd char map) rather than
-    // regexp_replace — ~3x cheaper per pass on long documents
-    def removedCount(chars: String) =
-      (length(text) - length(translate(text, chars, ""))).cast("double")
-    val punct = removedCount("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~") / safeLen
-    val digits = removedCount("0123456789") / safeLen
-    val upper = removedCount("ABCDEFGHIJKLMNOPQRSTUVWXYZ") / safeLen
-    val words = tokenCount(text).cast("double")
+    val punct = stats.getField("n_punct").cast("double") / safeLen
+    val digits = stats.getField("n_digit").cast("double") / safeLen
+    val upper = stats.getField("n_upper").cast("double") / safeLen
+    val words = stats.getField("n_tokens").cast("double")
     val meanWordLen = len / greatest(words, lit(1.0))
-    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-    val stopHits = regexp_count(lower(text),
-      lit("\\b(" + stopwords.mkString("|") + ")\\b")).cast("double")
-    val stopRatio = stopHits / greatest(words, lit(1.0))
+    val stopRatio = stats.getField("stop_hits").cast("double") / greatest(words, lit(1.0))
     Seq(
       "n_chars" -> len,
       "n_tokens" -> words,
@@ -236,12 +243,18 @@ object TextAnalysis {
         round(coalesce(sum(when(length(col("tok")) > longLen, col("n"))), lit(0L)) / sum("n"), 6)
           .as("long_frac"))
 
-  /** Convenience: attach all analysis columns to a documents frame. */
+  /** Convenience: attach all analysis columns to a documents frame. The
+    * fused stats struct is projected ONCE under a hidden alias and the
+    * seven quality columns are field reads off it — CollapseProject keeps
+    * the two projections separate (the alias is non-cheap and multiply
+    * referenced), so the document is scanned exactly once.
+    */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val withQuality = qualityColumns(t).foldLeft(df) { case (d, (name, c)) =>
-      d.withColumn(name, c)
-    }
+    val withStats = df.withColumn("__ts", graft.functions.TextStatsExpr.textStats(t))
+    val withQuality = qualityColumnsFrom(col("__ts")).foldLeft(withStats) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.drop("__ts")
     withQuality
       .withColumn("quality_score", qualityScoreFrom(col("n_tokens"), col("punct_ratio"),
         col("digit_ratio"), col("mean_word_len"), col("stopword_ratio")))

@@ -103,9 +103,14 @@ class PipelineGatesSuite extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
-  test("IVF full probe (nProbe = nCells) reaches recall 1") {
-    val got = knnPairs(Similarity.ivfTopK(emb, knnQueries, k = 5, nCells = 8, nProbe = 8))
-    assert(got == knnTruth)
+  test("IVF full probe (nProbe = nCells) is row-identical to brute force") {
+    // backs the s_ivf_exact driver entry: full probe must reproduce brute
+    // force exactly — same neighbors, same cosines, same rank tie-breaks
+    def allRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val ivf = allRows(Similarity.ivfTopK(emb, knnQueries, k = 5, nCells = 8, nProbe = 8))
+    val bf = allRows(Similarity.bruteForceTopK(emb, knnQueries, k = 5))
+    assert(ivf == bf)
   }
 
   test("winnowing fingerprints: planted near-dups overlap, random pairs do not") {
