@@ -445,12 +445,16 @@ object SparkEntry {
         .orderBy("source")
     }),
     "t_tokens" -> ((s, dir) => {
+      // all four counters come from ONE fused text scan (TextStatsExpr),
+      // projected once so the document is read exactly once per row
       val d = docs(s, dir)
       d.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
-        length(col("text")).cast("long").as("len_chars"))
+        graft.functions.TextStatsExpr.textStats(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          col("__ts.n_tokens").cast("long").as("n_tokens"),
+          col("__ts.n_subwords").cast("long").as("n_subwords"),
+          col("__ts.n_digit").cast("long").as("n_digits"),
+          col("__ts.n_chars").cast("long").as("len_chars"))
         .orderBy("doc_id")
     }),
     "s_knn" -> ((s, dir) => {

@@ -29,6 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - n_tokens = size(split(trim(text), '\s+'))    (trim = 0x20 only;
   *                leading/trailing non-space whitespace yields the same
   *                empty segments Java's Pattern.split(-1) produces)
+  *   - n_subwords = regexp_count(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')
+  *                — the BPE-ish pre-tokenizer piece count: each unicode
+  *                letter run (\p{L} = categories L*) counts 1, each
+  *                number run (\p{N} = Nd|Nl|No) counts 1, every other
+  *                non-ASCII-whitespace code point counts 1 on its own
+  *                (\s is ASCII in both java.util.regex's default and
+  *                RE2, so the two engines agree here)
   *   - stop_hits = regexp_count(lower(text), '\b(the|a|of|and|to|in|is|
   *                that|it|for)\b') — every alternative is \b-fenced, so a
   *                match is exactly a maximal [a-zA-Z0-9_] run equal to a
@@ -68,6 +75,7 @@ object TextStatsExpr {
     StructField("n_digit", IntegerType, nullable = false),
     StructField("n_upper", IntegerType, nullable = false),
     StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
     StructField("stop_hits", IntegerType, nullable = false)))
 
   /** Column wrapper: `text_stats(text)` as a struct column. */
@@ -117,22 +125,42 @@ object TextStatsExpr {
     val n = s.length
 
     var nChars = 0; var nPunct = 0; var nDigit = 0; var nUpper = 0
+    var nSub = 0
     var allAsciiLower = true
+    var prevCls = 0 // 1 = letter run, 2 = number run, 0 = neither
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      nChars += 1
-      if (c < 128) {
-        if (isPunct(c)) nPunct += 1
-        else if (c >= '0' && c <= '9') nDigit += 1
-        else if (c >= 'A' && c <= 'Z') { nUpper += 1; allAsciiLower = false }
-      } else {
-        allAsciiLower = false
+      var cp: Int = c
+      var width = 1
+      if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
         // surrogate pair = one code point, like length()/translate()
-        if (Character.isHighSurrogate(c) && i + 1 < n &&
-            Character.isLowSurrogate(s.charAt(i + 1))) i += 1
+        cp = Character.toCodePoint(c, s.charAt(i + 1))
+        width = 2
       }
-      i += 1
+      nChars += 1
+      if (cp < 128) {
+        val a = cp.toChar
+        if (isPunct(a)) nPunct += 1
+        else if (a >= '0' && a <= '9') nDigit += 1
+        else if (a >= 'A' && a <= 'Z') { nUpper += 1; allAsciiLower = false }
+      } else allAsciiLower = false
+      // subword pieces: letter runs / number runs / single non-ws marks
+      val cls =
+        if (Character.isLetter(cp)) 1
+        else {
+          val t = Character.getType(cp)
+          if (t == Character.DECIMAL_DIGIT_NUMBER ||
+              t == Character.LETTER_NUMBER ||
+              t == Character.OTHER_NUMBER) 2
+          else 0
+        }
+      if (cls == 0) {
+        if (!(cp < 128 && isWs(cp.toChar))) nSub += 1
+      } else if (cls != prevCls) nSub += 1
+      prevCls = cls
+      i += width
     }
 
     // size(split(trim(text), "\\s+")): trim strips 0x20 only; then the
@@ -167,6 +195,6 @@ object TextStatsExpr {
       k += 1
     }
 
-    new GenericInternalRow(Array[Any](nChars, nPunct, nDigit, nUpper, nTokens, hits))
+    new GenericInternalRow(Array[Any](nChars, nPunct, nDigit, nUpper, nTokens, nSub, hits))
   }
 }

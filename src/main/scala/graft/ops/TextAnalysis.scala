@@ -12,19 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — `size(split(trim(text), "\\s+"))` semantics,
+    * served from the fused one-pass stats expression (TextStatsExpr;
+    * equivalence property-fenced in TextStatsSuite).
+    */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    graft.functions.TextStatsExpr.textStats(text).getField("n_tokens")
 
   /** BPE-ish subword count: the standard pre-tokenizer piece alphabet —
     * letter runs, digit runs, and single punctuation/symbol marks each count
-    * as one piece. Unicode classes (`\p{L}`/`\p{N}`) so accented and
-    * non-Latin words count as one run, not one piece per character; the
-    * pattern is lookaround-free, so it is also expressible in RE2-based
-    * engines for oracle checks.
+    * as one piece (`\p{L}+|\p{N}+|[^\p{L}\p{N}\s]` semantics, lookaround-
+    * free so RE2-based engines can replay it for oracle checks). Served
+    * from the fused one-pass stats expression instead of the regex NFA.
     */
   def subwordCount(text: Column): Column =
-    regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+    graft.functions.TextStatsExpr.textStats(text).getField("n_subwords")
 
   /** Corpus vocabulary: the `topN` most frequent lowercase whitespace
     * tokens with counts — the vocabulary-building step before BPE/unigram

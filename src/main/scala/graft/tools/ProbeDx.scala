@@ -21,6 +21,9 @@ object ProbeDx {
     println(f"[dx] d_exact min=${math.min(once("d_exact"), once("d_exact"))}%.2f s")
     graft.Bench.setSplitConf(spark, "t_analysis", bigInput = true)
     println(f"[dx] t_analysis min=${math.min(once("t_analysis"), once("t_analysis"))}%.2f s")
+    graft.Bench.setSplitConf(spark, "t_tokens", bigInput = true)
+    once("t_tokens")
+    println(f"[dx] t_tokens min=${math.min(once("t_tokens"), once("t_tokens"))}%.2f s")
     spark.stop()
   }
 }

@@ -33,13 +33,16 @@ class TextStatsSuite extends SparkSpec {
       removedCount("0123456789").as("r_n_digit"),
       removedCount("ABCDEFGHIJKLMNOPQRSTUVWXYZ").as("r_n_upper"),
       size(split(trim(text), "\\s+")).as("r_n_tokens"),
+      regexp_count(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+        .as("r_n_subwords"),
       regexp_count(lower(text), lit(stopwordRe)).as("r_stop_hits"))
   }
 
   private def fusedCols(df: DataFrame): DataFrame =
     df.select(TextStatsExpr.textStats(col("text")).as("ts"))
       .select(col("ts.n_chars"), col("ts.n_punct"), col("ts.n_digit"),
-        col("ts.n_upper"), col("ts.n_tokens"), col("ts.stop_hits"))
+        col("ts.n_upper"), col("ts.n_tokens"), col("ts.n_subwords"),
+        col("ts.stop_hits"))
 
   /** Compare fused vs the java.util.regex reference. stop_hits is only
     * comparable on all-ASCII rows: Java's \b is unicode-aware (JDK's \b /
