@@ -60,11 +60,29 @@ object Bench {
     // aggregate shuffles ~KBs per partition, so 32 reducers is pure task-
     // dispatch overhead (measured: total 9.1 -> 7.8 s at 8). The pipeline
     // family (regex/minhash/knn compute over documents) stays wide — its
-    // cost is CPU per row, not scheduling. At bigInput the data-scaled
-    // default from main() stands.
+    // cost is CPU per row, not scheduling.
     if (!bigInput)
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", if (smallScan) "32" else "4"))
+    else {
+      // At 100x the measure/classic family shuffles partial aggregates —
+      // KBs-to-MBs per reducer — so the data-scaled width (~160) is pure
+      // per-partition overhead there (ProbeCd grid: m_countdistinct 3.9 s
+      // at 162 -> 1.3 s at 32; q_window_fn 4.2 -> 2.5; m_rollup, d_exact,
+      // m_multifact all improve). 32 reducers on 32 cores is right once
+      // the bucketed layout removes the one join whose hash build needed
+      // the wide config to stay in memory; the UNBUCKETED join path keeps
+      // the data-scaled width (that OOM was measured, and AQE can only
+      // merge partitions below the static width, not split them).
+      val dataScaled = spark.conf.getOption("graft.bench.dataShuffle")
+      val bucketed = spark.conf.getOption("graft.layout.bucketed").contains("true")
+      val width =
+        if (smallScan) dataScaled // CPU-parallel pipeline family stays wide
+        else if (name == "q_join_agg" && !bucketed) dataScaled
+        else Some("32")
+      width.foreach(w => spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", w)))
+    }
   }
 
   /** Total bytes under a parquet path (file or directory of part files). */
@@ -111,6 +129,9 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", sys.env.getOrElse("SPARK_GRAFT_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query width decisions in setSplitConf read this back
+    spark.conf.set("graft.bench.dataShuffle",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", defaultShuffle))
 
     // layout-aware mode is the default: fact tables are bucketed on their
     // join key once at ingest (untimed, like a real deployment's write

@@ -475,6 +475,14 @@ object SparkEntry {
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 12)
         .orderBy("doc_id_a", "doc_id_b")),
+    // polynomial-hash simhash twin at maxHamming = 3, where the 4x16-bit
+    // pigeonhole makes the banded candidate set provably complete — so the
+    // engine's banded+capped output must EQUAL the oracle's all-pairs
+    // hamming join, bit for bit
+    "d_simhash_poly" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 3,
+          hashFn = Dedup.polyStringHash)
+        .orderBy("doc_id_a", "doc_id_b")),
     // exact inverted-index n-gram Jaccard — same oracle as d_minhash (both
     // must produce the exact pair set; the ALGORITHMS differ: probabilistic
     // banded LSH vs exact shared-token join)
@@ -558,12 +566,21 @@ object SparkEntry {
           col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),
           col("mean_word_len"), col("stopword_ratio"), col("quality_score"))
         .orderBy("doc_id")),
-    // hash-based columns (xxhash64 fingerprint, marker-regex language ID)
-    // have no DuckDB equivalent — rows-only; lang_pred accuracy vs the
-    // dataset's lang label is gated in PipelineGatesSuite
+    // the xxhash64 fingerprint column has no DuckDB equivalent — rows-only;
+    // lang_pred accuracy vs the dataset's lang label is gated in
+    // PipelineGatesSuite, and the language-ID half is oracle-checked via
+    // the t_lang twin below
     "t_lang_fp" -> ((s, dir) =>
       TextAnalysis.analyze(docs(s, dir))
         .select("doc_id", "lang_pred", "doc_fingerprint")
+        .orderBy("doc_id")),
+    // language ID alone IS oracle-checkable: the marker patterns are
+    // RE2-compatible literals, and the argmax tie-break (max score, then
+    // lexicographically greatest language — Spark's struct array_max) is
+    // replayed in the oracle's CASE ladder
+    "t_lang" -> ((s, dir) =>
+      TextAnalysis.analyze(docs(s, dir))
+        .select("doc_id", "lang_pred")
         .orderBy("doc_id")),
     // winnowing (rolling-hash) fingerprint sets — xxhash64-based, so
     // rows-only; overlap behavior is gated in PipelineGatesSuite
@@ -571,6 +588,21 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fingerprints"))
         .orderBy("doc_id")),
+    // polynomial-hash winnowing twin: the gram hash is replayable in the
+    // oracle, so the winnowing ALGORITHM (gram extraction, window-min
+    // selection, distinct) is hash-checked exactly — set-level evidence via
+    // count/min/max/sum of each doc's fingerprint set
+    "t_winnow_poly" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowFingerprintsPoly(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), fps.as("__fps"))
+        .select(col("doc_id"),
+          size(col("__fps")).cast("long").as("n_fp"),
+          coalesce(array_min(col("__fps")), lit(0L)).as("fp_min"),
+          coalesce(array_max(col("__fps")), lit(0L)).as("fp_max"),
+          aggregate(col("__fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        .orderBy("doc_id")
+    }),
     // corpus vocabulary (top tokens by frequency, deterministic tie-break)
     "t_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir), topN = 100)),
@@ -1111,6 +1143,96 @@ object SparkEntry {
         |) t WHERE (b * b + 3 * b) % 1000000007 <
         |  CAST(FLOOR(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.9 ELSE 0.2 END * 1000000007.0) AS BIGINT)
         |GROUP BY lang ORDER BY lang""".stripMargin),
+    // replays the full simhash pipeline with the replayable polynomial
+    // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS
+    // hamming <= 3 — complete by pigeonhole over the engine's 4x16-bit
+    // bands, so banded-and-capped candidate generation must reproduce it
+    "d_simhash_poly" ->
+      ("""WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |w1 AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(words) - 2, 0)),
+        |    i -> array_to_string(list_slice(words, i + 1, i + 2), ' '))) AS grams
+        |  FROM w1),
+        |hs AS (
+        |  SELECT doc_id, list_transform(grams,
+        |    g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, greatest(length(g), 1)),
+        |             j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 9007199254740881)) AS hh
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
+        |    b -> CASE WHEN list_sum(list_transform(hh, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+        |              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin),
+    // replays winnowFingerprintsPoly step by step: same normalization, same
+    // per-char codepoint list, same fold((acc*31+c) % P) gram hash over
+    // slices, same window-min + distinct; list_slice's inclusive end maps
+    // to Spark slice(arr, start, LENGTH) via end = w + window
+    "t_winnow_poly" ->
+      ("""WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id, norm,
+        |    list_transform(generate_series(1, greatest(length(norm), 1)),
+        |      i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, norm,
+        |    list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i, i + 7)),
+        |                       (a, x) -> (a * 31 + x) % 9007199254740881)) AS gh
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(norm) < 8 THEN CAST([] AS BIGINT[])
+        |         ELSE list_distinct(list_transform(
+        |                generate_series(0, greatest(len(gh) - 4, 0)),
+        |                w -> list_min(list_slice(gh, w + 1, w + 4)))) END AS fps
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CAST(COALESCE(list_min(fps), 0) AS BIGINT) AS fp_min,
+        |  CAST(COALESCE(list_max(fps), 0) AS BIGINT) AS fp_max,
+        |  CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        |FROM w ORDER BY doc_id""".stripMargin),
+    // replays langId exactly: one union scan for single-word markers, a
+    // separate scan for the only multi-word marker ("de la", so it cannot
+    // be swallowed by the non-overlapping union scan), then argmax with
+    // Spark's struct-array_max tie-break (max score, then lexicographically
+    // greatest language code)
+    "t_lang" ->
+      ("""WITH h AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    regexp_extract_all(lower(text), '\b(the|and|of|is|to|that|der|und|die|ist|das|nicht|le|la|et|les|des|est|el|los|que|es|una|il|di|che|per|o|de|do|da|uma|het|een|van|en|niet)\b', 1) AS hits
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(hits, x -> x IN ('the','and','of','is','to','that'))) AS s_en,
+        |    len(list_filter(hits, x -> x IN ('der','und','die','ist','das','nicht'))) AS s_de,
+        |    len(list_filter(hits, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+        |    len(list_filter(hits, x -> x IN ('el','los','que','es','una')))
+        |      + len(regexp_extract_all(lt, '\b(de\s+la)\b')) AS s_es,
+        |    len(list_filter(hits, x -> x IN ('il','di','che','la','per','una'))) AS s_it,
+        |    len(list_filter(hits, x -> x IN ('o','de','que','do','da','uma'))) AS s_pt,
+        |    len(list_filter(hits, x -> x IN ('de','het','een','van','en','niet'))) AS s_nl
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN m = 0 THEN 'und'
+        |       WHEN s_pt = m THEN 'pt' WHEN s_nl = m THEN 'nl'
+        |       WHEN s_it = m THEN 'it' WHEN s_fr = m THEN 'fr'
+        |       WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_it, s_pt, s_nl) AS m FROM s)
+        |ORDER BY doc_id""".stripMargin),
     // mirrors TextAnalysis.qualityColumns/qualityScoreFrom with the same
     // expression tree so double arithmetic is IEEE-identical on both sides
     "t_analysis" ->

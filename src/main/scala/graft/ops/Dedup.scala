@@ -220,11 +220,24 @@ object Dedup {
     * division) because shiftright() only takes literal shift amounts;
     * bit 63 is left clear so 2^b stays exactly representable and castable.
     */
-  def simhash(text: Column, w: Int = 2): Column = {
+  /** Polynomial string hash replayable in any SQL engine: fold
+    * (acc * 31 + codepoint) mod P over the characters, P a prime < 2^53 so
+    * the fold never overflows BIGINT in engines that error on overflow.
+    * Weaker mixing than xxhash64 (and bits 53+ are always clear) — exists
+    * for the oracle-checkable twin entries, not production hashing.
+    */
+  def polyStringHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(s), lit(1))),
+        i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, c) => (a * 31L + c) % lit(9007199254740881L))
+
+  def simhash(text: Column, w: Int = 2,
+              hashFn: Column => Column = xxhash64(_)): Column = {
     val nBits = 63
     val sh = shingles(text, w)
     val counts = aggregate(sh, array_repeat(lit(0L), nBits), (acc, s) => {
-      val h = xxhash64(s)
+      val h = hashFn(s)
       val lo = h.bitwiseAND(lit(0xFFFFFFFFL))
       val hi = shiftright(h, 32).bitwiseAND(lit(0x7FFFFFFFL))
       val bits = transform(sequence(lit(0), lit(nBits - 1)), b => {
@@ -246,9 +259,10 @@ object Dedup {
     * distance.
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                            maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 1000,
+                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__sim", simhash(col("__text")))
+      .withColumn("__sim", simhash(col("__text"), hashFn = hashFn))
     val banded = docs.select(col("doc_id"), col("__sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

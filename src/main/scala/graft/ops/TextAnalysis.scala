@@ -198,12 +198,43 @@ object TextAnalysis {
       val grams = transform(
         sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
         i => xxhash64(norm.substr(i, lit(k))))
-      Cols.bindOnce(grams) { gs =>
-        when(length(norm) < k, array().cast("array<bigint>")).otherwise(
-          array_distinct(transform(
-            sequence(lit(0), greatest(size(gs) - window, lit(0))),
-            w => array_min(slice(gs, w + 1, lit(window))))))
+      winnowFromGrams(norm, grams, k, window)
+    }
+
+  /** Winnowing with a cross-engine-replayable polynomial gram hash instead
+    * of xxhash64: hash(g) = fold(acc * 31 + codepoint) mod P over the k
+    * characters, P = 9007199254740881 (prime < 2^53, so `acc * 31 + c`
+    * never overflows BIGINT in engines that error on overflow rather than
+    * wrap). Char codes are materialized once and grams hash a slice —
+    * O(n·k) per document like the xxhash64 path. Exists so the winnowing
+    * ALGORITHM (gram windows, min selection, distinct) is oracle-checkable
+    * exactly; production dedup keeps xxhash64 (cheaper, better mixing).
+    */
+  def winnowFingerprintsPoly(text: Column, k: Int = 8, window: Int = 4): Column = {
+    val P = 9007199254740881L
+    Cols.bindOnce(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
+      Cols.bindOnce(transform(
+        sequence(lit(1), greatest(length(norm), lit(1))),
+        i => ascii(norm.substr(i, lit(1))).cast("long"))) { codes =>
+        val grams = transform(
+          sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+          i => aggregate(slice(codes, i, lit(k)), lit(0L),
+            (acc, c) => (acc * 31L + c) % P))
+        winnowFromGrams(norm, grams, k, window)
       }
+    }
+  }
+
+  /** Shared winnowing tail: min hash of each sliding window of `window`
+    * consecutive gram hashes, distinct; text shorter than k yields an
+    * EMPTY set (never a padded pseudo-gram).
+    */
+  private def winnowFromGrams(norm: Column, grams: Column, k: Int, window: Int): Column =
+    Cols.bindOnce(grams) { gs =>
+      when(length(norm) < k, array().cast("array<bigint>")).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(gs) - window, lit(0))),
+          w => array_min(slice(gs, w + 1, lit(window))))))
     }
 
   /** PII redaction: emails, SSN-shaped ids, phone-shaped numbers and IPv4
