@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Clustering, Dedup, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -634,6 +634,20 @@ object SparkEntry {
     // shuffle with partial counts, not per-row O(n^2) HOFs)
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
+    // Okapi BM25 against a fixed 3-term query (one common, one mid, one
+    // rare term): per-term contributions summed in FIXED order so the
+    // double score is bit-identical to the oracle's mirrored expression
+    "t_bm25" -> ((s, dir) =>
+      Relevance.bm25(docs(s, dir), Seq("join", "vector", "dup"), topK = 20)),
+    // per-document top-3 TF-IDF terms (min df 2, ties by term)
+    "t_tfidf" -> ((s, dir) =>
+      Relevance.tfidfTopTerms(docs(s, dir), perDoc = 3, minDf = 2)
+        .orderBy("doc_id", "rank")),
+    // deterministic Lloyd k-means over the embeddings: integer-quantized
+    // accumulation makes every cross-row sum exact (partition-order
+    // independent AND oracle-replayable); one update round + final assign
+    "c_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(emb(s, dir), k = 8, iters = 1).orderBy("vec_id")),
     // gap-based sessionization over the events table: the 30-min gap rule
     // runs on integer MICROSECONDS (Spark's nanos-as-long div 1000 ==
     // DuckDB's epoch_us — the sub-us precision DuckDB truncates away never
@@ -688,7 +702,29 @@ object SparkEntry {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeImages(
           Multimodal.demoImageTable(docs(s, dir)), "blob", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // REAL audio decode (RIFF/WAVE PCM16): blobs are deterministic
+    // synthetic sawtooths, so the full container-parse -> PCM reduce path
+    // is hash-gated against a closed-form oracle; every feature column is
+    // integer arithmetic (peak, zero crossings, abs/squared energy)
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+          Multimodal.demoWavTable(docs(s, dir)), "blob", "doc_id")
+        .orderBy("doc_id")),
+    // REAL video decode (YUV4MPEG2 4:2:0): header parse, per-frame marker
+    // walk and plane offsets are all exercised; per-plane byte sums are
+    // integer-exact against the synthetic clip's closed form
+    "mm_video" -> ((s, dir) =>
+      Multimodal.videoFeatures(
+          Multimodal.demoY4mTable(docs(s, dir)), "blob", "doc_id")
+        .orderBy("doc_id")),
+    // REAL frame sampling: decode the clip, keep every 2nd frame, one row
+    // per kept frame with its exact luma sum — the frame-dataset explode
+    // shape with genuine decode behind it
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFramesReal(
+          Multimodal.demoY4mTable(docs(s, dir)), "blob", "doc_id", step = 2)
+        .orderBy("doc_id", "frame_index"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -953,6 +989,78 @@ object SparkEntry {
         |  ROUND(MAX(n) / SUM(n), 6) AS top_frac,
         |  ROUND(COALESCE(SUM(CASE WHEN length(tok) > 15 THEN n END), 0) / SUM(n), 6) AS long_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // mirrors Relevance.bm25 literally: same tokenization, same double
+    // literals ((1.2 + 1.0) is the constant-folded k1+1 — NOT 2.2, whose
+    // nearest double can differ in the last ulp), same association, terms
+    // summed in fixed order — so the score is IEEE-identical
+    "t_bm25" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(ws, x -> x = 'vector')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(ws, x -> x = 'dup')) AS BIGINT) AS tf_2
+        |  FROM toks),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS sumdl FROM base),
+        |m AS (SELECT * FROM base WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+        |d AS (SELECT CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+        |             CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+        |             CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2 FROM m),
+        |sc AS (
+        |  SELECT m.doc_id,
+        |    ln(1.0 + (g.n - d.df_0 + 0.5) / (d.df_0 + 0.5)) * (CAST(m.tf_0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(m.tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * m.dl / (g.sumdl / g.n)))
+        |  + ln(1.0 + (g.n - d.df_1 + 0.5) / (d.df_1 + 0.5)) * (CAST(m.tf_1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(m.tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * m.dl / (g.sumdl / g.n)))
+        |  + ln(1.0 + (g.n - d.df_2 + 0.5) / (d.df_2 + 0.5)) * (CAST(m.tf_2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(m.tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * m.dl / (g.sumdl / g.n))) AS score
+        |  FROM m, g, d)
+        |SELECT doc_id, ROUND(score, 6) AS bm25 FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    // replays Clustering.kmeans(k=8, iters=1, scale=1000) step by step:
+    // same quantization, same init (ids 0..7), same left-fold distances,
+    // same (distance, index) struct-min tie-break, same exact-integer
+    // centroid update. dim is pinned at 64 (the testdata embedding width).
+    "c_kmeans" ->
+      ("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cidx, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM q WHERE vec_id < 8),
+        |a0 AS (
+        |  SELECT q.vec_id, any_value(q.q) AS q,
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |           i -> (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': c0.cidx})).c AS cluster
+        |  FROM q, c0 GROUP BY q.vec_id),
+        |u1 AS (
+        |  SELECT cluster, i, SUM(q[i]) AS s, COUNT(*) AS n
+        |  FROM a0, generate_series(1, 64) t(i)
+        |  GROUP BY cluster, i),
+        |c1 AS (
+        |  SELECT cluster AS cidx, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cvec
+        |  FROM u1 GROUP BY cluster)
+        |SELECT q.vec_id,
+        |  CAST((min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |         i -> (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]))),
+        |         (a, b) -> a + b),
+        |        'c': c1.cidx})).c AS INT) AS cluster
+        |FROM q, c1 GROUP BY q.vec_id ORDER BY vec_id""".stripMargin),
+    // mirrors Relevance.tfidfTopTerms: tf * ln((1+N)/(1+df)), min df 2,
+    // per-doc row_number over (tfidf DESC, term)
+    "t_tfidf" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf AS DOUBLE) * ln((1.0 + nd.n) / (1.0 + CAST(dfr.df AS DOUBLE))) AS tfidf
+        |       FROM tf JOIN dfr USING (term), nd),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, ROUND(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
     "e_range" ->
       ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |p AS (SELECT * FROM e WHERE event_id % 2 = 0),
@@ -1015,6 +1123,49 @@ object SparkEntry {
         |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
         |  CAST(SUM(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, cell ORDER BY doc_id, cell""".stripMargin),
+    // closed-form recompute of the synthetic sawtooth the engine actually
+    // DECODES from RIFF/WAVE bytes: s(i) = ((i*k + id) % 4096 - 2048) * 8
+    // with k = 3 + id % 5, n = 1600 + (id % 7) * 160 samples at 8 kHz —
+    // all columns integer-exact (zero crossing = strict sign product)
+    "mm_audio" ->
+      ("""WITH p AS (
+        |  SELECT doc_id, 1600 + (doc_id % 7) * 160 AS n, 3 + doc_id % 5 AS k FROM documents),
+        |s AS (
+        |  SELECT p.doc_id, p.n, i, ((i * p.k + p.doc_id) % 4096 - 2048) * 8 AS v
+        |  FROM p, range(2560) t(i) WHERE i < p.n),
+        |w AS (
+        |  SELECT doc_id, n, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(COALESCE(SUM(CASE WHEN pv * v < 0 THEN 1 END), 0) AS BIGINT) AS n_zero_cross,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // closed-form recompute of the synthetic 16x12 4:2:0 clip the engine
+    // actually DECODES from YUV4MPEG2 bytes: nFrames = 4 + id % 3,
+    // Y = (x*7+y*5+f*11+id)%256, U = (x*3+y+f+id)%256, V = (x+y*3+f*2+id)%256
+    "mm_video" ->
+      ("""WITH f AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents)
+        |SELECT f.doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+        |  CAST(f.nf AS BIGINT) AS n_frames,
+        |  CAST((SELECT SUM((x*7 + y*5 + fr*11 + f.doc_id) % 256)
+        |        FROM range(16) tx(x), range(12) ty(y), range(6) tf(fr) WHERE fr < f.nf) AS BIGINT) AS y_sum,
+        |  CAST((SELECT SUM((x*3 + y + fr + f.doc_id) % 256)
+        |        FROM range(8) cx(x), range(6) cy(y), range(6) tf(fr) WHERE fr < f.nf) AS BIGINT) AS u_sum,
+        |  CAST((SELECT SUM((x + y*3 + fr*2 + f.doc_id) % 256)
+        |        FROM range(8) cx(x), range(6) cy(y), range(6) tf(fr) WHERE fr < f.nf) AS BIGINT) AS v_sum
+        |FROM f ORDER BY f.doc_id""".stripMargin),
+    // every 2nd frame of the same clip, per-frame luma sum
+    "mm_frames" ->
+      ("""WITH f AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT doc_id, fi FROM f, range(6) t(fi) WHERE fi < nf AND fi % 2 = 0)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_index,
+        |  CAST((SELECT SUM((x*7 + y*5 + fr.fi*11 + fr.doc_id) % 256)
+        |        FROM range(16) tx(x), range(12) ty(y)) AS BIGINT) AS frame_y_sum
+        |FROM fr ORDER BY doc_id, frame_index""".stripMargin),
     "t_bigrams" ->
       """SELECT ngram, cnt FROM (
         |  SELECT ngram, count(*) AS cnt FROM (

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-means clustering over embedding columns — the semantic-clustering
+  * primitive behind corpus curation (topic balancing, diversity sampling,
+  * cluster-level dedup) and the coarse quantizer shape IVF indexes use.
+  *
+  * Determinism is engineered in, not hoped for:
+  *   - Vectors are QUANTIZED to integers (`round(x * scale)`) before any
+  *     cross-row arithmetic, so centroid accumulation is exact integer
+  *     addition — independent of partition order. At 1000 executors a
+  *     float sum would differ run-to-run in the last ulp and make results
+  *     unreproducible; integer accumulators are the standard fix, and they
+  *     also make the whole operator oracle-checkable.
+  *   - Centroid components are `sum / count` in ONE double division, and
+  *     point-to-centroid distances fold components in index order, so
+  *     every float value has exactly one computation path.
+  *   - Argmin ties break on the centroid index via lexicographic
+  *     (distance, index) struct-min on both engines.
+  *
+  * Scale shape (100 TB): each Lloyd round is one broadcast of k centroids
+  * against a narrow scan (assignment — no shuffle of the corpus), plus one
+  * (cluster, component)-keyed partial-aggregate shuffle whose volume is
+  * rows × dim longs, map-side combined down to k × dim. Initial centroids
+  * are the k smallest ids (at real scale: a seeded reservoir sample —
+  * same broadcast shape). Empty clusters drop out of the update (standard
+  * Lloyd behavior; both engines agree).
+  */
+object Clustering {
+
+  /** Squared L2 distance between the quantized vector `q` (array<long>)
+    * and a centroid vector `c` (array<double>), folded in index order.
+    */
+  private def sqDist(q: Column, c: Column): Column =
+    aggregate(
+      zip_with(q, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One assignment pass: nearest centroid per vector, ties to the lowest
+    * centroid index. Centroids are broadcast (k rows); the corpus is never
+    * shuffled.
+    */
+  private def assign(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .withColumn("__d", sqDist(col("q"), col("cvec")))
+      .groupBy("vec_id")
+      // q is functionally determined by vec_id, so first() is deterministic
+      .agg(first("q").as("q"), min(struct(col("__d"), col("cidx"))).as("__m"))
+      .select(col("vec_id"), col("q"), col("__m.cidx").as("cluster"))
+
+  /** Centroid update: per-(cluster, component) exact integer sums, one
+    * map-side-combined shuffle, rebuilt into ordered double arrays.
+    */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))).as("__c"))
+      .select(col("cluster").as("cidx"),
+        transform(col("__c"), x =>
+          x.getField("s").cast("double") / x.getField("n").cast("double")).as("cvec"))
+
+  /** Lloyd k-means: `iters` update rounds, then a final assignment.
+    * Returns (vec_id, cluster). `scale` controls quantization resolution
+    * (1000 keeps 3 decimal digits; unit-norm embeddings lose < 0.1%).
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1, scale: Int = 1000,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, "kmeans: k and iters must be positive")
+    val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("q"))
+    var centroids = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    var it = 0
+    while (it < iters) {
+      // each round's centroid frame is tiny (k x dim): materialize it so
+      // the lineage does not nest one broadcast-join plan per round
+      centroids = update(assign(q, centroids)).localCheckpoint(eager = true)
+      it += 1
+    }
+    assign(q, centroids)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+  }
+
+  /** Per-cluster inertia (sum of squared distances to the assigned
+    * centroid) and sizes — the convergence/quality diagnostic.
+    */
+  def inertia(embeddings: DataFrame, k: Int = 8, iters: Int = 1, scale: Int = 1000,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("q"))
+    var centroids = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    var it = 0
+    while (it < iters) {
+      centroids = update(assign(q, centroids)).localCheckpoint(eager = true)
+      it += 1
+    }
+    q.crossJoin(broadcast(centroids))
+      .withColumn("__d", sqDist(col("q"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__d"), col("cidx"))).as("__m"))
+      .groupBy(col("__m.cidx").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__m.__d")).as("inertia"))
+  }
+}

@@ -154,6 +154,94 @@ class MultimodalSuite extends SparkSpec {
     assert(viaPng == viaPbm, "lossless PNG path must produce identical features")
   }
 
+  // ---- the REAL WAV codec ---------------------------------------------
+
+  test("Wav: encode/decode round-trips samples, rate and channels exactly") {
+    val a = Multimodal.Wav.Audio(44100, 2, Array[Short](0, -1, 32767, -32768, 100, -100))
+    val back = Multimodal.Wav.decode(Multimodal.Wav.encode(a))
+    assert(back.sampleRate == 44100 && back.channels == 2)
+    assert(back.samples.toSeq == a.samples.toSeq)
+    assert(back.nFrames == 3)
+  }
+
+  test("Wav: unknown chunks are skipped; truncated/ non-PCM fail loudly") {
+    val a = Multimodal.Wav.Audio(8000, 1, Array[Short](1, 2, 3, 4))
+    val base = Multimodal.Wav.encode(a)
+    // splice a LIST chunk (odd size -> exercises the word-align pad)
+    // between fmt and data
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 7, 0)
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    spliced(4) = (spliced.length - 8).toByte // RIFF size (fits in one byte here)
+    val back = Multimodal.Wav.decode(spliced)
+    assert(back.samples.toSeq == a.samples.toSeq)
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(base.dropRight(3)))
+    val nonPcm = base.clone(); nonPcm(20) = 3 // format tag != 1
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(nonPcm))
+  }
+
+  test("Wav: synthetic blob decodes to the closed-form waveform") {
+    val id = 42L
+    val a = Multimodal.Wav.decode(Multimodal.Wav.synthetic(id))
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.nFrames == 1600 + (id % 7) * 160)
+    val k = 3 + id % 5
+    (0 until a.nFrames).foreach { i =>
+      assert(a.samples(i) == (((i * k + id) % 4096 - 2048) * 8).toShort)
+    }
+  }
+
+  test("audioFeatures: hand-computed stats on a tiny known signal") {
+    val samples = Array[Short](100, -200, 300, 0, -400)
+    val bytes = Multimodal.Wav.encode(Multimodal.Wav.Audio(1000, 1, samples))
+    val df = Seq((1L, bytes)).toDF("doc_id", "blob")
+    val r = Multimodal.audioFeatures(df, "blob", "doc_id").collect().head
+    assert(r.getLong(1) == 5) // n_samples
+    assert(r.getInt(2) == 1000 && r.getInt(3) == 1)
+    assert(r.getLong(4) == 5L * 1000 / 1000) // duration_ms
+    assert(r.getLong(5) == 400) // peak
+    assert(r.getLong(6) == 2, s"zero crossings ${r.getLong(6)}") // strict sign flips: 100/-200, -200/300
+    assert(r.getLong(7) == 1000) // sum_abs
+    assert(r.getLong(8) == 100L * 100 + 200L * 200 + 300L * 300 + 400L * 400)
+  }
+
+  // ---- the REAL Y4M codec ---------------------------------------------
+
+  test("Y4m: encode/decode round-trips planes, fps and frame count") {
+    val v = Multimodal.Y4m.decode(Multimodal.Y4m.synthetic(7L))
+    assert(v.width == 16 && v.height == 12 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.length == 4 + 7 % 3)
+    val again = Multimodal.Y4m.decode(Multimodal.Y4m.encode(v))
+    assert(again.frames.length == v.frames.length)
+    assert(again.frames.zip(v.frames).forall { case (a, b) => a.toSeq == b.toSeq })
+  }
+
+  test("Y4m: synthetic planes match the closed form; truncation fails loudly") {
+    val id = 13L
+    val v = Multimodal.Y4m.decode(Multimodal.Y4m.synthetic(id))
+    val f1 = v.frames(1)
+    assert((f1(0) & 0xFF) == ((0 * 7 + 0 * 5 + 1 * 11 + id) % 256).toInt) // Y(0,0,1)
+    assert((f1(v.lumaSize) & 0xFF) == ((0 * 3 + 0 + 1 + id) % 256).toInt) // U(0,0,1)
+    assert((f1(v.lumaSize + v.chromaSize) & 0xFF) == ((0 + 0 * 3 + 2 + id) % 256).toInt) // V(0,0,1)
+    val whole = Multimodal.Y4m.encode(v)
+    intercept[IllegalArgumentException](Multimodal.Y4m.decode(whole.dropRight(5)))
+    intercept[IllegalArgumentException](
+      Multimodal.Y4m.decode("MPEG4 W2 H2\n".getBytes("US-ASCII")))
+  }
+
+  test("sampleFramesReal keeps every 2nd frame with exact luma sums") {
+    val rows = Multimodal.sampleFramesReal(
+        Multimodal.demoY4mTable(docs.limit(9)), "blob", "doc_id", step = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.foreach { case (id, fi, got) =>
+      assert(fi % 2 == 0 && fi < 4 + id % 3)
+      val want = (for (y <- 0 until 12; x <- 0 until 16)
+        yield (x * 7 + y * 5 + fi * 11 + id) % 256).sum
+      assert(got == want, s"doc $id frame $fi")
+    }
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.length)
+    perDoc.foreach { case (id, n) => assert(n == (4 + id % 3 + 1) / 2) }
+  }
+
   test("imageCellSums: exact tile sums on a hand-checkable cell") {
     val pngs = Multimodal.demoPngTable(docs.limit(5))
     val sums = Multimodal.imageCellSums(pngs, "blob", "doc_id", grid = 4)
