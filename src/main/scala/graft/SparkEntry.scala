@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Clustering, Dedup, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Clustering, Curation, Dedup, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -558,6 +558,28 @@ object SparkEntry {
           Map("en" -> 0.5, "zh" -> 0.9), default = 0.2, seed = 3)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
+    // benchmark-contamination screen: distinct word-3-gram overlap between
+    // each corpus doc and a held-out benchmark slice (doc_id % 37 = 0);
+    // benchmark gram hashes broadcast, corpus never shuffled by gram
+    "t_contam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminationCheck(
+          d.filter(col("doc_id") % 37 =!= 0), d.filter(col("doc_id") % 37 === 0))
+        .orderBy("doc_id")
+    }),
+    // source-mixture rebalancing: exact-BigInt per-source thresholds over
+    // the deterministic hash predicate — the oracle replays the threshold
+    // arithmetic in HUGEINT and the predicate in integer SQL
+    "t_mixture" -> ((s, dir) =>
+      Curation.rebalanceToMixture(docs(s, dir),
+          Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L), seed = 7)
+        .select("doc_id", "source").orderBy("doc_id")),
+    // per-source cap, priority (n_chars DESC, doc_id): rank<=cap triggers
+    // WindowGroupLimit's map-side partial top-K before the source shuffle
+    "t_cap" -> ((s, dir) =>
+      Curation.capPerSource(docs(s, dir), cap = 10)
+        .select(col("doc_id"), col("source"), col("rank").cast("int").as("rank"))
+        .orderBy("source", "rank")),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -1294,6 +1316,55 @@ object SparkEntry {
         |) t WHERE (b * b + 3 * b) % 1000000007 <
         |  CAST(FLOOR(CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.9 ELSE 0.2 END * 1000000007.0) AS BIGINT)
         |GROUP BY lang ORDER BY lang""".stripMargin),
+    // mirrors Curation.contaminationCheck on gram STRINGS (the engine joins
+    // 64-bit gram hashes — identical counts absent a 2^-64 collision)
+    "t_contam" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS grams
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 37 = 0),
+        |corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 37 <> 0),
+        |sh AS (
+        |  SELECT c.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gr FROM corp) c
+        |  JOIN bench USING (gr) GROUP BY c.doc_id)
+        |SELECT corp.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN len(grams) > 0
+        |    THEN ROUND(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS contam_frac,
+        |  (len(grams) > 0 AND CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) >= 0.2 * CAST(len(grams) AS DOUBLE)) AS contaminated
+        |FROM corp LEFT JOIN sh USING (doc_id) ORDER BY corp.doc_id""".stripMargin),
+    // replays rebalanceToMixture: per-source counts -> N* = min(count*W/w)
+    // -> thresholds in HUGEINT (exact, like the engine's BigInt) -> the
+    // same integer hash predicate as t_sample, seed 7
+    "t_mixture" ->
+      ("""WITH wt AS (
+        |  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)) w(source, w)),
+        |cnt AS (
+        |  SELECT d.source, CAST(COUNT(*) AS HUGEINT) AS n, CAST(ANY_VALUE(w.w) AS HUGEINT) AS w
+        |  FROM documents d JOIN wt w USING (source) GROUP BY d.source),
+        |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw FROM wt),
+        |ns AS (SELECT MIN(n * bigw // w) AS nstar FROM cnt, tot),
+        |thr AS (
+        |  SELECT source, (nstar * w * 1000000007 // (bigw * n)) AS t
+        |  FROM cnt, tot, ns)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN thr ON d.source = thr.source
+        |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
+        |  (SELECT ((d.doc_id & 1073741823) * 2654435761 + (d.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
+        |ORDER BY d.doc_id""".stripMargin),
+    "t_cap" ->
+      ("""SELECT doc_id, source, CAST(rank AS INT) AS rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin),
     // replays the full simhash pipeline with the replayable polynomial
     // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS
     // hamming <= 3 — complete by pigeonhole over the engine's 4x16-bit
