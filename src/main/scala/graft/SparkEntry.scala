@@ -444,6 +444,16 @@ object SparkEntry {
           sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dups"))
         .orderBy("source")
     }),
+    // incremental (batch-vs-index) exact dedup: history = doc_id < 250
+    // folded into a fingerprint index, today's batch = the rest; keep
+    // batch rows that are first-of-fingerprint in-batch AND novel vs the
+    // index. The oracle replays both conditions on the normalized text.
+    "d_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val index = Dedup.fingerprintIndex(d.filter(col("doc_id") < 250))
+      Dedup.incrementalDedup(d.filter(col("doc_id") >= 250), index)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     "t_tokens" -> ((s, dir) => {
       // all four counters come from ONE fused text scan (TextStatsExpr),
       // projected once so the document is read exactly once per row
@@ -986,6 +996,20 @@ object SparkEntry {
       ("SELECT source, COUNT(*) AS n_docs, " +
         "COUNT(*) - COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_dups " +
         "FROM documents GROUP BY source ORDER BY source"),
+    // mirrors Dedup.incrementalDedup on the normalized text (the engine
+    // joins 64-bit fingerprints of the same normalization)
+    "d_incremental" ->
+      ("""WITH f AS (
+        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT norm FROM f WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, source, norm,
+        |    min(doc_id) OVER (PARTITION BY norm) AS k
+        |  FROM f WHERE doc_id >= 250)
+        |SELECT doc_id, source FROM batch
+        |WHERE doc_id = k AND norm NOT IN (SELECT norm FROM hist)
+        |ORDER BY doc_id""".stripMargin),
     "t_tokens" ->
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
         "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords, " +

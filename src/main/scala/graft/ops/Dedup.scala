@@ -46,6 +46,46 @@ object Dedup {
     exactDuplicates(df, textCol, idCol).filter(!col("is_duplicate"))
       .drop("is_duplicate", "group_size")
 
+  // ---------------------------------------------------------- incremental
+
+  /** Content-fingerprint index of a corpus: one row per distinct
+    * fingerprint with its keeper id — the persistent state an incremental
+    * pipeline carries between batches. At scale this lives as a parquet
+    * table bucketed by `fp`, so the per-batch anti-join below is
+    * co-located (exchange-free on the index side).
+    */
+  def fingerprintIndex(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp").agg(min(col(idCol)).as("keeper_id"))
+
+  /** Incremental exact dedup — the daily-crawl-vs-historical-index
+    * pattern: keep only the rows of `batch` that are (a) first-of-
+    * fingerprint WITHIN the batch and (b) novel AGAINST the index. One
+    * fingerprint window over the batch + one anti-join against the index;
+    * the index side carries a `shuffle_hash` hint because history is
+    * corpus-sized and must never be elected for broadcast.
+    */
+  def incrementalDedup(batch: DataFrame, index: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("__fp")
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__keeper", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keeper"))
+      .join(index.select(col("fp").as("__fp")).hint("shuffle_hash"),
+        Seq("__fp"), "left_anti")
+      .drop("__fp", "__keeper")
+  }
+
+  /** Fold a deduplicated batch into the index: union of fingerprints with
+    * the minimum keeper id winning — the write-back half of the
+    * incremental cycle (rewrite of the affected buckets at scale).
+    */
+  def updateFingerprintIndex(index: DataFrame, batch: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    index.unionByName(fingerprintIndex(batch, textCol, idCol))
+      .groupBy("fp").agg(min(col("keeper_id")).as("keeper_id"))
+
   // -------------------------------------------------------------- minhash
 
   /** Word w-shingles of the normalized text. The word array is bound via

@@ -320,4 +320,42 @@ class PipelineGatesSuite extends SparkSpec {
     assert(math.abs(rate("zh") - 0.9) < 0.12, s"zh rate ${rate("zh")}")
     assert(math.abs(rate("de") - 0.2) < 0.12, s"de rate ${rate("de")}")
   }
+
+  test("incremental dedup: in-batch dups and history dups both drop") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  text"),   // dup of history (normalization folds spaces)
+      (11L, "gamma text"),    // novel
+      (12L, "gamma text"),    // in-batch dup of 11
+      (13L, "delta text")     // novel
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, Dedup.fingerprintIndex(hist))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("incremental dedup over two batches == one-shot dedup of the union") {
+    // the invariant that makes the incremental cycle safe to deploy:
+    // fold batch 1 into the index, dedup batch 2 against it, and the
+    // union of keepers equals exactDedup over everything at once
+    // (ids ordered so batch-1 ids < batch-2 ids, as in a real pipeline)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b1 = d.filter(col("doc_id") < 100)
+    val b2 = d.filter(col("doc_id") >= 100)
+    val idx0 = Dedup.fingerprintIndex(b1)
+    val keptIncr =
+      Dedup.incrementalDedup(b1, idx0.limit(0)).select("doc_id").union(
+        Dedup.incrementalDedup(b2, idx0).select("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    val keptFull = Dedup.exactDedup(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIncr == keptFull)
+    // and the folded index agrees with an index built from scratch
+    val foldedRows = Dedup.updateFingerprintIndex(idx0, b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratchRows = Dedup.fingerprintIndex(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foldedRows == scratchRows)
+  }
 }
