@@ -62,4 +62,21 @@ object ScaleLayout {
       .sortWithinPartitions(rangeCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Hive-style date-partitioned layout (`.../event_date=2024-01-03/...`)
+    * — the standard layout for append-only event/crawl data at 100 TB. A
+    * query-time filter on the partition column prunes whole DIRECTORIES at
+    * planning (PartitionFilters), before any file is opened — unlike
+    * row-group min/max pruning, which still lists and opens files. The
+    * pre-write repartition puts each date's rows in one writer task, so a
+    * day emits one file instead of one per input partition.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+                           partitionCol: String = "event_date"): Unit = {
+    df.withColumn(partitionCol, to_date(col(tsCol)))
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
 }

@@ -88,4 +88,31 @@ class ScaleLayoutSuite extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("o_orderkey"),
       s"expected pushed filter on the range column:\n$scan")
   }
+
+  test("date-partitioned layout prunes whole directories at planning") {
+    val dir = java.nio.file.Files.createTempDirectory("date-layout").toString
+    // events.parquet carries TIMESTAMP(NANOS); read nanos-as-long and
+    // rebuild a real timestamp from integer microseconds
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    ScaleLayout.writeDatePartitioned(events, dir, "ts")
+    val back = spark.read.parquet(dir)
+    val allDays = back.select("event_date").distinct().count()
+    assert(allDays > 1, s"need multiple partitions to demonstrate pruning, got $allDays")
+    val oneDay = back.select(min(col("event_date"))).collect()(0).getDate(0)
+    val filtered = back.filter(col("event_date") === lit(oneDay))
+    // planning-time evidence: the partition filter appears in the scan
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"expected a partition filter on event_date:\n$plan")
+    // physical evidence: the filtered scan touches exactly one day's files
+    val filesAll = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val filesOne = filtered.select(input_file_name()).distinct().count()
+    assert(filesOne < filesAll && filesOne >= 1,
+      s"pruned scan read $filesOne of $filesAll files")
+    // one writer task per day: file count == day count
+    assert(filesAll == allDays, s"$filesAll files for $allDays days (expected 1/day)")
+  }
 }
