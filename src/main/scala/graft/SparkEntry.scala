@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Clustering, Curation, Dedup, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Clustering, Curation, Dedup, GraphRank, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -499,6 +499,14 @@ object SparkEntry {
     "d_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7)
         .orderBy("doc_id_a", "doc_id_b")),
+    // integer-exact PageRank over the undirected near-dup graph: doc
+    // centrality = representativeness among its duplicates. All rank
+    // arithmetic is integer (div-floored), so the oracle replays two
+    // unrolled rounds bit-for-bit
+    "g_pagerank" -> ((s, dir) =>
+      GraphRank.pageRankUndirected(
+          Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.7), iters = 2)
+        .orderBy("id")),
     // cluster formation over the exact pair list (min-label propagation);
     // oracle = DuckDB recursive-CTE reachability over the same pairs
     "d_clusters" -> ((s, dir) =>
@@ -1240,6 +1248,40 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // replays pageRankUndirected over the d_ngram pair set: integer rank
+    // mass, // (floor) divisions, two unrolled damped rounds
+    "g_pagerank" ->
+      ("""WITH w AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w
+        |), p AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7
+        |), e AS (
+        |  SELECT doc_id_a AS src, doc_id_b AS dst FROM p
+        |  UNION ALL SELECT doc_id_b, doc_id_a FROM p
+        |), n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS id, SUM(p0.pr // dg.deg) AS s
+        |  FROM e JOIN p0 ON e.src = p0.id JOIN dg ON e.src = dg.src GROUP BY e.dst),
+        |p1 AS (
+        |  SELECT n.id, 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+        |  FROM n LEFT JOIN c1 USING (id)),
+        |c2 AS (
+        |  SELECT e.dst AS id, SUM(p1.pr // dg.deg) AS s
+        |  FROM e JOIN p1 ON e.src = p1.id JOIN dg ON e.src = dg.src GROUP BY e.dst),
+        |p2 AS (
+        |  SELECT n.id, 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+        |  FROM n LEFT JOIN c2 USING (id))
+        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p2 ORDER BY id""".stripMargin),
     "d_minhash" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words

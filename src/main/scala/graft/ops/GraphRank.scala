@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over an edge list — the graph-centrality signal
+  * a curation pipeline uses to rank documents (representativeness inside
+  * the near-dup/overlap graph) or hosts (link authority, in the
+  * CommonCrawl host-ranking tradition).
+  *
+  * Exactness is engineered the same way as Clustering.kmeans: rank mass is
+  * an INTEGER (`scale` units per node at start), per-edge contributions
+  * are integer divisions `pr div deg`, and the damping multiply is the
+  * integer `(85·x) div 100` — so every cross-row sum is an exact integer
+  * add: partition-order independent, reproducible at any executor count,
+  * and replayable by any SQL engine. The floors shed a few units of mass
+  * per hop (deterministic, documented); this is the reproducible
+  * quantized variant of the textbook float PageRank, which at 1000
+  * executors differs in the last ulp run to run.
+  *
+  * Scale shape: each iteration is one src-keyed join of the node-sized
+  * rank frame into the edge list plus one dst-keyed partial-sum shuffle
+  * (map-side combined); rank and degree frames are node-sized, never
+  * edge-sized. Lineage is cut per round with an eager localCheckpoint —
+  * the iterative-plan-growth hazard Dedup.connectedComponents hit in
+  * round 4.
+  */
+object GraphRank {
+
+  /** `iters` damped rounds over directed edges; returns (id, pr) with
+    * integer rank (start mass = `scale` per node). Dangling nodes receive
+    * the base (1−d) share each round and forward nothing — the standard
+    * simplification; total mass is therefore not conserved, ordering is.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0 && scale > 0, "pageRank: iters >= 0, scale > 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (scale * 15L) / 100L
+    var pr = nodes.withColumn("pr", lit(scale))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint(eager = true)
+      it += 1
+    }
+    pr
+  }
+
+  /** Undirected convenience: every pair contributes both directions. */
+  def pageRankUndirected(pairs: DataFrame, iters: Int = 2, scale: Long = 1000000L,
+                         aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
+    pageRank(fwd.union(rev), iters, scale)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Relevance}
+import graft.ops.{Clustering, GraphRank, Relevance}
 
 /** Behavior gates for the relevance (BM25/TF-IDF) and clustering (k-means)
   * operators: ranking sanity, per-doc rank structure, and the determinism
@@ -70,5 +70,33 @@ class RelevanceClusteringSuite extends SparkSpec {
     val i0 = total(0)
     val i2 = total(2)
     assert(i2 <= i0, s"inertia rose: $i0 -> $i2")
+  }
+
+  test("pageRank: hand-computed integer ranks on a triangle + pendant") {
+    // triangle 1-2-3 plus pendant 4 attached to 3, undirected;
+    // expected values replayed by hand (floor arithmetic):
+    //   pr2 = {1: 1038957, 2: 1038957, 3: 1247915, 4: 674166}
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_id_a", "doc_id_b")
+    val got = GraphRank.pageRankUndirected(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1038957L, 2L -> 1038957L, 3L -> 1247915L, 4L -> 674166L))
+  }
+
+  test("pageRank: result is independent of edge partitioning") {
+    val pairs = (0L until 60L).map(i => (i, (i * 7 + 1) % 60))
+      .toDF("doc_id_a", "doc_id_b")
+    def run(parts: Int): Map[Long, Long] =
+      GraphRank.pageRankUndirected(pairs.repartition(parts), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(7), "integer rank must not depend on partition order")
+  }
+
+  test("pageRank: higher-degree hub outranks leaves on a star") {
+    val pairs = (2L to 9L).map(i => (1L, i)).toDF("doc_id_a", "doc_id_b")
+    val got = GraphRank.pageRankUndirected(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 9L).forall(l => got(1L) > got(l)),
+      s"hub must outrank every leaf: $got")
   }
 }
