@@ -148,4 +148,44 @@ class PropertySuite extends SparkSpec {
       "SELECT region, AGGREGATE(rev) AT (ALL region SET year = 2021) AS prior FROM prop_v WHERE year = 2022 GROUP BY region"))
     assert(pinned == literal, s"CURRENT pinning mismatch: $pinned vs $literal")
   }
+
+  test("property: self-contamination flags every doc with >= n tokens") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val docs = (0L until 60L).map { i =>
+      val words = Seq.fill(rnd.nextInt(8))(s"w${rnd.nextInt(20)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    // corpus screened against itself: every doc with at least one gram
+    // shares ALL its grams with the benchmark -> frac 1.0, flagged
+    val got = graft.ops.Curation.contaminationCheck(docs, docs).collect()
+    got.foreach { r =>
+      val (nGrams, nShared, frac, flag) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      if (nGrams > 0) {
+        assert(nShared == nGrams && frac == 1.0 && flag,
+          s"doc ${r.getLong(0)}: $nShared/$nGrams shared, flag=$flag")
+      } else assert(nShared == 0L && !flag)
+    }
+  }
+
+  test("property: rebalanceToMixture hits target proportions within sampling noise") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    // sources with deliberately unequal sizes
+    val df = (0L until 3000L).map { i =>
+      val src = if (i < 1800) "big" else if (i < 2600) "mid" else "small"
+      (i, s"doc $i ${rnd.nextInt()}", src)
+    }.toDF("doc_id", "text", "source")
+    val kept = graft.ops.Curation.rebalanceToMixture(df,
+        Map("big" -> 1L, "mid" -> 1L, "small" -> 1L), seed = 13)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal weights, feasible N* = 3 * min(count) = 1200 -> ~400 per source
+    val target = 400.0
+    for ((s, n) <- kept)
+      assert(math.abs(n - target) / target < 0.15, s"$s kept $n, target $target")
+    // the binding source (smallest) keeps everything: threshold == P2
+    assert(kept("small") == 400L, s"binding source must keep all: ${kept("small")}")
+  }
 }
