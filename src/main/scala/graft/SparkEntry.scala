@@ -163,6 +163,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("m_at_all_pct")(spark, "/root/testdata/sf0.001")
 
+  /** Fixed subword vocabulary for t_subword* — one Scala constant feeds
+    * BOTH the engine expression and the oracle's VALUES list, so the two
+    * sides cannot drift. Mix of full words, fragments and single chars;
+    * letters like g/q/u stay out so the <unk> fallback is exercised.
+    */
+  private val SubVocab: Seq[String] = Seq(
+    "table", "scan", "join", "window", "stream", "value", "column", "order",
+    "filter", "merge", "batch", "vector", "customer", "line", "data", "key",
+    "row", "hash", "agg", "part", "small", "slow", "fast", "big", "sort",
+    "spark", "the", "er", "or", "an", "in", "re", "st", "ing", "s", "e", "t", "a")
+  private def subVocabValues: String =
+    SubVocab.map(p => s"('$p')").mkString(", ")
+
   // ------------------------------------------------------------ queries
 
   private val rev = "l_extendedprice * (1 - l_discount)"
@@ -598,6 +611,29 @@ object SparkEntry {
       Curation.capPerSource(docs(s, dir), cap = 10)
         .select(col("doc_id"), col("source"), col("rank").cast("int").as("rank"))
         .orderBy("source", "rank")),
+    // native greedy longest-match subword tokenizer (trie max-munch with
+    // <unk> char fallback) — per-doc piece/unknown counts; the oracle
+    // replays max-munch with a recursive CTE over the same vocabulary
+    "t_subword" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          graft.ops.Cols.bindOnce(
+            graft.functions.SubwordExpr.subwordPieces(
+              lower(trim(col("text"))), SubVocab)) { ps =>
+            struct(
+              size(ps).cast("long").as("n_pieces"),
+              size(filter(ps, p => p === lit("<unk>"))).cast("long").as("n_unk"))
+          }.as("st"))
+        .select(col("doc_id"), col("st.n_pieces").as("n_pieces"),
+          col("st.n_unk").as("n_unk"))
+        .orderBy("doc_id")),
+    // corpus piece-frequency under the same tokenizer (explode over the
+    // native expression's array output), top 20 by (count, piece)
+    "t_subword_freq" -> ((s, dir) =>
+      docs(s, dir).select(explode(
+          graft.functions.SubwordExpr.subwordPieces(
+            lower(trim(col("text"))), SubVocab)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece")).limit(20)),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -1431,6 +1467,62 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin),
+    // replays the greedy longest-match tokenizer: best-match table per
+    // (word, position) from a prefix join, then a recursive walk whose
+    // step size is the best match (1 on <unk>); per-doc sums join back
+    // through the token list. Same vocabulary literal as the engine.
+    "t_subword" ->
+      (s"""WITH RECURSIVE v(p) AS (VALUES $subVocabValues),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE length(w) > 0 GROUP BY doc_id, w),
+        |words AS (SELECT DISTINCT w FROM tf),
+        |pos AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM words),
+        |best AS (
+        |  SELECT pos.w, pos.pos, COALESCE(MAX(length(v.p)), 0) AS l
+        |  FROM pos LEFT JOIN v ON substr(pos.w, pos.pos, length(v.p)) = v.p
+        |  GROUP BY pos.w, pos.pos),
+        |rec AS (
+        |  SELECT w, 1 AS pos, 0 AS np, 0 AS nu FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + GREATEST(b.l, 1), r.np + 1,
+        |         r.nu + CASE WHEN b.l = 0 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN best b ON r.w = b.w AND r.pos = b.pos
+        |  WHERE r.pos <= length(r.w)),
+        |wstats AS (SELECT w, MAX(np) AS np, MAX(nu) AS nu FROM rec GROUP BY w)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf * ws.np) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(tf.tf * ws.nu) AS BIGINT) AS n_unk
+        |FROM tf JOIN wstats ws ON tf.w = ws.w
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+    // piece identities via the same walk: re-walk emitting the matched
+    // substring (or '<unk>'), weight by token frequency, top 20
+    "t_subword_freq" ->
+      (s"""WITH RECURSIVE v(p) AS (VALUES $subVocabValues),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT w, COUNT(*) AS tf FROM toks WHERE length(w) > 0 GROUP BY w),
+        |words AS (SELECT w FROM tf),
+        |pos AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM words),
+        |best AS (
+        |  SELECT pos.w, pos.pos, COALESCE(MAX(length(v.p)), 0) AS l
+        |  FROM pos LEFT JOIN v ON substr(pos.w, pos.pos, length(v.p)) = v.p
+        |  GROUP BY pos.w, pos.pos),
+        |rec AS (
+        |  SELECT w, 1 AS pos,
+        |         CAST(NULL AS VARCHAR) AS piece
+        |  FROM words
+        |  UNION ALL
+        |  SELECT r.w, r.pos + GREATEST(b.l, 1),
+        |         CASE WHEN b.l = 0 THEN '<unk>'
+        |              ELSE substr(r.w, r.pos, b.l) END
+        |  FROM rec r JOIN best b ON r.w = b.w AND r.pos = b.pos
+        |  WHERE r.pos <= length(r.w))
+        |SELECT piece, CAST(SUM(tf.tf) AS BIGINT) AS n
+        |FROM rec JOIN tf ON rec.w = tf.w
+        |WHERE rec.piece IS NOT NULL
+        |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin),
     // replays the full simhash pipeline with the replayable polynomial
     // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS
     // hamming <= 3 — complete by pigeonhole over the engine's 4x16-bit
