@@ -611,6 +611,19 @@ object SparkEntry {
       Curation.capPerSource(docs(s, dir), cap = 10)
         .select(col("doc_id"), col("source"), col("rank").cast("int").as("rank"))
         .orderBy("source", "rank")),
+    // the COMPOSED curation pass (exact dedup -> near-dup clusters ->
+    // contamination screen -> quality filter -> mixture rebalance): every
+    // stage is individually gated; this entry pins the stage WIRING with
+    // a five-stage DuckDB replay
+    "t_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.CuratePipeline.curate(
+          d.filter(col("doc_id") % 37 =!= 0),
+          d.filter(col("doc_id") % 37 === 0),
+          Map("src0" -> 2L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L),
+          seed = 7)
+        .select("doc_id", "source", "quality_score").orderBy("doc_id")
+    }),
     // native greedy longest-match subword tokenizer (trie max-munch with
     // <unk> char fallback) — per-doc piece/unknown counts; the oracle
     // replays max-munch with a recursive CTE over the same vocabulary
@@ -1467,6 +1480,87 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin),
+    // five-stage replay of CuratePipeline.curate: exact-dedup window,
+    // n-gram Jaccard pairs over the survivors + recursive reachability,
+    // contamination screen vs the benchmark slice, the t_analysis quality
+    // formula, then t_mixture's HUGEINT thresholds over the final counts
+    "t_curate" ->
+      ("""WITH RECURSIVE f AS (
+        |  SELECT doc_id, source, text, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 37 <> 0),
+        |ex AS (
+        |  SELECT doc_id, source, text, norm FROM (
+        |    SELECT f.*, min(doc_id) OVER (PARTITION BY norm) AS kp FROM f) t
+        |  WHERE doc_id = kp),
+        |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM ex),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(words[i + 1 : i + 3], ' '))) AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.7),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM e
+        |  UNION
+        |  SELECT e.u AS id, r.comp FROM e JOIN reach r ON r.id = e.v),
+        |nr AS (
+        |  SELECT ex.* FROM ex
+        |  WHERE ex.doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING MIN(comp) != id)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END) AS gr
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+        |        FROM documents WHERE doc_id % 37 = 0)),
+        |ct AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+        |        FROM nr)),
+        |shd AS (
+        |  SELECT c.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gr FROM ct) c JOIN bg USING (gr)
+        |  GROUP BY c.doc_id),
+        |cl AS (
+        |  SELECT nr.* FROM nr JOIN ct ON nr.doc_id = ct.doc_id
+        |  LEFT JOIN shd ON nr.doc_id = shd.doc_id
+        |  WHERE NOT (len(ct.grams) > 0 AND
+        |    CAST(COALESCE(shd.n_shared, 0) AS DOUBLE) >= 0.2 * CAST(len(ct.grams) AS DOUBLE))),
+        |q0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS wc,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) AS stop_hits
+        |  FROM cl),
+        |q1 AS (
+        |  SELECT doc_id, source,
+        |    round((least(wc / 50.0, 1.0)
+        |         + (1.0 - least(n_punct / safe_len * 4.0, 1.0))
+        |         + (1.0 - least(n_digit / safe_len * 4.0, 1.0))
+        |         + (CASE WHEN len / greatest(wc, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+        |         + least(stop_hits / greatest(wc, 1.0) * 3.0, 1.0)) / 5.0, 4) AS quality_score
+        |  FROM q0),
+        |qs AS (SELECT * FROM q1 WHERE quality_score >= 0.5),
+        |wt AS (SELECT * FROM (VALUES ('src0', 2), ('src1', 1), ('src2', 1), ('src3', 1)) w(source, wgt)),
+        |cnt AS (
+        |  SELECT q.source, CAST(COUNT(*) AS HUGEINT) AS n, CAST(ANY_VALUE(wt.wgt) AS HUGEINT) AS wgt
+        |  FROM qs q JOIN wt ON q.source = wt.source GROUP BY q.source),
+        |tot AS (SELECT CAST(SUM(wgt) AS HUGEINT) AS bigw FROM wt),
+        |ns AS (SELECT MIN(n * bigw // wgt) AS nstar FROM cnt, tot),
+        |thr AS (SELECT source, (nstar * wgt * 1000000007 // (bigw * n)) AS t FROM cnt, tot, ns)
+        |SELECT q.doc_id, q.source, q.quality_score
+        |FROM qs q JOIN thr ON q.source = thr.source
+        |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
+        |  (SELECT ((q.doc_id & 1073741823) * 2654435761 + (q.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
+        |ORDER BY q.doc_id""".stripMargin),
     // replays the greedy longest-match tokenizer: best-match table per
     // (word, position) from a prefix join, then a recursive walk whose
     // step size is the best match (1 on <unk>); per-doc sums join back

@@ -131,4 +131,25 @@ class CurationSuite extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit pushdown of rank<=cap:\n$plan")
   }
+
+  // ------------------------------------------------------------ pipeline
+
+  test("curate: stage composition is monotone and lands on weighted sources") {
+    import graft.ops.{CuratePipeline, Dedup}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter($"doc_id" % 37 =!= 0)
+    val bench = d.filter($"doc_id" % 37 === 0)
+    val weights = Map("src0" -> 2L, "src1" -> 1L, "src2" -> 1L, "src3" -> 1L)
+    val out = CuratePipeline.curate(corpus, bench, weights, seed = 7)
+    val rows = out.select("doc_id", "source").collect()
+    assert(rows.nonEmpty, "curated corpus must not be empty")
+    // only weighted sources survive the mixture stage
+    assert(rows.map(_.getString(1)).toSet.subsetOf(weights.keySet))
+    // the output is a subset of the exact-dedup survivors (stage order)
+    val exactIds = Dedup.exactDedup(corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(exactIds))
+    // quality floor holds on every surviving row
+    assert(out.filter($"quality_score" < 0.5).count() == 0)
+  }
 }
