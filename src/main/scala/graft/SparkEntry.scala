@@ -624,6 +624,18 @@ object SparkEntry {
           seed = 7)
         .select("doc_id", "source", "quality_score").orderBy("doc_id")
     }),
+    // greedy sequence packing into 512-token packs across 8 hash shards —
+    // the tokenize->batch step of an LLM pipeline; the oracle replays the
+    // per-shard greedy recurrence with a recursive CTE over row_number()
+    "t_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withTok = d.select(col("doc_id"),
+        graft.functions.TextStatsExpr.textStats(col("text"))
+          .getField("n_tokens").cast("long").as("n_tokens"))
+      graft.ops.Packing.packGreedy(withTok, "n_tokens", budget = 512,
+          nShards = 8, seed = 7)
+        .orderBy("doc_id")
+    }),
     // native greedy longest-match subword tokenizer (trie max-munch with
     // <unk> char fallback) — per-doc piece/unknown counts; the oracle
     // replays max-munch with a recursive CTE over the same vocabulary
@@ -1561,6 +1573,30 @@ object SparkEntry {
         |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
         |  (SELECT ((q.doc_id & 1073741823) * 2654435761 + (q.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
         |ORDER BY q.doc_id""".stripMargin),
+    // replays packGreedy: shard = hashBucket(doc_id, seed=7) % 8 in plain
+    // integer arithmetic, then the greedy (pack_idx, used) recurrence per
+    // shard via a recursive CTE stepping row_number() within shard
+    "t_pack" ->
+      ("""WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    ((b * b + 7 * b) % 1000000007) % 8 AS shard
+        |  FROM (SELECT *,
+        |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |    FROM documents)),
+        |o AS (SELECT d.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n,
+        |    CAST(0 AS BIGINT) AS pack_idx, CAST(0 AS BIGINT) AS pack_offset, n AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN r.pack_idx + 1 ELSE r.pack_idx END,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN CAST(0 AS BIGINT) ELSE r.used END,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN o.n ELSE r.used + o.n END
+        |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+        |SELECT doc_id, n AS n_tokens, shard, pack_idx, pack_offset
+        |FROM rec ORDER BY doc_id""".stripMargin),
     // replays the greedy longest-match tokenizer: best-match table per
     // (word, position) from a prefix join, then a recursive walk whose
     // step size is the best match (1 on <unk>); per-doc sums join back
