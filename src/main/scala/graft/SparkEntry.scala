@@ -449,6 +449,17 @@ object SparkEntry {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000 ORDER BY k LIMIT 50""".stripMargin),
 
+    // mergeable fixed-width histogram sketch -> deterministic quantile
+    // estimates: one <=nBins-row shuffle instead of a global sort; the
+    // oracle replays bin arithmetic + interpolation bit-for-bit
+    "q_histq" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Histogram.quantileEstimates(li, "l_extendedprice",
+          lo = 0.0, hi = 110000.0, nBins = 110,
+          qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     // ---- LLM-data-pipeline operators ----
     "d_exact" -> ((s, dir) => {
       val d = Dedup.exactDuplicates(docs(s, dir))
@@ -1573,6 +1584,21 @@ object SparkEntry {
         |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
         |  (SELECT ((q.doc_id & 1073741823) * 2654435761 + (q.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
         |ORDER BY q.doc_id""".stripMargin),
+    // replays the histogram sketch: identical clamped-bin integer
+    // arithmetic, HUGEINT-safe internal sums, and the same IEEE-double
+    // interpolation order as Histogram.quantileEstimates
+    "q_histq" ->
+      ("""WITH c AS (
+        |  SELECT LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 1000.0) AS BIGINT), 0), 109) AS bin,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum, SUM(cnt) OVER () AS n FROM c),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) v(q)),
+        |sel AS (SELECT q, min(bin) AS bin FROM qs JOIN cum ON cum.cum >= CAST(ceil(q * cum.n) AS BIGINT) GROUP BY q),
+        |fin AS (SELECT s.q, s.bin, c.cnt, c.cum, c.n FROM sel s JOIN cum c ON s.bin = c.bin)
+        |SELECT q, round(0.0 + 1000.0 * (CAST(bin AS DOUBLE)
+        |  + CAST(CAST(ceil(q * n) AS BIGINT) - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
+        |FROM fin ORDER BY q""".stripMargin),
     // replays packGreedy: shard = hashBucket(doc_id, seed=7) % 8 in plain
     // integer arithmetic, then the greedy (pack_idx, used) recurrence per
     // shard via a recursive CTE stepping row_number() within shard
