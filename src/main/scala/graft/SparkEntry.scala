@@ -647,6 +647,11 @@ object SparkEntry {
           nShards = 8, seed = 7)
         .orderBy("doc_id")
     }),
+    // distributed BPE vocabulary induction: the learned merge table
+    // (step, pair, weighted count) — integer-exact, so the oracle replays
+    // all 10 merge rounds including the greedy one-pass apply
+    "t_bpe" -> ((s, dir) =>
+      graft.ops.Bpe.learnMerges(docs(s, dir), nMerges = 10).orderBy("step")),
     // native greedy longest-match subword tokenizer (trie max-munch with
     // <unk> char fallback) — per-doc piece/unknown counts; the oracle
     // replays max-munch with a recursive CTE over the same vocabulary
@@ -841,7 +846,51 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracles
 
+  /** Replays Bpe.learnMerges in DuckDB: chained CTE stages, one per merge
+    * round. Each round counts adjacent symbol pairs weighted by word
+    * frequency, takes the (n DESC, l, r) argmax, and applies the greedy
+    * one-pass merge NON-recursively: consecutive match positions form
+    * overlap runs, and greedy left-to-right keeps exactly the odd ranks
+    * of each run (1st, 3rd, ...).
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+      |    (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+      |  WHERE length(word) BETWEEN 1 AND 20 GROUP BY word
+      |  ORDER BY freq DESC, word LIMIT 2000),
+      |s0 AS MATERIALIZED (SELECT word, freq, list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms FROM w0)""".stripMargin
+    for (k <- 1 to nMerges) {
+      val prev = s"s${k - 1}"
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+        |  FROM $prev, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+        |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1)""".stripMargin
+      if (k < nMerges) sb ++= s""",
+        |m$k AS (SELECT word, i FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM $prev) q, b$k
+        |       WHERE q.syms[i] = b$k.l AND q.syms[i+1] = b$k.r),
+        |r$k AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp FROM m$k),
+        |sel$k AS (SELECT word, list(i ORDER BY i) AS sel FROM (
+        |    SELECT word, i, grp, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rk FROM r$k) q
+        |  WHERE rk % 2 = 1 GROUP BY word),
+        |s$k AS MATERIALIZED (SELECT $prev.word, $prev.freq,
+        |   CASE WHEN sel IS NULL THEN syms ELSE
+        |     list_filter(list_transform(range(1, len(syms)+1), i ->
+        |       CASE WHEN list_contains(sel, i) THEN syms[i] || syms[i+1]
+        |            WHEN list_contains(sel, i-1) THEN NULL
+        |            ELSE syms[i] END), x -> x IS NOT NULL) END AS syms
+        |   FROM $prev LEFT JOIN sel$k USING (word))""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l AS lft, r AS rgt, n FROM b$k").mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.result()
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t_bpe" -> bpeOracleSql(10),
     "m_agg_basic" ->
       s"SELECT l_returnflag, round(SUM($rev), 2) AS revenue FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "m_agg_twodim" ->
