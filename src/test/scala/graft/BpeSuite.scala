@@ -23,6 +23,34 @@ class BpeSuite extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)))
   }
 
+  test("learned merges feed the subword tokenizer: pieces reconstruct text") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMerges(d, nMerges = 10).collect()
+    // vocab = merged tokens + the single-char base alphabet (as in a real
+    // BPE vocab: every base symbol is a piece, merges add multi-char ones)
+    val merged = merges.map(r => r.getString(1) + r.getString(2)).toSeq
+    assert(merged.nonEmpty && merged.forall(_.length >= 2))
+    val chars = d.limit(50)
+      .select(explode(split(lower(trim(col("text"))), "")).as("c"))
+      .filter(col("c") =!= "" && !col("c").rlike("\\s"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val vocab = merged ++ chars
+    val pieces = d.limit(50).select(col("doc_id"),
+        graft.functions.SubwordExpr.subwordPieces(lower(trim(col("text"))), vocab).as("p"),
+        lower(trim(col("text"))).as("orig"))
+      .select(col("doc_id"), concat_ws("", col("p")).as("joined"), col("orig"),
+        exists(col("p"), x => length(x) >= 2).as("used_merge"))
+      .collect()
+    // max-munch over the learned vocab must reconstruct the input exactly
+    // (pieces partition the text) and actually use the learned merges
+    pieces.foreach { r =>
+      assert(r.getString(1).replaceAll("\\s+", "") ==
+        r.getString(2).replaceAll("\\s+", ""), s"doc ${r.getLong(0)} not reconstructed")
+    }
+    assert(pieces.exists(_.getBoolean(3)), "no learned merge was ever used")
+  }
+
   test("learnMerges: deterministic tie-break and partition invariance") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(parts: Int) =
