@@ -90,4 +90,68 @@ object Packing {
       .agg(count("*").as("n_docs"),
         sum("n_tokens").as("tokens"),
         round(sum("n_tokens") / lit(budget.toDouble), 6).as("fill"))
+
+  /** Terminal packing state per shard — the open pack's index and fill —
+    * from packGreedy output. Persist this tiny table (one row per shard)
+    * between pipeline runs to keep packing incremental.
+    */
+  def shardStates(packed: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    packed
+      .withColumn("__maxp", max("pack_idx").over(w))
+      .filter(col("pack_idx") === col("__maxp"))
+      .groupBy("shard")
+      .agg(max("pack_idx").as("pack_idx"), sum("n_tokens").as("used"))
+  }
+
+  /** Incremental packGreedy: continue from a prior run's [[shardStates]],
+    * so a daily batch appends to the open packs instead of restarting
+    * numbering. The state is O(nShards) rows — broadcast into the same
+    * single-shuffle streaming scan.
+    *
+    * Invariant (asserted in the suite): if every new id sorts after every
+    * prior id, pack(prior ++ batch) == pack(prior) ++ packIncremental(
+    * batch, shardStates(pack(prior))) — incremental output is
+    * bit-identical to a from-scratch repack.
+    */
+  def packGreedyIncremental(docs: DataFrame, tokenCol: String, budget: Long,
+                            nShards: Int, prior: DataFrame,
+                            idCol: String = "doc_id",
+                            seed: Long = 0L): DataFrame = {
+    require(budget >= 1, s"budget $budget must be >= 1")
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val priorMap: Map[Long, (Long, Long)] = prior
+      .select(col("shard").cast("bigint"), col("pack_idx").cast("bigint"),
+        col("used").cast("bigint"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, p, u) => s -> (p, u) }.toMap
+    val bc = spark.sparkContext.broadcast(priorMap)
+    val withShard = docs.select(
+      col(idCol).cast("bigint"),
+      col(tokenCol).cast("bigint"),
+      (Sampling.hashBucket(col(idCol), seed) % nShards).as("shard"))
+      .as[(Long, Long, Long)]
+    withShard
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .mapPartitions { it =>
+        var curShard = -1L
+        var pack = 0L
+        var used = 0L
+        it.map { case (id, n, sh) =>
+          if (sh != curShard) {
+            curShard = sh
+            val (p0, u0) = bc.value.getOrElse(sh, (0L, 0L))
+            pack = p0; used = u0
+          }
+          if (used > 0 && used + n > budget) { pack += 1; used = 0L }
+          val off = used
+          used += n
+          (id, n, sh, pack, off)
+        }
+      }
+      .toDF(idCol, "n_tokens", "shard", "pack_idx", "pack_offset")
+  }
 }

@@ -63,6 +63,23 @@ class PackingSuite extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("incremental packing equals from-scratch repack when new ids sort last") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", (length($"text") / 4).cast("long").as("n_tokens"))
+    val cut = 300L
+    val prior = all.filter($"doc_id" < cut)
+    val batch = all.filter($"doc_id" >= cut)
+    assert(prior.count() > 0 && batch.count() > 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val full = Packing.packGreedy(all, "n_tokens", budget = 256, nShards = 4)
+    val p1 = Packing.packGreedy(prior, "n_tokens", budget = 256, nShards = 4)
+    val p2 = Packing.packGreedyIncremental(batch, "n_tokens", budget = 256,
+      nShards = 4, prior = Packing.shardStates(p1))
+    assert(key(full) == (key(p1) ++ key(p2)),
+      "incremental pack must be bit-identical to a from-scratch repack")
+  }
+
   test("packGreedy: plan has exactly one exchange (the shard shuffle)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", (length($"text") / 4).cast("long").as("n_tokens"))
