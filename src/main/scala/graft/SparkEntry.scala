@@ -616,6 +616,19 @@ object SparkEntry {
       Curation.rebalanceToMixture(docs(s, dir),
           Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L), seed = 7)
         .select("doc_id", "source").orderBy("doc_id")),
+    // token-budget mixture: identical hash selection, but the threshold
+    // arithmetic runs on SUM(n_tokens) per source — "30% of TOKENS from
+    // src0", the way a training recipe is actually written
+    "t_token_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withTok = d.withColumn("n_tokens",
+        graft.functions.TextStatsExpr.textStats(col("text"))
+          .getField("n_tokens").cast("long"))
+      Curation.rebalanceToTokenMixture(withTok,
+          Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
+          massCol = "n_tokens", seed = 7)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // per-source cap, priority (n_chars DESC, doc_id): rank<=cap triggers
     // WindowGroupLimit's map-side partial top-K before the source shuffle
     "t_cap" -> ((s, dir) =>
@@ -1535,6 +1548,24 @@ object SparkEntry {
         |  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)) w(source, w)),
         |cnt AS (
         |  SELECT d.source, CAST(COUNT(*) AS HUGEINT) AS n, CAST(ANY_VALUE(w.w) AS HUGEINT) AS w
+        |  FROM documents d JOIN wt w USING (source) GROUP BY d.source),
+        |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw FROM wt),
+        |ns AS (SELECT MIN(n * bigw // w) AS nstar FROM cnt, tot),
+        |thr AS (
+        |  SELECT source, (nstar * w * 1000000007 // (bigw * n)) AS t
+        |  FROM cnt, tot, ns)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN thr ON d.source = thr.source
+        |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
+        |  (SELECT ((d.doc_id & 1073741823) * 2654435761 + (d.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
+        |ORDER BY d.doc_id""".stripMargin),
+    "t_token_mixture" ->
+      ("""WITH wt AS (
+        |  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)) w(source, w)),
+        |cnt AS (
+        |  SELECT d.source,
+        |    CAST(SUM(len(string_split_regex(trim(d.text), '\s+'))) AS HUGEINT) AS n,
+        |    CAST(ANY_VALUE(w.w) AS HUGEINT) AS w
         |  FROM documents d JOIN wt w USING (source) GROUP BY d.source),
         |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw FROM wt),
         |ns AS (SELECT MIN(n * bigw // w) AS nstar FROM cnt, tot),

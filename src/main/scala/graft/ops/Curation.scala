@@ -87,21 +87,43 @@ object Curation {
     */
   def rebalanceToMixture(df: DataFrame, weights: Map[String, Long],
                          stratumCol: String = "source", keyCol: String = "doc_id",
-                         seed: Long = 0L): DataFrame = {
+                         seed: Long = 0L): DataFrame =
+    rebalanceByMass(df, weights, lit(1L), stratumCol, keyCol, seed)
+
+  /** Token-budget mixture: same target proportions, but measured in TOKENS
+    * (`massCol`), not rows — what a training recipe actually specifies
+    * ("30% code tokens, 10% web tokens"). The per-row hash selection is
+    * unchanged; only the per-source mass totals feeding the threshold
+    * arithmetic switch from COUNT(*) to SUM(mass), so each source's kept
+    * rows carry ~M*·w_s/W expected tokens. Deterministic and
+    * oracle-replayable exactly like the row version.
+    */
+  def rebalanceToTokenMixture(df: DataFrame, weights: Map[String, Long],
+                              massCol: String,
+                              stratumCol: String = "source",
+                              keyCol: String = "doc_id",
+                              seed: Long = 0L): DataFrame =
+    rebalanceByMass(df, weights, col(massCol).cast("bigint"), stratumCol, keyCol, seed)
+
+  private def rebalanceByMass(df: DataFrame, weights: Map[String, Long],
+                              mass: Column, stratumCol: String, keyCol: String,
+                              seed: Long): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "rebalanceToMixture: weights must be positive")
     val P2 = 1000000007L
-    val counts: Map[String, Long] = df
+    val masses: Map[String, Long] = df
       .filter(col(stratumCol).isin(weights.keySet.toSeq: _*))
-      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .groupBy(stratumCol).agg(sum(mass).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missing = weights.keySet -- counts.keySet
+    val missing = weights.keySet -- masses.keySet
     require(missing.isEmpty, s"rebalanceToMixture: no rows for source(s) $missing")
+    require(masses.values.forall(_ > 0),
+      s"rebalanceToMixture: non-positive mass for some source in $masses")
     val bigW = BigInt(weights.values.sum)
-    val nStar = weights.map { case (s, w) => BigInt(counts(s)) * bigW / w }.min
+    val mStar = weights.map { case (s, w) => BigInt(masses(s)) * bigW / w }.min
     val thresholds: Map[String, Long] = weights.map { case (s, w) =>
-      // keep-fraction = N*·w / (W·count_s) ≤ 1, scaled onto [0, P2]
-      s -> (nStar * w * P2 / (bigW * counts(s))).toLong
+      // keep-fraction = M*·w / (W·mass_s) ≤ 1, scaled onto [0, P2]
+      s -> (mStar * w * P2 / (bigW * masses(s))).toLong
     }
     val thr = thresholds.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
       when(col(stratumCol) === lit(s), lit(t)).otherwise(acc)

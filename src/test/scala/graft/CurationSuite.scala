@@ -88,6 +88,36 @@ class CurationSuite extends SparkSpec {
     assert((60L until 70L).forall(kept.contains))
   }
 
+  test("rebalanceToTokenMixture: thresholds run on token mass, not row count") {
+    // two sources, equal ROW counts but 4:1 token mass; weights 1:1.
+    // Row-mixture would keep everything (already balanced); token-mixture
+    // must keep ~1/4 of the heavy source's mass.
+    val df = (0L until 40L).map { i =>
+      val src = if (i < 20) "heavy" else "light"
+      val toks = if (i < 20) 40L else 10L
+      (i, src, toks)
+    }.toDF("doc_id", "source", "n_tokens")
+    val kept = Curation.rebalanceToTokenMixture(df,
+        Map("heavy" -> 1L, "light" -> 1L), massCol = "n_tokens", seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    // replay: masses heavy=800, light=200, W=2;
+    // M* = min(800*2/1, 200*2/1) = 400
+    // thr(heavy) = 400*1*P2/(2*800) = P2/4; thr(light) = 400*P2/400 = P2
+    val P2 = 1000000007L
+    def bucket(k: Long, seed: Long): Long = {
+      val b = ((k & ((1L << 30) - 1)) * 2654435761L + (k >> 30) * 976369L) % P2
+      (b * b + seed * b) % P2
+    }
+    val expect = (0L until 40L).filter { i =>
+      val t = if (i < 20) P2 / 4 else P2
+      bucket(i, 7) < t
+    }.toSet
+    assert(kept == expect)
+    // light keeps all rows; heavy keeps a strict subset
+    assert((20L until 40L).forall(kept.contains))
+    assert((0L until 20L).count(kept.contains) < 20)
+  }
+
   test("rebalanceToMixture: unlisted sources dropped; absent source errors") {
     val df = docsDf((1L, "t", "a", 1L), (2L, "t", "zzz", 1L))
     val kept = Curation.rebalanceToMixture(df, Map("a" -> 1L))
