@@ -616,6 +616,11 @@ object SparkEntry {
       Curation.rebalanceToMixture(docs(s, dir),
           Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L), seed = 7)
         .select("doc_id", "source").orderBy("doc_id")),
+    // sub-document chunk dedup (C4-style repeated-span removal): every
+    // distinct 10-word chunk survives once corpus-wide, docs reassemble
+    // from surviving chunks; keeper choice is a skew-safe MIN aggregation
+    "d_chunks" -> ((s, dir) =>
+      Dedup.chunkDedup(docs(s, dir), chunkWords = 10).orderBy("doc_id")),
     // token-budget mixture: identical hash selection, but the threshold
     // arithmetic runs on SUM(n_tokens) per source — "30% of TOKENS from
     // src0", the way a training recipe is actually written
@@ -1559,6 +1564,25 @@ object SparkEntry {
         |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
         |  (SELECT ((d.doc_id & 1073741823) * 2654435761 + (d.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
         |ORDER BY d.doc_id""".stripMargin),
+    // replays chunkDedup: same chunking arithmetic, first-occurrence
+    // keeper via row_number (the engine's MIN-struct agg has identical
+    // semantics), ordered string_agg reassembly
+    "d_chunks" ->
+      ("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+        |  FROM w, unnest(range(0, (len(ws) + 9) // 10)) AS t(i)),
+        |kp AS (
+        |  SELECT chunk, doc_id, pos FROM (
+        |    SELECT chunk, doc_id, pos, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch) q
+        |  WHERE rn = 1),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+        |  FROM kp GROUP BY doc_id)
+        |SELECT w.doc_id, CAST((len(ws) + 9) // 10 AS BIGINT) AS n_chunks,
+        |  COALESCE(ag.n_kept, 0) AS n_kept, COALESCE(ag.text_clean, '') AS text_clean
+        |FROM w LEFT JOIN ag USING (doc_id) ORDER BY w.doc_id""".stripMargin),
     "t_token_mixture" ->
       ("""WITH wt AS (
         |  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)) w(source, w)),

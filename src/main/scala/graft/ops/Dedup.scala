@@ -454,4 +454,50 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Sub-document (chunk-level) dedup — the C4/RefinedWeb-style pass that
+    * removes REPEATED SPANS, not repeated documents: split each doc into
+    * fixed `chunkWords`-word chunks, keep only the corpus-wide FIRST
+    * occurrence of each distinct chunk (lexicographic (doc_id, pos)), and
+    * reassemble every doc from its surviving chunks. Near-dup docs lose
+    * their shared spans but keep their unique tail; boilerplate repeated
+    * across thousands of docs survives exactly once.
+    *
+    * Scale shape: the keeper per chunk is a MIN(struct(doc_id, pos))
+    * aggregation — map-side partial, so a chunk repeated a billion times
+    * (boilerplate skew) reduces to one row per input partition before the
+    * shuffle; no windowed sort over the heavy group. Then one equi-join on
+    * (chunk, doc_id, pos) marks survivors and one regroup by doc
+    * reassembles. Three bounded shuffles total, no all-pairs anything.
+    *
+    * Returns (idCol, n_chunks, n_kept, text_clean) — docs whose every
+    * chunk was seen earlier come back with n_kept = 0 and empty text.
+    */
+  def chunkDedup(df: DataFrame, chunkWords: Int = 10,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords $chunkWords must be >= 1")
+    val k = chunkWords
+    val chunks = df.select(
+      col(idCol),
+      expr(s"""explode(transform(sequence(0, (size(split(trim($textCol), '\\\\s+')) + ${k - 1}) DIV $k - 1),
+        i -> struct(i AS pos,
+          array_join(slice(split(trim($textCol), '\\\\s+'), i * $k + 1, $k), ' ') AS chunk)))""").as("c"))
+      .select(col(idCol), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    val keepers = chunks.groupBy("chunk")
+      .agg(min(struct(col(idCol), col("pos"))).as("kp"))
+      .select(col("chunk"), col("kp").getField(idCol).as(idCol),
+        col("kp").getField("pos").as("pos"))
+    val kept = chunks.join(keepers, Seq("chunk", idCol, "pos"))
+    df.select(col(idCol),
+        expr(s"(size(split(trim($textCol), '\\\\s+')) + ${k - 1}) DIV $k").cast("bigint").as("n_chunks"))
+      .join(
+        kept.groupBy(idCol).agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_clean")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

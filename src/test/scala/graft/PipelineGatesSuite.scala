@@ -207,6 +207,34 @@ class PipelineGatesSuite extends SparkSpec {
 
   // min-label propagation must cross multiple hops: a 4-node chain has
   // diameter 3, so node 40 only learns label 10 transitively
+  test("chunkDedup: repeated spans removed, unique tails kept, skew-safe keeper agg") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // both chunks first-seen -> intact
+      (2L, "a b c x y z"),        // shares chunk "a b c" with doc 1 -> loses it
+      (3L, "a b c d e f"),        // exact copy of doc 1 -> everything dropped
+      (4L, "x y z")               // chunk "x y z" already kept in doc 2? NO:
+                                  // doc 2's second chunk is "x y z" at pos 1;
+                                  // (2,1) < (4,0) -> doc 4 loses it
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, chunkWords = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 0L, "")))
+    // keeper selection is an aggregation (partial before exchange), not a
+    // window sort — the skew-safe shape for billion-fold boilerplate chunks
+    val plan = Dedup.chunkDedup(docs, chunkWords = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window in keeper path:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected partial-aggregated keeper:\n$plan")
+  }
+
   test("connected components: chains, disjoint clusters, keeper selection") {
     import spark.implicits._
     val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
