@@ -459,6 +459,28 @@ object SparkEntry {
           qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("q")
     }),
+    // deterministic HLL register table for COUNT(DISTINCT l_orderkey):
+    // integer-exact (hence hash-gated), at most 2^8 = 256 rows shuffle
+    // after map-side combine no matter how many input rows; disjoint
+    // slices merge by per-index MAX (asserted in SketchesSuite)
+    "q_hll" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.ops.Sketches.hllRegisters(li, "l_orderkey", p = 8).orderBy("idx")
+    }),
+    // per-group HLL estimates next to exact COUNT(DISTINCT): the sketch
+    // sum is exact integer arithmetic, so the single IEEE division at the
+    // end replays bit-for-bit in the oracle
+    "q_hll_est" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val regs = graft.ops.Sketches.hllRegisters(li, "l_orderkey", p = 8,
+        groupCols = Seq("l_returnflag"))
+      val est = graft.ops.Sketches.hllEstimate(regs, p = 8,
+        groupCols = Seq("l_returnflag"))
+      li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        .join(est, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
 
     // ---- LLM-data-pipeline operators ----
     "d_exact" -> ((s, dir) => {
@@ -693,6 +715,33 @@ object SparkEntry {
             lower(trim(col("text"))), SubVocab)).as("piece"))
         .groupBy("piece").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("piece")).limit(20)),
+    // count-min sketch (3 x 512 cells) frequency estimates for every
+    // distinct token, next to exact counts — est >= exact always, equal
+    // unless a key collides in all 3 rows; the cells merge by addition
+    // (asserted in SketchesSuite) and the whole sketch is one <=1536-row
+    // shuffle after map-side combine
+    "t_cms" -> ((s, dir) => {
+      val toks = docs(s, dir).select(explode(split(
+          lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val sketch = graft.ops.Sketches.cmsSketch(toks, "tok", depth = 3, width = 512)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      exact.join(
+          graft.ops.Sketches.cmsEstimate(sketch, exact.select("tok"), "tok",
+            depth = 3, width = 512),
+          Seq("tok"))
+        .orderBy("tok")
+    }),
+    // char-trigram familiarity vs a trusted reference slice (src0-3): the
+    // integer-exact analogue of KenLM perplexity filtering — low
+    // n_known/n_tri flags gibberish/wrong-language text, and unlike a
+    // log-prob score it hash-replays exactly
+    "t_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.trigramFamiliarity(d,
+          d.filter(col("source").isin("src0", "src1", "src2", "src3")), cap = 100)
+        .orderBy("doc_id")
+    }),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -1703,6 +1752,49 @@ object SparkEntry {
         |SELECT q, round(0.0 + 1000.0 * (CAST(bin AS DOUBLE)
         |  + CAST(CAST(ceil(q * n) AS BIGINT) - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) AS est
         |FROM fin ORDER BY q""".stripMargin),
+    // replays the HLL register build: same polynomial hash, idx = h % 256,
+    // rho = 1 + trailing zeros of h // 256 (first set bit via the same
+    // ascending bit scan), capped at 40; registers = per-idx MAX
+    "q_hll" ->
+      ("""WITH h AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, greatest(length(CAST(l_orderkey AS VARCHAR)), 1)),
+        |             j -> CAST(ascii(substr(CAST(l_orderkey AS VARCHAR), CAST(j AS INT), 1)) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 9007199254740881) AS h
+        |  FROM lineitem),
+        |r AS (SELECT h % 256 AS idx, h // 256 AS rest FROM h),
+        |rh AS (SELECT idx, LEAST(COALESCE(
+        |         list_filter(generate_series(1, 46),
+        |           r -> ((rest // (CAST(1 AS BIGINT) << (r - 1))) % 2) = 1)[1],
+        |         46), 40) AS rho FROM r)
+        |SELECT idx, CAST(MAX(rho) AS BIGINT) AS rho FROM rh GROUP BY idx ORDER BY idx""".stripMargin),
+    // replays registers per group, then the estimate: the 2^(40-rho) sum
+    // is exact integer arithmetic (HUGEINT-safe), numerator literals are
+    // power-of-two-scaled so the single division is IEEE-identical
+    "q_hll_est" ->
+      ("""WITH h AS (
+        |  SELECT l_returnflag, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, greatest(length(CAST(l_orderkey AS VARCHAR)), 1)),
+        |             j -> CAST(ascii(substr(CAST(l_orderkey AS VARCHAR), CAST(j AS INT), 1)) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 9007199254740881) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h % 256 AS idx, h // 256 AS rest FROM h),
+        |rh AS (SELECT l_returnflag, idx, LEAST(COALESCE(
+        |         list_filter(generate_series(1, 46),
+        |           r -> ((rest // (CAST(1 AS BIGINT) << (r - 1))) % 2) = 1)[1],
+        |         46), 40) AS rho FROM r),
+        |reg AS (SELECT l_returnflag, idx, MAX(rho) AS rho FROM rh GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag,
+        |        SUM(CAST(1 AS BIGINT) << (40 - rho)) AS s_obs,
+        |        COUNT(*) AS n_obs FROM reg GROUP BY 1),
+        |e AS (SELECT l_returnflag,
+        |        round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 1099511627776.0
+        |          / CAST(s_obs + (256 - n_obs) * 1099511627776 AS DOUBLE), 3) AS est
+        |      FROM s),
+        |x AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+        |      FROM lineitem GROUP BY 1)
+        |SELECT x.l_returnflag, n_exact, est FROM x JOIN e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
     // replays packGreedy: shard = hashBucket(doc_id, seed=7) % 8 in plain
     // integer arithmetic, then the greedy (pack_idx, used) recurrence per
     // shard via a recursive CTE stepping row_number() within shard
@@ -1783,6 +1875,55 @@ object SparkEntry {
         |FROM rec JOIN tf ON rec.w = tf.w
         |WHERE rec.piece IS NOT NULL
         |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin),
+    // replays the count-min sketch from token counts (equivalent to
+    // per-occurrence increments): same polynomial hash, same per-row
+    // (h*a + b) % P % 512 cells, cell = SUM of colliding counts, estimate
+    // = MIN over the 3 rows
+    "t_cms" ->
+      ("""WITH w AS (
+        |  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS exact FROM w WHERE length(tok) >= 1 GROUP BY tok),
+        |hh AS (
+        |  SELECT tok, exact, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, greatest(length(tok), 1)),
+        |             j -> CAST(ascii(substr(tok, CAST(j AS INT), 1)) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 9007199254740881) AS h
+        |  FROM c),
+        |params AS (SELECT * FROM (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13)) v(r, a, b)),
+        |cell AS (
+        |  SELECT tok, exact, r, ((h * a + b) % 9007199254740881) % 512 AS idx
+        |  FROM hh CROSS JOIN params),
+        |sk AS (SELECT r, idx, SUM(exact) AS cnt FROM cell GROUP BY r, idx),
+        |est AS (SELECT cell.tok, MIN(sk.cnt) AS est
+        |        FROM cell JOIN sk USING (r, idx) GROUP BY cell.tok)
+        |SELECT c.tok, CAST(c.exact AS BIGINT) AS exact, CAST(est.est AS BIGINT) AS est
+        |FROM c JOIN est USING (tok) ORDER BY tok""".stripMargin),
+    // replays trigram familiarity: same normalization, same 3-char slices
+    // (empty below 3 chars), reference counts from src0-3, per-position
+    // LEFT JOIN with capped-count sum; docs with no trigrams keep zeros
+    "t_trigram" ->
+      ("""WITH n AS (
+        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN length(norm) >= 3
+        |         THEN list_transform(generate_series(1, length(norm) - 2),
+        |                i -> substr(norm, CAST(i AS INT), 3))
+        |         ELSE CAST([] AS VARCHAR[]) END) AS tri
+        |  FROM n),
+        |ref AS (SELECT tri, COUNT(*) AS rc FROM g
+        |        WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY tri),
+        |sc AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_tri,
+        |         SUM(CASE WHEN ref.rc IS NOT NULL THEN 1 ELSE 0 END) AS n_known,
+        |         SUM(LEAST(COALESCE(ref.rc, 0), 100)) AS fam
+        |  FROM g LEFT JOIN ref USING (tri) GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(COALESCE(sc.n_known, 0) AS BIGINT) AS n_known,
+        |       CAST(COALESCE(sc.fam, 0) AS BIGINT) AS fam
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin),
     // replays the full simhash pipeline with the replayable polynomial
     // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS
     // hamming <= 3 — complete by pigeonhole over the engine's 4x16-bit

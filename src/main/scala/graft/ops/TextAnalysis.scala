@@ -276,6 +276,60 @@ object TextAnalysis {
         round(coalesce(sum(when(length(col("tok")) > longLen, col("n"))), lit(0L)) / sum("n"), 6)
           .as("long_frac"))
 
+  /** Character trigrams of the whitespace-normalized lowercase text —
+    * positions 1..len-2, duplicates kept (counts matter for the LM-style
+    * scoring below). Bound once per row via [[Cols.bindOnce]].
+    */
+  def charTrigrams(text: Column): Column =
+    Cols.bindOnce(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
+      // explicit <3-char guard: sequence(1, len-2) would run DESCENDING
+      // for len < 3 (Spark sequences step -1 when stop < start)
+      when(length(norm) >= 3,
+        transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Character-trigram familiarity scoring — the integer-exact cousin of
+    * KenLM perplexity filtering (CCNet-style): score each document by how
+    * well its character trigrams are covered by a trusted reference slice
+    * of the corpus. Returns per doc:
+    *   n_tri    — trigram positions in the doc,
+    *   n_known  — positions whose trigram occurs in the reference,
+    *   fam      — sum over positions of min(referenceCount, cap).
+    * Low n_known/n_tri or fam/n_tri flags gibberish, wrong-language and
+    * binary-ish text. All-integer on purpose: a log-prob LM score differs
+    * across engines in the last ulp of `ln`, so it could never be
+    * hash-gated; capped-count familiarity ranks documents the same way
+    * and replays exactly.
+    *
+    * Scale shape: the reference model is a trigram->count table bounded by
+    * the charset-cubed universe (tiny vs the corpus), built with one
+    * map-side-combined shuffle and BROADCAST into the scoring join; the
+    * scoring side is explode -> broadcast-join -> per-doc re-aggregation,
+    * so the corpus is scanned once and never shuffled by trigram.
+    */
+  def trigramFamiliarity(docs: DataFrame, reference: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         cap: Int = 100): DataFrame = {
+    val refCounts = reference
+      .select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("rc"))
+    val scored = docs
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .join(broadcast(refCounts), Seq("tri"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"),
+        coalesce(sum(when(col("rc").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_known"),
+        coalesce(sum(least(coalesce(col("rc"), lit(0L)), lit(cap.toLong))), lit(0L)).as("fam"))
+    // short docs (< 3 chars) have no trigram rows — keep them with zeros
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("fam"), lit(0L)).as("fam"))
+  }
+
   /** Convenience: attach all analysis columns to a documents frame. The
     * fused stats struct is projected ONCE under a hidden alias and the
     * seven quality columns are field reads off it — CollapseProject keeps

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, TextAnalysis}
+
+class SketchesSuite extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // ------------------------------------------------------------------ HLL
+
+  test("hll registers merge: per-index MAX of disjoint halves equals the whole") {
+    val whole = Sketches.hllRegisters(li, "l_orderkey")
+    val a = Sketches.hllRegisters(li.filter($"l_orderkey" % 2 === 0), "l_orderkey")
+    val b = Sketches.hllRegisters(li.filter($"l_orderkey" % 2 =!= 0), "l_orderkey")
+    val merged = a.union(b).groupBy("idx").agg(max("rho").as("rho"))
+    val diff = whole.join(merged, Seq("idx"), "full")
+      .filter(coalesce(whole("rho"), lit(-1L)) =!= coalesce(merged("rho"), lit(-1L)))
+    assert(diff.count() == 0, "max-merged half-sketches must equal the whole sketch")
+  }
+
+  test("hll estimate is within 15% of exact distinct (l_orderkey, m=256)") {
+    val regs = Sketches.hllRegisters(li, "l_orderkey")
+    val est = Sketches.hllEstimate(regs).collect()(0).getDouble(0)
+    val exact = li.select(countDistinct($"l_orderkey")).collect()(0).getLong(0).toDouble
+    // m=256 -> typical relative error 1.04/sqrt(256) = 6.5%; the data is
+    // fixed so this asserts the observed deterministic outcome with slack
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"est=$est exact=$exact rel=${math.abs(est - exact) / exact}")
+  }
+
+  test("hll estimate is insensitive to input duplication (distinct-count property)") {
+    val regsOnce = Sketches.hllRegisters(li, "l_orderkey")
+    val regsTwice = Sketches.hllRegisters(li.union(li), "l_orderkey")
+    val e1 = Sketches.hllEstimate(regsOnce).collect()(0).getDouble(0)
+    val e2 = Sketches.hllEstimate(regsTwice).collect()(0).getDouble(0)
+    assert(e1 == e2, s"duplicated input changed the estimate: $e1 vs $e2")
+  }
+
+  test("hll register shuffle carries registers, not rows: partial agg precedes exchange") {
+    val plan = Sketches.hllRegisters(li, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    val iEx = plan.indexOf("Exchange")
+    assert(plan.indexOf("HashAggregate(keys=[idx") >= 0 && iEx >= 0 &&
+      plan.lastIndexOf("HashAggregate") > iEx,
+      s"expected partial agg below exchange:\n$plan")
+  }
+
+  // ------------------------------------------------------------------ CMS
+
+  private def tokens(df: org.apache.spark.sql.DataFrame) =
+    df.select(explode(split(
+        lower(regexp_replace(trim($"text"), "\\s+", " ")), " ")).as("tok"))
+      .filter(length($"tok") >= 1)
+
+  test("cms estimates upper-bound exact counts for every key") {
+    val toks = tokens(docs)
+    val sketch = Sketches.cmsSketch(toks, "tok")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(sketch, exact.select("tok"), "tok")
+    val bad = exact.join(est, Seq("tok")).filter($"est" < $"exact")
+    assert(bad.count() == 0, "count-min must never underestimate")
+    // and with 3x512 cells vs a small vocabulary, estimates are exact
+    val off = exact.join(est, Seq("tok")).filter($"est" =!= $"exact")
+    assert(off.count() == 0, "no collisions expected at this width")
+  }
+
+  test("cms cells merge by addition: disjoint halves sum to the whole") {
+    val whole = Sketches.cmsSketch(tokens(docs), "tok")
+    val a = Sketches.cmsSketch(tokens(docs.filter($"doc_id" % 2 === 0)), "tok")
+    val b = Sketches.cmsSketch(tokens(docs.filter($"doc_id" % 2 =!= 0)), "tok")
+    val merged = a.union(b).groupBy("r", "idx").agg(sum("cnt").as("cnt"))
+    val diff = whole.join(merged, Seq("r", "idx"), "full")
+      .filter(coalesce(whole("cnt"), lit(0L)) =!= coalesce(merged("cnt"), lit(0L)))
+    assert(diff.count() == 0, "summed half-sketches must equal the whole sketch")
+  }
+
+  test("cms sketch is bounded: at most depth*width rows regardless of input") {
+    val sketch = Sketches.cmsSketch(tokens(docs.union(docs)), "tok",
+      depth = 3, width = 64)
+    assert(sketch.count() <= 3 * 64)
+  }
+
+  // ----------------------------------------------------- trigram familiarity
+
+  test("charTrigrams: positions, short-text guard, normalization") {
+    val df = Seq("ab", "abc", "  Hello   WORLD  ").toDF("t")
+    val got = df.select($"t", TextAnalysis.charTrigrams($"t").as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("ab").isEmpty)
+    assert(got("abc") == Seq("abc"))
+    // normalized to "hello world" -> 9 trigrams, spanning the space
+    assert(got("  Hello   WORLD  ").length == 9)
+    assert(got("  Hello   WORLD  ").head == "hel")
+    assert(got("  Hello   WORLD  ").contains("o w"))
+  }
+
+  test("familiarity: reference docs score full coverage, gibberish scores zero") {
+    val ref = Seq((1L, "the quick brown fox"), (2L, "the lazy dog")).toDF("doc_id", "text")
+    val mix = ref.union(Seq((3L, "zzqqxxjjvv"), (4L, "ab")).toDF("doc_id", "text"))
+    val got = TextAnalysis.trigramFamiliarity(mix, ref, cap = 100)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // reference members: every trigram is known
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._1 == 17)
+    // gibberish: no trigram appears in the reference
+    assert(got(3L) == ((8L, 0L, 0L)))
+    // sub-trigram text keeps a zero row instead of disappearing
+    assert(got(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("familiarity cap: repeated reference trigrams count at most `cap` each") {
+    val ref = Seq.tabulate(10)(i => (i.toLong, "aaaa")).toDF("doc_id", "text")
+    val q = Seq((100L, "aaa")).toDF("doc_id", "text")
+    // "aaaa" has 2 positions of "aaa" per doc -> rc = 20; cap = 5 wins
+    val got = TextAnalysis.trigramFamiliarity(q, ref, cap = 5).collect()(0)
+    assert(got.getLong(1) == 1 && got.getLong(2) == 1 && got.getLong(3) == 5)
+  }
+
+  test("familiarity scoring join broadcasts the reference model") {
+    val plan = TextAnalysis.trigramFamiliarity(docs, docs.limit(50))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"reference model should broadcast:\n$plan")
+  }
+}
