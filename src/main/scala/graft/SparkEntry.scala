@@ -578,6 +578,13 @@ object SparkEntry {
       Dedup.embeddingNearDuplicates(emb(s, dir), minCosine = 0.3, planes = 0,
           maxBucket = 1000000)
         .orderBy("vec_id_a", "vec_id_b")),
+    // SemDeDup: k-means clusters bound the pairwise cosine step, then
+    // every vector with a lower-id >=0.3 neighbor in its cluster is
+    // dropped — the full composition (deterministic k-means -> in-cluster
+    // pairs -> keep rule) is replayed by the oracle
+    "d_semdedup" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), k = 8, iters = 1, minCosine = 0.3)
+        .orderBy("vec_id")),
     "s_lsh_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       // planes=4 × tables=4: measured recall@5 = 0.94 on the (random,
@@ -1288,6 +1295,46 @@ object SparkEntry {
         |         (a, b) -> a + b),
         |        'c': c1.cidx})).c AS INT) AS cluster
         |FROM q, c1 GROUP BY q.vec_id ORDER BY vec_id""".stripMargin),
+    // replays SemDeDup end-to-end: the c_kmeans replay above (1 Lloyd
+    // round) gives the clusters, then in-cluster pairwise cosine (rounded
+    // to 6 before the threshold, same as d_embed_exact) marks every
+    // vector with a lower-id similar neighbor as dropped
+    "d_semdedup" ->
+      ("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cidx, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM q WHERE vec_id < 8),
+        |a0 AS (
+        |  SELECT q.vec_id, any_value(q.q) AS q,
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |           i -> (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': c0.cidx})).c AS cluster
+        |  FROM q, c0 GROUP BY q.vec_id),
+        |u1 AS (
+        |  SELECT cluster, i, SUM(q[i]) AS s, COUNT(*) AS n
+        |  FROM a0, generate_series(1, 64) t(i)
+        |  GROUP BY cluster, i),
+        |c1 AS (
+        |  SELECT cluster AS cidx, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cvec
+        |  FROM u1 GROUP BY cluster),
+        |asg AS (
+        |  SELECT q.vec_id,
+        |    CAST((min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |           i -> (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': c1.cidx})).c AS INT) AS cluster
+        |  FROM q, c1 GROUP BY q.vec_id),
+        |e AS (SELECT a.vec_id, a.cluster, CAST(emb.embedding AS DOUBLE[]) AS v
+        |      FROM asg a JOIN embeddings emb USING (vec_id)),
+        |dup AS (
+        |  SELECT DISTINCT x.vec_id FROM e x JOIN e y
+        |    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3)
+        |SELECT e.vec_id, e.cluster, (dup.vec_id IS NULL) AS kept
+        |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id ORDER BY e.vec_id""".stripMargin),
     // mirrors Relevance.tfidfTopTerms: tf * ln((1+N)/(1+df)), min df 2,
     // per-doc row_number over (tfidf DESC, term)
     "t_tfidf" ->

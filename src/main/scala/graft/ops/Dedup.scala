@@ -367,6 +367,43 @@ object Dedup {
       .select("vec_id_a", "vec_id_b", "cosine")
   }
 
+  /** Semantic dedup (the SemDeDup recipe, arXiv:2303.09540): cluster the
+    * embedding space with deterministic k-means, then drop every vector
+    * that has a lower-id neighbor above `minCosine` INSIDE its cluster.
+    * Clustering bounds the pairwise step — the quadratic cost is per
+    * cluster, so at scale `k` grows with the corpus to hold cluster sizes
+    * roughly constant, and `maxCluster` hard-caps the blowup from any
+    * degenerate cluster (same cap discipline as the minhash/simhash
+    * buckets; capped clusters keep all members, a documented recall
+    * trade). Returns one row per vector: (vec_id, cluster, kept).
+    *
+    * Deterministic end-to-end: k-means is exact-integer ([[Clustering]]),
+    * the keep rule is a pure EXISTS against lower ids, and cosine is
+    * rounded to 6 places before the threshold compare on both engines —
+    * so the whole operator is oracle-replayable (entry d_semdedup).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", k: Int = 8, iters: Int = 1,
+                    minCosine: Double = 0.95,
+                    maxCluster: Int = 100000): DataFrame = {
+    val assigned = Clustering.kmeans(df, k = k, iters = iters,
+      idCol = idCol, vecCol = vecCol)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .persist()
+    val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
+    val capped = e.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
+      Seq("cluster"))
+    val a = capped.select(col("cluster"), col("vec_id").as("id_a"), col("__v").as("__va"))
+    val b = capped.select(col("cluster"), col("vec_id").as("id_b"), col("__v").as("__vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+  }
+
   // ------------------------------------------------------------- clusters
 
   /** Connected components over an undirected candidate-pair list, by

@@ -386,4 +386,30 @@ class PipelineGatesSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(foldedRows == scratchRows)
   }
+
+  test("semanticDedup: drops exactly the vectors with a lower-id in-cluster similar neighbor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val got = Dedup.semanticDedup(e, k = 4, iters = 1, minCosine = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    // brute-force re-derivation from the same building blocks
+    val clusters = graft.ops.Clustering.kmeans(e, k = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.size == vecs.size, "one row per vector")
+    got.foreach { case (id, (cl, kept)) =>
+      assert(cl == clusters(id), s"cluster mismatch for $id")
+      val hasLowerSim = vecs.keys.exists(o =>
+        o < id && clusters(o) == cl && cos(vecs(o), vecs(id)) >= 0.3)
+      assert(kept == !hasLowerSim, s"keep rule wrong for $id")
+    }
+    // dedup actually fires on this corpus
+    assert(got.values.exists(!_._2), "expected at least one dropped vector")
+  }
 }
