@@ -98,4 +98,51 @@ class StreamingSuite extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  // the sketches' merge laws (HLL: per-idx MAX, CMS: per-cell SUM) are
+  // exactly what incremental state maintenance needs, so both run as
+  // plain streaming aggregations — the state after N micro-batches must
+  // equal the batch sketch over the union of the input
+  test("streaming HLL registers converge to the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Long]
+    val streamed = graft.ops.Sketches.hllRegisters(src.toDF().toDF("v"), "v")
+    val q = streamed.writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      src.addData(0L until 300L: _*)
+      q.processAllAvailable()
+      src.addData(300L until 600L: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT idx, rho FROM hll_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.Sketches.hllRegisters((0L until 600L).toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, "streaming state must equal the batch sketch")
+    } finally q.stop()
+  }
+
+  test("streaming count-min cells converge to the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val streamed = graft.ops.Sketches.cmsSketch(src.toDF().toDF("tok"), "tok",
+      depth = 3, width = 64)
+    val q = streamed.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      src.addData("a", "b", "a", "c")
+      q.processAllAvailable()
+      src.addData("a", "c", "d")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT r, idx, cnt FROM cms_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.Sketches.cmsSketch(
+          Seq("a", "b", "a", "c", "a", "c", "d").toDF("tok"), "tok",
+          depth = 3, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, "streaming state must equal the batch sketch")
+    } finally q.stop()
+  }
 }
