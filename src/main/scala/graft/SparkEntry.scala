@@ -623,6 +623,13 @@ object SparkEntry {
     "t_sample" -> ((s, dir) =>
       Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25, seed = 7)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // reproducible training-order shuffle: position 1..N in key-hash
+    // order via distributed two-phase enumeration (bucket counts ->
+    // prefix-sum -> per-bucket row_number); the oracle runs the single
+    // global-window definition it is provably equal to
+    "t_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(docs(s, dir).select("doc_id"), "doc_id", seed = 7)
+        .select("doc_id", "position").orderBy("doc_id")),
     // per-stratum rates (domain/language balancing); result = kept counts
     "t_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
@@ -1608,6 +1615,14 @@ object SparkEntry {
         |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
         |  FROM documents
         |) t WHERE (b * b + 7 * b) % 1000000007 < 250000001
+        |ORDER BY doc_id""".stripMargin),
+    // the global-window definition the two-phase enumeration equals
+    "t_shuffle" ->
+      ("""SELECT doc_id, row_number() OVER (
+        |    ORDER BY (b * b + 7 * b) % 1000000007, doc_id) AS position
+        |FROM (SELECT doc_id,
+        |        ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |      FROM documents) t
         |ORDER BY doc_id""".stripMargin),
     "t_stratified" ->
       ("""SELECT lang, count(*) AS n_kept FROM (

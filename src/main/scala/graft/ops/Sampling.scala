@@ -80,4 +80,40 @@ object Sampling {
     df.where(hashBucket(col(keyCol), seed) <
       floor(frac * lit(P2.toDouble)).cast("bigint"))
   }
+
+  /** Reproducible training-order shuffle: assign every row a position
+    * 1..N in hash order of its key — the corpus permutation step between
+    * packing and batching. Same corpus + seed => the same order on every
+    * run, executor count, and engine (semantically it IS
+    * `row_number() OVER (ORDER BY hashBucket(key, seed), key)`, which is
+    * what the DuckDB oracle runs).
+    *
+    * Computed WITHOUT a global single-partition window: hash space is cut
+    * into `nBuckets` contiguous ranges, so enumeration is (1) per-bucket
+    * counts — one map-side-combined shuffle of at most nBuckets rows, (2)
+    * a prefix-sum window over those counts (bucket rows, not data rows —
+    * driver-trivial like the Histogram cumulative), broadcast back, (3)
+    * per-bucket row_number, a window PARTITIONED by bucket. At 100 TB,
+    * raise nBuckets so buckets fit in executor memory; hash uniformity
+    * keeps them balanced.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long = 0L,
+                           nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val bucketWidth = (P2 + nBuckets - 1) / nBuckets
+    val withH = df
+      .withColumn("__h", hashBucket(col(keyCol), seed))
+      .withColumn("__b", (col("__h") / lit(bucketWidth)).cast("long"))
+    val offsets = withH.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val rn = row_number().over(
+      Window.partitionBy("__b").orderBy(col("__h"), col(keyCol)))
+    withH.join(broadcast(offsets), Seq("__b"))
+      .withColumn("position", col("__off") + rn.cast("long"))
+      .drop("__h", "__b", "__off")
+  }
 }

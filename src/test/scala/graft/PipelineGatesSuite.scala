@@ -412,4 +412,28 @@ class PipelineGatesSuite extends SparkSpec {
     // dedup actually fires on this corpus
     assert(got.values.exists(!_._2), "expected at least one dropped vector")
   }
+
+  test("deterministicShuffle: permutation, equal to the global-window definition, seed-sensitive") {
+    import spark.implicits._
+    val d = (0L until 500L).toDF("doc_id").repartition(7)
+    val got = graft.ops.Sampling.deterministicShuffle(d, "doc_id", seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation of 1..N
+    assert(got.values.toSeq.sorted == (1L to 500L))
+    // equals row_number() OVER (ORDER BY hash, key) — the oracle definition
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(graft.ops.Sampling.hashBucket(col("doc_id"), 7L), col("doc_id"))
+    val naive = d.withColumn("position", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "two-phase enumeration must equal the global window")
+    // different seed => different order
+    val other = graft.ops.Sampling.deterministicShuffle(d, "doc_id", seed = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got != other, "seed change must permute differently")
+    // the data-bearing window is partitioned by bucket, not global
+    val plan = graft.ops.Sampling.deterministicShuffle(d, "doc_id", seed = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"),
+      s"expected the row_number window partitioned by bucket:\n$plan")
+  }
 }
