@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Clustering, Curation, Dedup, GraphRank, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Classifier, Clustering, Curation, Dedup, GraphRank, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -754,6 +754,21 @@ object SparkEntry {
       val d = docs(s, dir)
       TextAnalysis.trigramFamiliarity(d,
           d.filter(col("source").isin("src0", "src1", "src2", "src3")), cap = 100)
+        .orderBy("doc_id")
+    }),
+    // model-based filtering (fastText-classifier analogue): multinomial
+    // Naive Bayes trained on the corpus's own lang label. Counts are exact
+    // integers; each weight is ONE ln of an exactly-represented rational,
+    // micro-scaled to BIGINT, so per-doc scores are order-free integer sums
+    "t_nb_model" -> ((s, dir) =>
+      Classifier.trainNaiveBayes(docs(s, dir), col("lang") === "en",
+          minCount = 2)
+        .orderBy("token")),
+    "t_nb_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Classifier.trainNaiveBayes(d, col("lang") === "en",
+        minCount = 2)
+      Classifier.scoreNaiveBayes(d, model, col("lang") === "en")
         .orderBy("doc_id")
     }),
     // deterministic signal columns — every ratio + the composite score has a
@@ -1986,6 +2001,62 @@ object SparkEntry {
         |       CAST(COALESCE(sc.n_known, 0) AS BIGINT) AS n_known,
         |       CAST(COALESCE(sc.fam, 0) AS BIGINT) AS fam
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // replays NB training: same tokenization, add-one-smoothed log ratio
+    // over the min-count-kept vocabulary; every integer product < 2^53 so
+    // the ln argument is the same IEEE double on both engines
+    "t_nb_model" ->
+      ("""WITH toks AS (
+        |  SELECT lang = 'en' AS pos,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token,
+        |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM toks GROUP BY token),
+        |kept AS (SELECT * FROM counts WHERE n_pos + n_neg >= 2),
+        |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+        |               CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM kept)
+        |SELECT token, n_pos, n_neg,
+        |       CAST(ROUND(LN(((n_pos + 1.0) * (tot_neg + v)) /
+        |                     ((n_neg + 1.0) * (tot_pos + v))) * 1e6) AS BIGINT) AS w_micro
+        |FROM kept, tot ORDER BY token""".stripMargin),
+    "t_nb_score" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |lbl AS (
+        |  SELECT doc_id, lang = 'en' AS pos FROM documents),
+        |counts AS (
+        |  SELECT token,
+        |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM toks JOIN lbl USING (doc_id) GROUP BY token),
+        |kept AS (SELECT * FROM counts WHERE n_pos + n_neg >= 2),
+        |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+        |               CAST(SUM(n_neg) AS BIGINT) AS tot_neg,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM kept),
+        |model AS (
+        |  SELECT token,
+        |         CAST(ROUND(LN(((n_pos + 1.0) * (tot_neg + v)) /
+        |                       ((n_neg + 1.0) * (tot_pos + v))) * 1e6) AS BIGINT) AS w_micro
+        |  FROM kept, tot),
+        |prior AS (
+        |  SELECT CAST(ROUND(LN(
+        |           (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0) /
+        |           (SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1.0)) * 1e6)
+        |         AS BIGINT) AS prior_micro
+        |  FROM documents),
+        |sums AS (
+        |  SELECT t.doc_id, SUM(m.w_micro) AS wsum
+        |  FROM toks t JOIN model m USING (token) GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(s.wsum, 0) + p.prior_micro AS BIGINT) AS score_micro,
+        |       (COALESCE(s.wsum, 0) + p.prior_micro) > 0 AS pred
+        |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id, prior p
+        |ORDER BY d.doc_id""".stripMargin),
     // replays the full simhash pipeline with the replayable polynomial
     // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS
     // hamming <= 3 — complete by pigeonhole over the engine's 4x16-bit

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality/class filtering — the "train a cheap linear
+  * classifier on labeled seeds, score the whole corpus" pass that
+  * production curation pipelines run between heuristic filtering and
+  * tokenization (fastText-style classifiers in C4/CCNet/DCLM lineage).
+  * Here: multinomial Naive Bayes over whitespace tokens, trained and
+  * applied entirely as Spark SQL plans.
+  *
+  * Determinism discipline: all counts are exact integers; each token's
+  * log-likelihood-ratio weight is ONE libm `ln` of an exactly-represented
+  * rational (every integer product stays far below 2^53, so the quotient
+  * is the same IEEE double on any engine), then micro-scaled to a BIGINT
+  * (`round(ln(...)*1e6)`). Per-document scores are SUMS OF INTEGERS —
+  * addition-order-free, so the whole operator is hash-gateable against a
+  * DuckDB replay (entries t_nb_model / t_nb_score) with no
+  * float-summation caveats.
+  *
+  * Scale shape (100 TB): training is one token-keyed shuffle with map-side
+  * partial counts (vocabulary-sized output, corpus-sized input); the
+  * min-count cut keeps the model bounded, and scoring joins the exploded
+  * corpus against the BROADCAST model (a capped vocabulary fits every
+  * executor) followed by one doc-keyed partial-sum shuffle. No
+  * corpus-sized side ever broadcasts; no driver-side loops.
+  */
+object Classifier {
+
+  /** Shared tokenization convention (same as TextAnalysis/Relevance):
+    * whitespace split of `lower(trim(text))`. */
+  private def toks(textCol: String): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  /** Train a two-class multinomial Naive Bayes model.
+    *
+    * Returns one row per vocabulary token (corpus token frequency >=
+    * `minCount` after the positive/negative split):
+    * `(token, n_pos, n_neg, w_micro)` where
+    *
+    *   w_micro = round( ln( ((n_pos+1) * (tot_neg+V))
+    *                      / ((n_neg+1) * (tot_pos+V)) ) * 1e6 )
+    *
+    * is the add-one-smoothed log-likelihood ratio in integer micronats.
+    * `tot_pos`/`tot_neg` are total token occurrences of each class over
+    * the KEPT vocabulary and `V` its size, so the model is self-contained
+    * and exactly replayable from its own counts.
+    *
+    * `isPositive` is any boolean row expression over `docs` (e.g.
+    * `col("lang") === "en"` to learn a language classifier, or a quality
+    * heuristic to learn a quality filter).
+    */
+  def trainNaiveBayes(docs: DataFrame, isPositive: Column,
+                      textCol: String = "text",
+                      minCount: Int = 2): DataFrame = {
+    val counts = docs
+      .select(isPositive.as("__pos"), explode(toks(textCol)).as("token"))
+      .groupBy("token")
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"))
+      .filter(col("n_pos") + col("n_neg") >= minCount)
+    val tot = counts.agg(
+      sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"),
+      count(lit(1)).as("v"))
+    // 1-row totals frame; AQE broadcasts the cross join. The arithmetic
+    // below is mirrored literally in the oracle SQL.
+    counts.crossJoin(broadcast(tot)).select(
+      col("token"), col("n_pos"), col("n_neg"),
+      round(log(
+        ((col("n_pos") + lit(1.0)) * (col("tot_neg") + col("v"))) /
+          ((col("n_neg") + lit(1.0)) * (col("tot_pos") + col("v")))) * lit(1e6))
+        .cast("bigint").as("w_micro"))
+  }
+
+  /** Score every document under a trained model: `(id, score_micro,
+    * pred)` where `score_micro = prior_micro + sum of w_micro over the
+    * doc's tokens with multiplicity` (unknown tokens contribute 0) and
+    * `pred = score_micro > 0`. The class prior
+    * `prior_micro = round(ln((n_pos_docs+1)/(n_neg_docs+1)) * 1e6)` is
+    * computed from the same `isPositive` labeling. Every document
+    * appears in the output, including all-unknown-token ones.
+    */
+  def scoreNaiveBayes(docs: DataFrame, model: DataFrame, isPositive: Column,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val prior = docs.agg(
+      round(log(
+        (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
+          (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
+        .cast("bigint").as("prior_micro"))
+    val tokSums = docs
+      .select(col(idCol).as("__id"), explode(toks(textCol)).as("token"))
+      .join(broadcast(model.select(col("token"), col("w_micro"))), Seq("token"))
+      .groupBy("__id")
+      .agg(sum("w_micro").as("__wsum"))
+    docs.select(col(idCol).as("__id"))
+      .join(tokSums, Seq("__id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(
+        col("__id").as(idCol),
+        (coalesce(col("__wsum"), lit(0L)) + col("prior_micro")).as("score_micro"))
+      .withColumn("pred", col("score_micro") > 0L)
+  }
+}

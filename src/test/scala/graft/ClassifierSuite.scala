@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Classifier
+
+/** Behavior gates for the Naive Bayes model-based filter: weight signs
+  * follow class evidence, scoring is total (every doc appears), the
+  * learned language classifier actually separates the corpus's language
+  * pools, and the micro-integer scores are partition-count invariant
+  * (the determinism property the oracle hash-gate depends on).
+  */
+class ClassifierSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("nb weights: class-exclusive tokens get the right sign") {
+    val d = Seq(
+      (1L, "alpha alpha beta", "pos"), (2L, "alpha gamma beta", "pos"),
+      (3L, "delta delta beta", "neg"), (4L, "delta epsilon beta", "neg"))
+      .toDF("doc_id", "text", "cls")
+    val m = Classifier.trainNaiveBayes(d, col("cls") === "pos", minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m("alpha") > 0, "positive-only token must carry positive weight")
+    assert(m("delta") < 0, "negative-only token must carry negative weight")
+    assert(math.abs(m("beta")) < math.abs(m("alpha")),
+      "shared token must be weaker evidence than an exclusive one")
+  }
+
+  test("nb scoring is total: unknown-token docs still score with the prior") {
+    val train = Seq((1L, "alpha", true), (2L, "delta", false))
+      .toDF("doc_id", "text", "pos")
+    val m = Classifier.trainNaiveBayes(train, col("pos"), minCount = 1)
+    val score = Classifier.scoreNaiveBayes(
+      Seq((1L, "alpha"), (2L, "delta"), (3L, "zzz qqq")).toDF("doc_id", "text"),
+      m, col("doc_id") === 1L)
+    val rows = score.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 3, "every doc must appear in the output")
+    // doc 3 has no vocabulary token: its score is exactly the prior
+    val prior = math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(rows(3L) == prior, s"expected bare prior $prior, got ${rows(3L)}")
+  }
+
+  test("learned language classifier separates en from the other pools") {
+    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
+    val scored = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("truth")), Seq("doc_id"))
+    val (hits, n) = {
+      val agg = scored.agg(
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L)),
+        count(lit(1))).head
+      (agg.getLong(0), agg.getLong(1))
+    }
+    // training docs scored by their own model: the pools are near-disjoint,
+    // so in-sample accuracy should be essentially perfect — gate at 95%
+    assert(hits.toDouble / n >= 0.95, s"accuracy ${hits.toDouble / n} < 0.95 ($hits/$n)")
+  }
+
+  test("micro-integer scores are partition-count invariant") {
+    val base = Classifier.scoreNaiveBayes(docs,
+      Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2),
+      col("lang") === "en").orderBy("doc_id").collect()
+    val repart = docs.repartition(13)
+    val other = Classifier.scoreNaiveBayes(repart,
+      Classifier.trainNaiveBayes(repart, col("lang") === "en", minCount = 2),
+      col("lang") === "en").orderBy("doc_id").collect()
+    assert(base.sameElements(other), "scores must not depend on partitioning")
+  }
+}
