@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Classifier, Clustering, Curation, Dedup, GraphRank, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Classifier, Clustering, Curation, Dedup, GraphRank, LangModel, Multimodal, RangeJoin, Relevance, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,22 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** events with an integer-microsecond `tus` column, robust to how the
+    * driver generated the parquet: TIMESTAMP(NANOS) arrives as a long under
+    * `nanosAsLong` (div 1000), TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ
+    * (`unix_micros` after the UTC-session cast — the same naive value
+    * DuckDB's `epoch_us(ts)` computes, so the oracle SQL is type-agnostic).
+    */
+  private def eventsWithTus(s: SparkSession, dir: String): DataFrame = {
+    engineFor(s, dir)
+    val e = s.table("events")
+    val tus = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    e.withColumn("tus", tus)
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -771,6 +787,20 @@ object SparkEntry {
       Classifier.scoreNaiveBayes(d, model, col("lang") === "en")
         .orderBy("doc_id")
     }),
+    // CCNet-lineage perplexity filter: add-one-smoothed bigram LM trained
+    // on the corpus itself; per-doc NLL is an order-free integer sum of
+    // micronats, the mean an integer division — fully replayable
+    "t_lm_model" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramCounts(d, minCount = 2)
+      LangModel.trainBigramLm(d, uni, minCount = 2).orderBy("w1", "w2")
+    }),
+    "t_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = LangModel.unigramCounts(d, minCount = 2)
+      val model = LangModel.trainBigramLm(d, uni, minCount = 2)
+      LangModel.scoreBigramLm(d, model, uni).orderBy("doc_id")
+    }),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>
@@ -862,15 +892,14 @@ object SparkEntry {
     "c_kmeans" -> ((s, dir) =>
       Clustering.kmeans(emb(s, dir), k = 8, iters = 1).orderBy("vec_id")),
     // gap-based sessionization over the events table: the 30-min gap rule
-    // runs on integer MICROSECONDS (Spark's nanos-as-long div 1000 ==
-    // DuckDB's epoch_us — the sub-us precision DuckDB truncates away never
-    // enters the comparison), ties broken by event_id on both sides
+    // runs on integer MICROSECONDS (eventsWithTus == DuckDB's epoch_us
+    // whichever parquet timestamp width the driver generated), ties broken
+    // by event_id on both sides
     // as-of join (DuckDB ASOF JOIN semantics): even events enriched with
     // the latest odd event at-or-before them, per user. One key shuffle,
     // no join operator (union + running-last) — plan asserted in suite.
     "e_asof" -> ((s, dir) => {
-      engineFor(s, dir)
-      val e = s.table("events").withColumn("tus", expr("ts div 1000"))
+      val e = eventsWithTus(s, dir)
         .select("user_id", "event_id", "value", "tus")
       AsOfJoin.leftAsOf(
           e.filter(col("event_id") % 2 === 0),
@@ -884,8 +913,7 @@ object SparkEntry {
     // range join via bin bucketing (equi-shuffle, never a nested loop):
     // points = even events, intervals = 10 minutes after each odd event
     "e_range" -> ((s, dir) => {
-      engineFor(s, dir)
-      val e = s.table("events").withColumn("tus", expr("ts div 1000"))
+      val e = eventsWithTus(s, dir)
       val pts = e.filter(col("event_id") % 2 === 0)
         .select(col("user_id"), col("event_id"), col("tus"))
       val ivs = e.filter(col("event_id") % 2 === 1)
@@ -899,9 +927,8 @@ object SparkEntry {
         .orderBy("iv_id")
     }),
     "e_sessions" -> ((s, dir) => {
-      engineFor(s, dir)
       Sessions.sessionStats(
-          s.table("events").withColumn("tus", expr("ts div 1000")),
+          eventsWithTus(s, dir),
           "user_id", "tus", "event_id", "value", gap = 30L * 60 * 1000000)
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
@@ -2056,6 +2083,75 @@ object SparkEntry {
         |       CAST(COALESCE(s.wsum, 0) + p.prior_micro AS BIGINT) AS score_micro,
         |       (COALESCE(s.wsum, 0) + p.prior_micro) > 0 AS pred
         |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id, prior p
+        |ORDER BY d.doc_id""".stripMargin),
+    // replays bigram-LM training: same tokenization, same min-count vocab,
+    // add-one-smoothed conditional log-prob in integer micronats (every
+    // integer operand < 2^53, so each ln argument is the same IEEE double)
+    "t_lm_model" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+        |  FROM (SELECT unnest(words) AS token FROM toks)
+        |  GROUP BY token HAVING COUNT(*) >= 2),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |idx AS (SELECT doc_id, words,
+        |               unnest(generate_series(1, len(words) - 1)) AS i
+        |        FROM toks),
+        |bg AS (SELECT words[i] AS w1, words[i + 1] AS w2 FROM idx),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        |       FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 2)
+        |SELECT cb.w1, cb.w2, cb.c_big, u1.c_uni,
+        |       CAST(ROUND(LN((cb.c_big + 1.0) / (u1.c_uni + v.v)) * 1e6)
+        |            AS BIGINT) AS w_micro
+        |FROM cb
+        |JOIN uni u1 ON cb.w1 = u1.token
+        |JOIN uni u2 ON cb.w2 = u2.token, v
+        |ORDER BY cb.w1, cb.w2""".stripMargin),
+    // replays scoring: model-hit NLL, in-vocab smoothing backoff
+    // 1/(c_uni+V), out-of-vocab floor 1/V; integer sums and integer mean
+    "t_lm_score" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
+        |  FROM (SELECT unnest(words) AS token FROM toks)
+        |  GROUP BY token HAVING COUNT(*) >= 2),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |idx AS (SELECT doc_id, words,
+        |               unnest(generate_series(1, len(words) - 1)) AS i
+        |        FROM toks),
+        |bg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM idx),
+        |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        |       FROM (SELECT w1, w2 FROM bg) GROUP BY w1, w2
+        |       HAVING COUNT(*) >= 2),
+        |model AS (
+        |  SELECT cb.w1, cb.w2,
+        |         CAST(ROUND(LN((cb.c_big + 1.0) / (u1.c_uni + v.v)) * 1e6)
+        |              AS BIGINT) AS w_micro
+        |  FROM cb
+        |  JOIN uni u1 ON cb.w1 = u1.token
+        |  JOIN uni u2 ON cb.w2 = u2.token, v),
+        |nlls AS (
+        |  SELECT b.doc_id,
+        |         CASE WHEN m.w_micro IS NOT NULL THEN -m.w_micro
+        |              WHEN u.c_uni IS NOT NULL THEN
+        |                CAST(ROUND(LN(u.c_uni + v.v) * 1e6) AS BIGINT)
+        |              ELSE CAST(ROUND(LN(v.v) * 1e6) AS BIGINT) END AS nll
+        |  FROM bg b
+        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN uni u ON b.w1 = u.token, v),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |               CAST(SUM(nll) AS BIGINT) AS nll_micro
+        |        FROM nlls GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
+        |       CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+        |            THEN a.nll_micro // a.n_bigrams END AS avg_nll_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
     // replays the full simhash pipeline with the replayable polynomial
     // hash: same 2-word shingles, same 63-bit majority vote, then ALL-PAIRS

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model perplexity filtering — the CCNet-lineage quality pass
+  * (Wenzek et al., arXiv:1911.00359) that scores every corpus document by
+  * how surprising its token sequence is under an n-gram model trained on
+  * the corpus itself, then drops the high-perplexity tail. Production
+  * pipelines run this with a KenLM model; the statistical core is the same
+  * add-one-smoothed bigram model implemented here as pure Spark SQL plans.
+  *
+  * Determinism discipline (same as [[Classifier]]): every count is an
+  * exact BIGINT; each conditional probability is ONE libm `ln` of an
+  * exactly-represented rational (all integer operands stay far below 2^53,
+  * so the quotient is the same IEEE double on any engine), micro-scaled to
+  * a BIGINT negative-log-likelihood (`round(ln(...)*1e6)`). Per-document
+  * scores are SUMS OF INTEGERS — addition-order-free — and the mean NLL is
+  * integer division, so the whole operator hash-gates against a DuckDB
+  * replay (entries t_lm_model / t_lm_score) with no float-summation
+  * caveats.
+  *
+  * Scale shape (100 TB): training is one bigram-keyed shuffle with
+  * map-side partial counts; `minCount` prunes the model to the Zipf head,
+  * and unseen n-grams are handled by the smoothing backoff rather than by
+  * keeping the tail. Scoring joins the exploded corpus against the model
+  * with a `shuffle_hash` hint (a bigram table can exceed broadcast size —
+  * it must never be elected the build side of a broadcast by stale stats)
+  * and against the minCount-pruned unigram vocabulary by broadcast (a
+  * Zipf-pruned vocabulary is millions of rows and fits every executor).
+  * No corpus-sized side ever broadcasts; no driver-side loops.
+  */
+object LangModel {
+
+  /** Shared tokenization convention (same as TextAnalysis/Classifier):
+    * whitespace split of `lower(trim(text))`. */
+  private def toks(textCol: String): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  /** Adjacent-pair array: `[(w1,w2), ...]` — empty for 1-token docs. Both
+    * slices have length `size-1`, so `zip_with` never pads with nulls. */
+  private def bigramPairs(t: Column): Column =
+    zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Kept unigram vocabulary: `(token, c_uni)` with corpus frequency >=
+    * `minCount`. The vocabulary size `V = count(*)` of this frame is the
+    * smoothing denominator everywhere below. */
+  def unigramCounts(docs: DataFrame, textCol: String = "text",
+                    minCount: Int = 2): DataFrame =
+    docs.select(explode(toks(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_uni"))
+      .filter(col("c_uni") >= minCount)
+
+  /** Train the bigram model over the kept vocabulary.
+    *
+    * Returns one row per retained bigram (both words kept, pair frequency
+    * >= `minCount`): `(w1, w2, c_big, c_uni, w_micro)` where
+    *
+    *   w_micro = round( ln( (c_big + 1) / (c_uni + V) ) * 1e6 )  (<= 0)
+    *
+    * is the add-one-smoothed conditional log-probability of `w2` given
+    * `w1` in integer micronats. `c_uni` is `w1`'s unigram frequency and
+    * `V` the kept-vocabulary size, so the model is self-contained and
+    * exactly replayable from its own counts.
+    */
+  def trainBigramLm(docs: DataFrame, unigrams: DataFrame,
+                    textCol: String = "text",
+                    minCount: Int = 2): DataFrame = {
+    val v = unigrams.agg(count(lit(1)).as("v"))
+    docs.select(explode(bigramPairs(toks(textCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+      .filter(col("c_big") >= minCount)
+      .join(broadcast(unigrams.select(col("token").as("w1"),
+        col("c_uni"))), Seq("w1"))
+      .join(broadcast(unigrams.select(col("token").as("w2"))), Seq("w2"))
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), col("c_big"), col("c_uni"),
+        round(log((col("c_big") + lit(1.0)) / (col("c_uni") + col("v"))) * lit(1e6))
+          .cast("bigint").as("w_micro"))
+  }
+
+  /** Score every document: `(id, n_bigrams, nll_micro, avg_nll_micro)`.
+    *
+    * Each adjacent token pair contributes a non-negative micronat NLL:
+    * a model bigram contributes `-w_micro`; an unseen pair whose first
+    * word is in-vocabulary contributes the smoothing floor
+    * `round(ln(c_uni + V) * 1e6)` (probability `1/(c_uni+V)`); a pair
+    * starting with an out-of-vocabulary word contributes
+    * `round(ln(V) * 1e6)` (probability `1/V`). `avg_nll_micro` is the
+    * integer-division mean — the perplexity proxy a filter thresholds on —
+    * and is NULL for documents with no bigram. Every document appears in
+    * the output.
+    */
+  def scoreBigramLm(docs: DataFrame, model: DataFrame, unigrams: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val v = unigrams.agg(count(lit(1)).as("v"))
+    val perPair = docs
+      .select(col(idCol).as("__id"), explode(bigramPairs(toks(textCol))).as("bg"))
+      .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(model.select(col("w1"), col("w2"), col("w_micro")).hint("shuffle_hash"),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(unigrams.select(col("token").as("w1"), col("c_uni"))),
+        Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("__id"),
+        when(col("w_micro").isNotNull, -col("w_micro"))
+          .when(col("c_uni").isNotNull,
+            round(log(col("c_uni") + col("v")) * lit(1e6)).cast("bigint"))
+          .otherwise(round(log(col("v")) * lit(1e6)).cast("bigint"))
+          .as("nll"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micro"))
+    docs.select(col(idCol).as("__id"))
+      .join(perPair, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        when(col("n_bigrams") > 0L,
+          expr("nll_micro div n_bigrams")).as("avg_nll_micro"))
+  }
+}

@@ -43,18 +43,31 @@ class ClassifierSuite extends SparkSpec {
     assert(rows(3L) == prior, s"expected bare prior $prior, got ${rows(3L)}")
   }
 
-  test("learned language classifier separates en from the other pools") {
-    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
-    val scored = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
-      .join(docs.select(col("doc_id"), (col("lang") === "en").as("truth")), Seq("doc_id"))
+  test("learned classifier separates classes with distinctive vocabulary") {
+    // the driver's corpus draws every lang label from ONE shared vocabulary
+    // (labels are uncorrelated with text), so the separation gate runs on a
+    // synthetic corpus whose classes differ the way real languages do: a
+    // shared function-word pool plus class-exclusive content words
+    val shared = Seq("the", "a", "of", "and")
+    val rnd = new scala.util.Random(7)
+    def doc(id: Long, pos: Boolean): (Long, String, Boolean) = {
+      val content = if (pos) Seq("alpha", "beta", "gamma") else Seq("delta", "eps", "zeta")
+      val words = Seq.fill(12)(
+        if (rnd.nextInt(3) == 0) shared(rnd.nextInt(shared.size))
+        else content(rnd.nextInt(content.size)))
+      (id, words.mkString(" "), pos)
+    }
+    val d = (1L to 200L).map(i => doc(i, i % 2 == 0)).toDF("doc_id", "text", "pos")
+    val m = Classifier.trainNaiveBayes(d, col("pos"), minCount = 2)
+    val scored = Classifier.scoreNaiveBayes(d, m, col("pos"))
+      .join(d.select(col("doc_id"), col("pos").as("truth")), Seq("doc_id"))
     val (hits, n) = {
       val agg = scored.agg(
         sum(when(col("pred") === col("truth"), 1L).otherwise(0L)),
         count(lit(1))).head
       (agg.getLong(0), agg.getLong(1))
     }
-    // training docs scored by their own model: the pools are near-disjoint,
-    // so in-sample accuracy should be essentially perfect — gate at 95%
+    // in-sample accuracy on near-disjoint content vocabulary: gate at 95%
     assert(hits.toDouble / n >= 0.95, s"accuracy ${hits.toDouble / n} < 0.95 ($hits/$n)")
   }
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LangModel
+
+/** Behavior gates for the bigram-LM perplexity filter: the smoothed
+  * weights match hand arithmetic, scoring is total (zero-bigram docs
+  * appear with NULL mean), the three NLL cases (model hit / in-vocab
+  * backoff / out-of-vocab floor) are each exercised, and the
+  * micro-integer scores are partition-count invariant — the determinism
+  * property the oracle hash-gate depends on.
+  */
+class LangModelSuite extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("model weights match hand-computed add-one smoothing") {
+    // corpus: "a b a b" + "a b" -> unigrams a:3 b:3 (V=2);
+    // bigrams: (a,b):3 (b,a):1
+    val d = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(d, minCount = 1)
+    val m = LangModel.trainBigramLm(d, uni, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m.size == 2)
+    val ab = m(("a", "b"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L)
+    assert(ab.getLong(4) == math.round(math.log(4.0 / 5.0) * 1e6))
+    val ba = m(("b", "a"))
+    assert(ba.getLong(4) == math.round(math.log(2.0 / 5.0) * 1e6))
+  }
+
+  test("scoring is total and covers all three NLL cases") {
+    val train = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(train, minCount = 1)
+    val model = LangModel.trainBigramLm(train, uni, minCount = 1)
+    // doc 10: pure model hits; doc 11: (b,b) unseen but b in vocab;
+    // doc 12: starts out-of-vocab; doc 13: single token -> no bigram
+    val score = LangModel.scoreBigramLm(
+      Seq((10L, "a b"), (11L, "b b"), (12L, "z a"), (13L, "a"))
+        .toDF("doc_id", "text"),
+      model, uni)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(score.size == 4, "every doc must appear")
+    val hit = -math.round(math.log(4.0 / 5.0) * 1e6)
+    assert(score(10L) == ((1L, hit, Some(hit))), "model-hit NLL")
+    val backoff = math.round(math.log(5.0) * 1e6) // 1/(c_uni(b)+V) = 1/5
+    assert(score(11L) == ((1L, backoff, Some(backoff))), "in-vocab backoff")
+    val oov = math.round(math.log(2.0) * 1e6) // 1/V = 1/2
+    assert(score(12L) == ((1L, oov, Some(oov))), "out-of-vocab floor")
+    assert(score(13L) == ((0L, 0L, None)), "zero-bigram doc: NULL mean")
+  }
+
+  test("fluent text scores lower mean NLL than scrambled-vocabulary text") {
+    // model trained on the real corpus; a document made of the corpus's
+    // own frequent transitions must beat one pairing rare words randomly
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val top2 = LangModel.trainBigramLm(docs, uni, minCount = 2)
+      .orderBy(desc("c_big"), asc("w1"), asc("w2"))
+      .limit(1).collect().head
+    val fluent = Seq.fill(20)(top2.getString(0) + " " + top2.getString(1)).mkString(" ")
+    val probe = Seq((1L, fluent), (2L, Seq.fill(41)("zzqq").mkString(" ")))
+      .toDF("doc_id", "text")
+    val s = LangModel.scoreBigramLm(probe, model, uni)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s(1L) < s(2L),
+      s"fluent ${s(1L)} must score below out-of-vocab ${s(2L)}")
+  }
+
+  test("scores are partition-count invariant and NLLs non-negative") {
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val a = LangModel.scoreBigramLm(docs, model, uni)
+    val b = LangModel.scoreBigramLm(docs.repartition(7), model, uni)
+    assert(rows(a) == rows(b), "repartition must not change a single cell")
+    assert(a.filter(col("nll_micro") < 0L).count() == 0L,
+      "per-doc NLL sums are sums of non-negative micronats")
+  }
+}

@@ -94,8 +94,13 @@ class PlanAuditSuite extends SparkSpec {
 
   test("sessionization shuffles ONCE on the user key, window sort reused") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("tus", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("tus", raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts div 1000")
+      case _ =>
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))")
+    })
     val p = graft.ops.Sessions.sessionStats(ev, "user_id", "tus", "event_id", "value",
         gap = 30L * 60 * 1000000)
       .queryExecution.executedPlan.toString()

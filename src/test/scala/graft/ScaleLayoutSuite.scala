@@ -91,11 +91,16 @@ class ScaleLayoutSuite extends SparkSpec {
 
   test("date-partitioned layout prunes whole directories at planning") {
     val dir = java.nio.file.Files.createTempDirectory("date-layout").toString
-    // events.parquet carries TIMESTAMP(NANOS); read nanos-as-long and
-    // rebuild a real timestamp from integer microseconds
+    // events.parquet has carried TIMESTAMP(NANOS) (long under nanosAsLong)
+    // or TIMESTAMP(MICROS) depending on driver generation; normalize to a
+    // real timestamp column either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     ScaleLayout.writeDatePartitioned(events, dir, "ts")
     val back = spark.read.parquet(dir)
     val allDays = back.select("event_date").distinct().count()
