@@ -873,6 +873,16 @@ object SparkEntry {
             lit("@example.com, ssn 123-45-6789, call 415 555-0199, host 10.0.0."),
             pmod(col("doc_id"), lit(256)).cast("string"))).as("redacted"))
         .orderBy("doc_id")),
+    // pre-tokenization cleanup: the corpus is already clean, so a messy
+    // suffix (controls, zero-widths, tab runs, blank-line stacks) is
+    // appended IN SQL on both sides and the identical RE2-safe replace
+    // chain must restore a canonical form; the unmodified body doubles as
+    // the no-op fence
+    "t_clean" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.cleanText(concat(col("text"),
+            lit(" \t\t mid\u0007dle\u200B \n\n\n\n tail  "))).as("clean_text"))
+        .orderBy("doc_id")),
     // Gopher-family repetition signals, computed relationally (one token
     // shuffle with partial counts, not per-row O(n^2) HOFs)
     "t_repetition" -> ((s, dir) =>
@@ -1278,6 +1288,17 @@ object SparkEntry {
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
         |    '\b\d{3}[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    // replays cleanText: same messy suffix (DuckDB e-string escapes ==
+    // the Scala literal), same 4-pass RE2 replace chain, same trim
+    "t_clean" ->
+      ("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || e' \t\t mid\x07dle\u200B \n\n\n\n tail  ',
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{3,}', e'\n\n', 'g')) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin),
     "t_repetition" ->
       ("""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),

@@ -255,6 +255,23 @@ object TextAnalysis {
       email, "<EMAIL>"), ssn, "<SSN>"), phone, "<PHONE>"), ip, "<IP>")
   }
 
+  /** Pre-tokenization text cleanup — the normalization pass a crawl corpus
+    * runs before any fingerprinting or filtering: strip ASCII control
+    * characters (keeping tab/newline), strip zero-width code points
+    * (ZWSP/ZWNJ/ZWJ/BOM), collapse horizontal-whitespace runs to one
+    * space, collapse 3+ newlines to a paragraph break, trim. All four
+    * passes are RE2-safe character-class replaces, so the driver's DuckDB
+    * oracle runs the identical chain; narrow and codegen'd, scan-speed at
+    * any scale. Control chars are stripped first so the spaces they
+    * separated collapse as one run; newline collapse runs last.
+    */
+  def cleanText(text: Column): Column = {
+    val ctrl = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+    val zerowidth = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      ctrl, ""), zerowidth, ""), "[ \\t]+", " "), "\\n{3,}", "\n\n"))
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family): per doc,
     * the duplicate-token fraction, the top-token mass fraction, and the
     * fraction of suspiciously long tokens. High values flag boilerplate,

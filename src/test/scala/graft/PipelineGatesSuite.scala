@@ -436,4 +436,24 @@ class PipelineGatesSuite extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__b"),
       s"expected the row_number window partitioned by bucket:\n$plan")
   }
+
+  test("cleanText: controls stripped, zero-widths stripped, runs collapsed") {
+    import spark.implicits._
+    val cases = Seq(
+      // control chars vanish; tab runs collapse; outer space trimmed
+      (1L, " a b c \t\t d ", "a bc d"),
+      // zero-widths (ZWSP/ZWJ/BOM) vanish without joining words wrongly
+      (2L, "x​y‍z﻿w", "xyzw"),
+      // 3+ newlines -> paragraph break; 2 newlines untouched
+      (3L, "p\n\n\n\nq\n\nr", "p\n\nq\n\nr"),
+      // \t and \n survive the control-char strip (they are format, not junk)
+      (4L, "keep\tthis\nline", "keep this\nline"),
+      // already-clean text is a no-op
+      (5L, "already clean text", "already clean text"))
+    val got = cases.toDF("id", "raw")
+      .select(col("id"), graft.ops.TextAnalysis.cleanText(col("raw")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, _, want) <- cases)
+      assert(got(id) == want, s"case $id: got ${got(id).replace("\n", "\\n")}")
+  }
 }

@@ -188,4 +188,50 @@ class PropertySuite extends SparkSpec {
     // the binding source (smallest) keeps everything: threshold == P2
     assert(kept("small") == 400L, s"binding source must keep all: ${kept("small")}")
   }
+
+  test("property: bigram-LM scores match a local replay on random corpora") {
+    import spark.implicits._
+    // brute-force replay of the exact LangModel formula in plain Scala;
+    // any divergence (smoothing, backoff tier, rounding, integer mean)
+    // fails on some random corpus
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      val vocabPool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val docsLocal = (1L to 60L).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        (i, Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+      }
+      val df = docsLocal.toDF("doc_id", "text")
+      val minCount = 2
+      // local model
+      val tokens = docsLocal.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val uniAll = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val uni = uniAll.filter(_._2 >= minCount)
+      val v = uni.size.toLong
+      val bigAll = tokens.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val model = bigAll.collect {
+        case ((w1, w2), c) if c >= minCount && uni.contains(w1) && uni.contains(w2) =>
+          (w1, w2) -> math.round(math.log((c + 1.0) / (uni(w1) + v)) * 1e6)
+      }.toMap
+      def nll(w1: String, w2: String): Long =
+        model.get((w1, w2)).map(-_).getOrElse(
+          uni.get(w1) match {
+            case Some(c) => math.round(math.log(c.toDouble + v) * 1e6)
+            case None => math.round(math.log(v.toDouble) * 1e6)
+          })
+      val want = tokens.map { case (id, ws) =>
+        val pairs = ws.zip(ws.drop(1))
+        val s = pairs.map { case (a, b) => nll(a, b) }.sum
+        id -> ((pairs.size.toLong, s,
+          if (pairs.nonEmpty) Some(s / pairs.size) else None))
+      }.toMap
+      val uniDf = graft.ops.LangModel.unigramCounts(df, minCount = minCount)
+      val modelDf = graft.ops.LangModel.trainBigramLm(df, uniDf, minCount = minCount)
+      val got = graft.ops.LangModel.scoreBigramLm(df, modelDf, uniDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got == want, s"seed=$seed: spark=$got local=$want")
+    }
+  }
 }
