@@ -450,7 +450,7 @@ class PipelineGatesSuite extends SparkSpec {
       (4L, "keep\tthis\nline", "keep this\nline"),
       // already-clean text is a no-op
       (5L, "already clean text", "already clean text"))
-    val got = cases.toDF("id", "raw")
+    val got = cases.toDF("id", "raw", "want")
       .select(col("id"), graft.ops.TextAnalysis.cleanText(col("raw")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     for ((id, _, want) <- cases)
