@@ -990,7 +990,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
-      |    (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+      |    (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word FROM documents)
       |  WHERE length(word) BETWEEN 1 AND 20 GROUP BY word
       |  ORDER BY freq DESC, word LIMIT 2000),
       |s0 AS MATERIALIZED (SELECT word, freq, list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms FROM w0)""".stripMargin
@@ -1256,13 +1256,13 @@ object SparkEntry {
         |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE) ORDER BY month""".stripMargin,
     "d_exact" ->
       ("SELECT source, COUNT(*) AS n_docs, " +
-        "COUNT(*) - COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_dups " +
+        "COUNT(*) - COUNT(DISTINCT lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS n_dups " +
         "FROM documents GROUP BY source ORDER BY source"),
     // mirrors Dedup.incrementalDedup on the normalized text (the engine
     // joins 64-bit fingerprints of the same normalization)
     "d_incremental" ->
       ("""WITH f AS (
-        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM documents),
         |hist AS (SELECT DISTINCT norm FROM f WHERE doc_id < 250),
         |batch AS (
@@ -1273,13 +1273,13 @@ object SparkEntry {
         |WHERE doc_id = k AND norm NOT IN (SELECT norm FROM hist)
         |ORDER BY doc_id""".stripMargin),
     "t_tokens" ->
-      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_subwords, " +
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_subwords, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
         "CAST(length(text) AS BIGINT) AS len_chars FROM documents ORDER BY doc_id"),
     "t_vocab" ->
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
-        "(SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents) " +
+        "(SELECT unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents) " +
         "WHERE length(token) >= 1 GROUP BY token) ORDER BY n DESC, token ASC LIMIT 100"),
     "t_redact" ->
       ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1301,7 +1301,7 @@ object SparkEntry {
         |    '\n{3,}', e'\n\n', 'g')) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin),
     "t_repetition" ->
-      ("""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+      ("""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, count(*) AS n FROM w WHERE length(tok) >= 1 GROUP BY doc_id, tok)
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
         |  ROUND(1.0 - count(*) / SUM(n), 6) AS dup_frac,
@@ -1314,7 +1314,7 @@ object SparkEntry {
     // summed in fixed order — so the score is IEEE-identical
     "t_bm25" ->
       ("""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
         |base AS (
         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
         |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf_0,
@@ -1409,7 +1409,7 @@ object SparkEntry {
     // per-doc row_number over (tfidf DESC, term)
     "t_tfidf" ->
       ("""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
         |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2),
@@ -1530,7 +1530,7 @@ object SparkEntry {
         |  SELECT ngram, count(*) AS cnt FROM (
         |    SELECT unnest(list_transform(range(0, greatest(len(words) - 2, 0) + 1),
         |           i -> array_to_string(words[i + 1 : i + 2], ' '))) AS ngram
-        |    FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS words FROM documents)
+        |    FROM (SELECT string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS words FROM documents)
         |  ) WHERE length(ngram) >= 1 GROUP BY ngram)
         |ORDER BY cnt DESC, ngram ASC LIMIT 100""".stripMargin,
     // exact all-pairs word-3-shingle Jaccard, mirroring Dedup.shingles
@@ -1539,7 +1539,7 @@ object SparkEntry {
     // d_ngram (the exact inverted-index algorithm) must match the same set.
     "d_ngram" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
@@ -1557,7 +1557,7 @@ object SparkEntry {
     // mass, // (floor) divisions, two unrolled damped rounds
     "g_pagerank" ->
       ("""WITH w AS (
-        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
@@ -1589,7 +1589,7 @@ object SparkEntry {
         |SELECT id, CAST(pr AS BIGINT) AS pr FROM p2 ORDER BY id""".stripMargin),
     "d_minhash" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
@@ -1608,7 +1608,7 @@ object SparkEntry {
     // min-label propagation fixpoint by definition)
     "d_clusters" ->
       """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
@@ -1629,7 +1629,7 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d_cluster_dedup" ->
       """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS words
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1),
@@ -1699,7 +1699,7 @@ object SparkEntry {
     // 64-bit gram hashes — identical counts absent a 2^-64 collision)
     "t_contam" ->
       ("""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> length(t) > 0) AS ws
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), t -> length(t) > 0) AS ws
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
@@ -1742,7 +1742,7 @@ object SparkEntry {
     // keeper via row_number (the engine's MIN-struct agg has identical
     // semantics), ordered string_agg reassembly
     "d_chunks" ->
-      ("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      ("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents),
         |ch AS (
         |  SELECT doc_id, i AS pos, array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
         |  FROM w, unnest(range(0, (len(ws) + 9) // 10)) AS t(i)),
@@ -1762,7 +1762,7 @@ object SparkEntry {
         |  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)) w(source, w)),
         |cnt AS (
         |  SELECT d.source,
-        |    CAST(SUM(len(string_split_regex(trim(d.text), '\s+'))) AS HUGEINT) AS n,
+        |    CAST(SUM(len(string_split_regex(trim(d.text), '[ \t\n\x0B\f\r]+'))) AS HUGEINT) AS n,
         |    CAST(ANY_VALUE(w.w) AS HUGEINT) AS w
         |  FROM documents d JOIN wt w USING (source) GROUP BY d.source),
         |tot AS (SELECT CAST(SUM(w) AS HUGEINT) AS bigw FROM wt),
@@ -1787,7 +1787,7 @@ object SparkEntry {
     // formula, then t_mixture's HUGEINT thresholds over the final counts
     "t_curate" ->
       ("""WITH RECURSIVE f AS (
-        |  SELECT doc_id, source, text, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, source, text, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM documents WHERE doc_id % 37 <> 0),
         |ex AS (
         |  SELECT doc_id, source, text, norm FROM (
@@ -1815,13 +1815,13 @@ object SparkEntry {
         |  SELECT DISTINCT unnest(CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
         |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END) AS gr
-        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> length(x) > 0) AS ws
         |        FROM documents WHERE doc_id % 37 = 0)),
         |ct AS (
         |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
         |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS grams
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0) AS ws
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> length(x) > 0) AS ws
         |        FROM nr)),
         |shd AS (
         |  SELECT c.doc_id, count(*) AS n_shared
@@ -1834,7 +1834,7 @@ object SparkEntry {
         |    CAST(COALESCE(shd.n_shared, 0) AS DOUBLE) >= 0.2 * CAST(len(ct.grams) AS DOUBLE))),
         |q0 AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS wc,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) AS wc,
         |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
         |    CAST(length(text) AS DOUBLE) AS len,
         |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,
@@ -1926,7 +1926,7 @@ object SparkEntry {
     "t_pack" ->
       ("""WITH RECURSIVE d AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n,
         |    ((b * b + 7 * b) % 1000000007) % 8 AS shard
         |  FROM (SELECT *,
         |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
@@ -1951,7 +1951,7 @@ object SparkEntry {
     "t_subword" ->
       (s"""WITH RECURSIVE v(p) AS (VALUES $subVocabValues),
         |toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
         |  FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE length(w) > 0 GROUP BY doc_id, w),
         |words AS (SELECT DISTINCT w FROM tf),
@@ -1977,7 +1977,7 @@ object SparkEntry {
     "t_subword_freq" ->
       (s"""WITH RECURSIVE v(p) AS (VALUES $subVocabValues),
         |toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
         |  FROM documents),
         |tf AS (SELECT w, COUNT(*) AS tf FROM toks WHERE length(w) > 0 GROUP BY w),
         |words AS (SELECT w FROM tf),
@@ -2006,7 +2006,7 @@ object SparkEntry {
     // = MIN over the 3 rows
     "t_cms" ->
       ("""WITH w AS (
-        |  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  SELECT unnest(string_split(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS tok
         |  FROM documents),
         |c AS (SELECT tok, COUNT(*) AS exact FROM w WHERE length(tok) >= 1 GROUP BY tok),
         |hh AS (
@@ -2029,7 +2029,7 @@ object SparkEntry {
     // LEFT JOIN with capped-count sum; docs with no trigrams keep zeros
     "t_trigram" ->
       ("""WITH n AS (
-        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, source, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, source, unnest(
@@ -2055,7 +2055,7 @@ object SparkEntry {
     "t_nb_model" ->
       ("""WITH toks AS (
         |  SELECT lang = 'en' AS pos,
-        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |         unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents),
         |counts AS (
         |  SELECT token,
@@ -2073,7 +2073,7 @@ object SparkEntry {
     "t_nb_score" ->
       ("""WITH toks AS (
         |  SELECT doc_id,
-        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |         unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents),
         |lbl AS (
         |  SELECT doc_id, lang = 'en' AS pos FROM documents),
@@ -2110,7 +2110,7 @@ object SparkEntry {
     // integer operand < 2^53, so each ln argument is the same IEEE double)
     "t_lm_model" ->
       ("""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS words
         |  FROM documents),
         |uni AS (
         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
@@ -2134,7 +2134,7 @@ object SparkEntry {
     // 1/(c_uni+V), out-of-vocab floor 1/V; integer sums and integer mean
     "t_lm_score" ->
       ("""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS words
         |  FROM documents),
         |uni AS (
         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_uni
@@ -2180,7 +2180,7 @@ object SparkEntry {
     // bands, so banded-and-capped candidate generation must reproduce it
     "d_simhash_poly" ->
       ("""WITH n AS (
-        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm FROM documents),
         |w1 AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -2210,7 +2210,7 @@ object SparkEntry {
     // to Spark slice(arr, start, LENGTH) via end = w + window
     "t_winnow_poly" ->
       ("""WITH n AS (
-        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm FROM documents),
         |c AS (
         |  SELECT doc_id, norm,
         |    list_transform(generate_series(1, greatest(length(norm), 1)),
@@ -2269,7 +2269,7 @@ object SparkEntry {
     "t_analysis" ->
       ("""WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS w,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) AS w,
         |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
         |    CAST(length(text) AS DOUBLE) AS len,
         |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,

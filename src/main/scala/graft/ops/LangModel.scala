@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** Shared tokenization convention (same as TextAnalysis/Classifier):
-    * whitespace split of `lower(trim(text))`. */
+    * whitespace split of `lower(trim(text))`. Java's `\s` is exactly
+    * `[ \t\n\x0B\f\r]`; the DuckDB oracles spell that class out explicitly
+    * because RE2's `\s` omits `\x0B` (vertical tab) — with the explicit
+    * class both sides tokenize identically even on `\x0B`-bearing text. */
   private def toks(textCol: String): Column =
     split(lower(trim(col(textCol))), "\\s+")
 
@@ -98,7 +101,18 @@ object LangModel {
   def scoreBigramLm(docs: DataFrame, model: DataFrame, unigrams: DataFrame,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
+    // Precondition V >= 2: with V = 0 the OOV floor ln(V) is -Infinity
+    // (Spark would cast it to Long.MinValue while the DuckDB replay errors
+    // — a silent engine/oracle divergence), and V = 1 makes OOV pairs
+    // cost 0 micronats. The 1-row guard errors loudly instead; it never
+    // fires on a non-degenerate corpus.
     val v = unigrams.agg(count(lit(1)).as("v"))
+      .select(when(col("v") >= 2L, col("v"))
+        .otherwise(raise_error(concat(
+          lit("scoreBigramLm: kept vocabulary size V = "),
+          col("v").cast("string"),
+          lit(" but the ln(V) out-of-vocab floor needs V >= 2"))))
+        .as("v"))
     val perPair = docs
       .select(col(idCol).as("__id"), explode(bigramPairs(toks(textCol))).as("bg"))
       .select(col("__id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))

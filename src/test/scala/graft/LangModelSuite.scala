@@ -17,6 +17,11 @@ class LangModelSuite extends SparkSpec {
 
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  // halves round away from zero, as in Spark round() / DuckDB ROUND —
+  // Java math.round would disagree on negative *.5 micronat values
+  private def rnd(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("model weights match hand-computed add-one smoothing") {
     // corpus: "a b a b" + "a b" -> unigrams a:3 b:3 (V=2);
     // bigrams: (a,b):3 (b,a):1
@@ -27,9 +32,9 @@ class LangModelSuite extends SparkSpec {
     assert(m.size == 2)
     val ab = m(("a", "b"))
     assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L)
-    assert(ab.getLong(4) == math.round(math.log(4.0 / 5.0) * 1e6))
+    assert(ab.getLong(4) == rnd(math.log(4.0 / 5.0) * 1e6))
     val ba = m(("b", "a"))
-    assert(ba.getLong(4) == math.round(math.log(2.0 / 5.0) * 1e6))
+    assert(ba.getLong(4) == rnd(math.log(2.0 / 5.0) * 1e6))
   }
 
   test("scoring is total and covers all three NLL cases") {
@@ -46,24 +51,35 @@ class LangModelSuite extends SparkSpec {
         (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .toMap
     assert(score.size == 4, "every doc must appear")
-    val hit = -math.round(math.log(4.0 / 5.0) * 1e6)
+    val hit = -rnd(math.log(4.0 / 5.0) * 1e6)
     assert(score(10L) == ((1L, hit, Some(hit))), "model-hit NLL")
-    val backoff = math.round(math.log(5.0) * 1e6) // 1/(c_uni(b)+V) = 1/5
+    val backoff = rnd(math.log(5.0) * 1e6) // 1/(c_uni(b)+V) = 1/5
     assert(score(11L) == ((1L, backoff, Some(backoff))), "in-vocab backoff")
-    val oov = math.round(math.log(2.0) * 1e6) // 1/V = 1/2
+    val oov = rnd(math.log(2.0) * 1e6) // 1/V = 1/2
     assert(score(12L) == ((1L, oov, Some(oov))), "out-of-vocab floor")
     assert(score(13L) == ((0L, 0L, None)), "zero-bigram doc: NULL mean")
   }
 
   test("fluent text scores lower mean NLL than scrambled-vocabulary text") {
     // model trained on the real corpus; a document made of the corpus's
-    // own frequent transitions must beat one pairing rare words randomly
+    // own best transition must beat one pairing unknown words. The gate
+    // holds BY CONSTRUCTION, not by luck: the probe is the single model
+    // bigram with the cheapest hit NLL, and the selection asserts
+    // c_uni < V * c_big, which is algebraically equivalent to
+    //   ln((c_uni+V)/(c_big+1)) < ln(V)
+    // i.e. hit NLL strictly below the OOV floor the scrambled doc pays on
+    // every pair. A testdata regeneration can only fail the selection
+    // assert loudly, never flip the gate silently.
     val uni = LangModel.unigramCounts(docs, minCount = 2)
     val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
-    val top2 = LangModel.trainBigramLm(docs, uni, minCount = 2)
-      .orderBy(desc("c_big"), asc("w1"), asc("w2"))
+    val vSize = uni.count()
+    val best = model.orderBy(desc("w_micro"), asc("w1"), asc("w2"))
       .limit(1).collect().head
-    val fluent = Seq.fill(20)(top2.getString(0) + " " + top2.getString(1)).mkString(" ")
+    assert(best.getLong(3) < vSize * best.getLong(2),
+      s"need a bigram with c_uni < V*c_big (V=$vSize, row=$best)")
+    assert(uni.filter(col("token") === "zzqq").count() == 0L,
+      "scrambled probe token must be out-of-vocabulary")
+    val fluent = best.getString(0) + " " + best.getString(1)
     val probe = Seq((1L, fluent), (2L, Seq.fill(41)("zzqq").mkString(" ")))
       .toDF("doc_id", "text")
     val s = LangModel.scoreBigramLm(probe, model, uni)

@@ -203,6 +203,11 @@ class PropertySuite extends SparkSpec {
       }
       val df = docsLocal.toDF("doc_id", "text")
       val minCount = 2
+      // Spark's round() and DuckDB's ROUND both round halves AWAY FROM
+      // ZERO; Java's math.round rounds toward +infinity, which disagrees
+      // on negative *.5 (w_micro is always negative). Mirror the engines.
+      def roundAway(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       // local model
       val tokens = docsLocal.map { case (id, t) => id -> t.split("\\s+").toSeq }
       val uniAll = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -212,13 +217,13 @@ class PropertySuite extends SparkSpec {
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val model = bigAll.collect {
         case ((w1, w2), c) if c >= minCount && uni.contains(w1) && uni.contains(w2) =>
-          (w1, w2) -> math.round(math.log((c + 1.0) / (uni(w1) + v)) * 1e6)
+          (w1, w2) -> roundAway(math.log((c + 1.0) / (uni(w1) + v)) * 1e6)
       }.toMap
       def nll(w1: String, w2: String): Long =
         model.get((w1, w2)).map(-_).getOrElse(
           uni.get(w1) match {
-            case Some(c) => math.round(math.log(c.toDouble + v) * 1e6)
-            case None => math.round(math.log(v.toDouble) * 1e6)
+            case Some(c) => roundAway(math.log(c.toDouble + v) * 1e6)
+            case None => roundAway(math.log(v.toDouble) * 1e6)
           })
       val want = tokens.map { case (id, ws) =>
         val pairs = ws.zip(ws.drop(1))
