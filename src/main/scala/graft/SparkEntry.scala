@@ -248,6 +248,19 @@ object SparkEntry {
         "FROM ord_v o JOIN li_y l ON o.yr = l.yr ORDER BY o.yr"),
     "m_window" -> m(
       "SELECT yr, ROUND(AGGREGATE(yr_qty), 2) AS yr_qty FROM win_v ORDER BY yr"),
+    // QUALIFY rewrite (hoist predicate over the nested post-aggregation
+    // result, filter, project away) composed with measure expansion
+    "m_qualify" -> m(
+      "SELECT ship_year, l_returnflag, ROUND(AGGREGATE(qty), 2) AS year_qty FROM li_v " +
+        "GROUP BY ship_year, l_returnflag " +
+        "QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY year_qty DESC, ship_year) <= 2 " +
+        "ORDER BY l_returnflag, year_qty DESC, ship_year"),
+    // QUALIFY on a measure-free passthrough statement (top order per
+    // customer) — same rewrite, no expansion involved
+    "q_qualify" -> m(
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1 " +
+        "ORDER BY o_custkey LIMIT 500"),
     "m_stddev" -> m(
       "SELECT l_returnflag, ROUND(AGGREGATE(sd_qty), 4) AS sd_qty FROM li_v ORDER BY l_returnflag"),
     "m_minmax" -> m(
@@ -1082,6 +1095,17 @@ object SparkEntry {
     "m_window" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM(l_quantity), 2) AS yr_qty " +
         "FROM lineitem GROUP BY year(l_shipdate) ORDER BY yr"),
+    // DuckDB has native QUALIFY — the oracle uses it directly
+    "m_qualify" ->
+      ("SELECT ship_year, l_returnflag, year_qty FROM " +
+        "(SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag, round(SUM(l_quantity), 2) AS year_qty " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY year_qty DESC, ship_year) <= 2 " +
+        "ORDER BY l_returnflag, year_qty DESC, ship_year"),
+    "q_qualify" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1 " +
+        "ORDER BY o_custkey LIMIT 500"),
     "m_stddev" ->
       "SELECT l_returnflag, round(STDDEV(l_quantity), 4) AS sd_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "m_minmax" ->

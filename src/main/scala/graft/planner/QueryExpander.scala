@@ -532,10 +532,47 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     sb.toString
   }
 
+  /** Rewrite a QUALIFY clause into plain Spark SQL (Spark has no QUALIFY).
+    * The original query minus QUALIFY/ORDER BY/LIMIT becomes a FROM
+    * subquery; the predicate — select aliases are now real columns, and
+    * window functions evaluate over the post-GROUP BY/HAVING rows, exactly
+    * DuckDB's QUALIFY timing — is computed as a hidden boolean column,
+    * filtered on, and projected away with `* EXCEPT`. Running this BEFORE
+    * measure expansion means an AGGREGATE-bearing query composes for free:
+    * the inner subquery is expanded by the ordinary subquery recursion.
+    * (Reference substrate: DuckDB QUALIFY, which the reference delegates
+    * to — no corpus coverage, but a DuckDB user's queries may carry it.)
+    * Known limit: the predicate sees only the select-list outputs, so it
+    * cannot reference base columns that were not projected.
+    */
+  private def rewriteQualify(c: SelectClauses): String = {
+    val u = uid.incrementAndGet()
+    val qcol = s"__q$u"
+    val core = new StringBuilder("SELECT ")
+    if (c.distinct) core.append("DISTINCT ")
+    core.append(c.selectList)
+    c.from.foreach(f => core.append(s" FROM $f"))
+    c.where.foreach(w => core.append(s" WHERE $w"))
+    c.groupBy.foreach(g => core.append(s" GROUP BY $g"))
+    c.having.foreach(h => core.append(s" HAVING $h"))
+    val out = new StringBuilder(
+      s"SELECT * EXCEPT ($qcol) FROM (SELECT *, (${c.qualify.get}) AS $qcol " +
+        s"FROM ($core) __qb$u) __qf$u WHERE $qcol")
+    c.orderBy.foreach(o => out.append(s" ORDER BY $o"))
+    c.limitText.foreach(l => out.append(s" $l"))
+    out.toString
+  }
+
   // The main single-statement expansion.
   private def expandSelect(stmt: String, cteNames: Set[String] = Set.empty): Option[String] = {
     val clauses = SqlClauses.parse(stmt).getOrElse(return None)
     if (clauses.hasSetOp) return None
+    if (clauses.qualify.isDefined) {
+      // always Some — even a measure-free query needs the rewrite for
+      // Spark to parse it
+      val rewritten = rewriteQualify(clauses)
+      return Some(expand(rewritten, cteNames).getOrElse(rewritten))
+    }
     val fromText = clauses.from.getOrElse(return None)
     val tables = parseFromTables(fromText)
     // a WITH-clause name shadows a same-named measure view: the FROM ref
@@ -590,22 +627,12 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       explicit ++ findSugarCalls(w, wm, explicit.map(c => (c.start, c.end)), measureNames, allAliases)
         .filter(_.modifiers.nonEmpty) // bare refs in WHERE stay ordinary columns
     }
-    // Spark has no QUALIFY clause — fail loudly rather than silently
-    // dropping the filter from the rewritten statement
-    def rejectQualify(): Unit =
-      if (clauses.qualify.isDefined)
-        throw new GraftException(
-          "QUALIFY is not supported in measure queries (Spark has no QUALIFY clause); " +
-            "wrap the query and filter on the projected value instead")
-
     if (whereCalls.nonEmpty) {
       val rowLevelOk = singleFact && clauses.groupBy.isEmpty &&
         items.forall(_.calls.isEmpty) && !items.exists(_.kind == "plainagg") &&
         clauses.having.isEmpty
-      if (rowLevelOk) {
-        rejectQualify()
+      if (rowLevelOk)
         return Some(expandRowLevel(clauses, primaryView, primaryAliases, allAliases, whereCalls))
-      }
       // grouped queries: handled below via the filtered-base CTE(s) —
       // single-fact filters the one base through __vbase; multi-fact
       // filters each predicated view's base through its own per-view vbase
@@ -615,7 +642,6 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       clauses.having.exists(h => AtParser.extractCalls(h, Scan.buildMask(h), 0, h.length).nonEmpty) ||
       clauses.orderBy.exists(o => AtParser.extractCalls(o, Scan.buildMask(o), 0, o.length).nonEmpty)
     if (!anyCalls) return None
-    rejectQualify()
 
     // ---- dims ----------------------------------------------------------
     var dimCounter = -1

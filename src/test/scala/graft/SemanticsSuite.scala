@@ -248,12 +248,23 @@ class SemanticsSuite extends SparkSpec {
         |2023	US	225""".stripMargin)
   }
 
-  // QUALIFY must error, never be silently dropped (Spark has no QUALIFY)
-  test("QUALIFY in a measure query errors loudly") {
-    val e = intercept[GraftException](engine.sql(
+  // QUALIFY is rewritten (predicate hoisted over the nested result as a
+  // hidden column, filtered, projected away) and composes with measure
+  // expansion — the predicate sees measure outputs as plain columns
+  test("QUALIFY in a measure query filters on a window over measure outputs") {
+    checkGolden(engine.sql(
       "SELECT year, region, AGGREGATE(revenue) AS rev FROM cw_v " +
-        "QUALIFY ROW_NUMBER() OVER (PARTITION BY year ORDER BY rev) = 1"))
-    assert(e.getMessage.contains("QUALIFY"))
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY year ORDER BY rev DESC, region) = 1 ORDER BY year"),
+      """2022	US	100
+        |2023	US	150""".stripMargin)
+  }
+
+  test("QUALIFY on a measure-free passthrough query") {
+    checkGolden(engine.sql(
+      "SELECT year, region, amount FROM cw_sales " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY region ORDER BY amount DESC) = 1 ORDER BY region"),
+      """2023	EU	75
+        |2023	US	150""".stripMargin)
   }
 
   // row-level WHERE (Listing 12) with SELECT *: the star must project only
