@@ -730,6 +730,28 @@ object SparkEntry {
           nShards = 8, seed = 7)
         .orderBy("doc_id")
     }),
+    // the COMPOSED incremental cycle: a batch (doc_id % 3 != 0) curated
+    // against a historical corpus (doc_id % 3 = 0: fingerprint index) and
+    // yesterday's open-pack states (literal one-row-per-shard table) —
+    // incremental dedup -> contamination screen -> quality filter ->
+    // incremental packing, the wiring replayed end-to-end by the oracle
+    "t_curate_incr" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val history = d.filter(col("doc_id") % 3 === 0)
+      val prior = Seq((0L, 0L, 0L), (1L, 1L, 89L), (2L, 2L, 178L),
+          (3L, 0L, 267L), (4L, 1L, 356L), (5L, 2L, 445L), (6L, 0L, 22L),
+          (7L, 1L, 111L))
+        .toDF("shard", "pack_idx", "used")
+      graft.ops.CuratePipeline.curateIncremental(
+          d.filter(col("doc_id") % 3 =!= 0),
+          graft.ops.Dedup.fingerprintIndex(history),
+          d.filter(col("doc_id") % 37 === 0),
+          prior, budget = 512, nShards = 8, seed = 7)
+        .select("doc_id", "source", "quality_score", "n_tokens", "shard",
+          "pack_idx", "pack_offset")
+        .orderBy("doc_id")
+    }),
     // distributed BPE vocabulary induction: the learned merge table
     // (step, pair, weighted count) — integer-exact, so the oracle replays
     // all 10 merge rounds including the greedy one-pass apply
@@ -1886,6 +1908,86 @@ object SparkEntry {
         |WHERE (SELECT (b * b + 7 * b) % 1000000007 FROM
         |  (SELECT ((q.doc_id & 1073741823) * 2654435761 + (q.doc_id >> 30) * 976369) % 1000000007 AS b)) < t
         |ORDER BY q.doc_id""".stripMargin),
+    // replays the composed incremental cycle: batch-vs-history norm
+    // anti-dedup, the t_contam trigram screen, the t_analysis quality
+    // formula, then the t_pack greedy recurrence with its anchor seeded
+    // from the literal prior shard states
+    "t_curate_incr" ->
+      ("""WITH RECURSIVE hist AS (
+        |  SELECT DISTINCT lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b0 AS (
+        |  SELECT doc_id, source, text, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |nov AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT b0.*, min(doc_id) OVER (PARTITION BY norm) AS kp FROM b0) t
+        |  WHERE doc_id = kp AND norm NOT IN (SELECT norm FROM hist)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END) AS gr
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> length(x) > 0) AS ws
+        |        FROM documents WHERE doc_id % 37 = 0)),
+        |ct AS (
+        |  SELECT doc_id, CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> length(x) > 0) AS ws
+        |        FROM nov)),
+        |shd AS (
+        |  SELECT c.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gr FROM ct) c JOIN bg USING (gr)
+        |  GROUP BY c.doc_id),
+        |cl AS (
+        |  SELECT nov.* FROM nov JOIN ct ON nov.doc_id = ct.doc_id
+        |  LEFT JOIN shd ON nov.doc_id = shd.doc_id
+        |  WHERE NOT (len(ct.grams) > 0 AND
+        |    CAST(COALESCE(shd.n_shared, 0) AS DOUBLE) >= 0.2 * CAST(len(ct.grams) AS DOUBLE))),
+        |q0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) AS wc,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) AS stop_hits
+        |  FROM cl),
+        |q1 AS (
+        |  SELECT doc_id, source, CAST(wc AS BIGINT) AS n,
+        |    round((least(wc / 50.0, 1.0)
+        |         + (1.0 - least(n_punct / safe_len * 4.0, 1.0))
+        |         + (1.0 - least(n_digit / safe_len * 4.0, 1.0))
+        |         + (CASE WHEN len / greatest(wc, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+        |         + least(stop_hits / greatest(wc, 1.0) * 3.0, 1.0)) / 5.0, 4) AS quality_score
+        |  FROM q0),
+        |qs AS (SELECT * FROM q1 WHERE quality_score >= 0.5),
+        |d AS (
+        |  SELECT doc_id, source, quality_score, n,
+        |    ((b * b + 7 * b) % 1000000007) % 8 AS shard
+        |  FROM (SELECT qs.*,
+        |    ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |    FROM qs)),
+        |st AS (SELECT * FROM (VALUES (0, 0, 0), (1, 1, 89), (2, 2, 178), (3, 0, 267),
+        |       (4, 1, 356), (5, 2, 445), (6, 0, 22), (7, 1, 111)) s(shard, pack_idx, used)),
+        |o AS (SELECT d.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |rec AS (
+        |  SELECT o.shard, o.rn, o.doc_id, o.source, o.quality_score, o.n,
+        |    CASE WHEN st.used > 0 AND st.used + o.n > 512 THEN CAST(st.pack_idx + 1 AS BIGINT)
+        |         ELSE CAST(st.pack_idx AS BIGINT) END AS pack_idx,
+        |    CASE WHEN st.used > 0 AND st.used + o.n > 512 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(st.used AS BIGINT) END AS pack_offset,
+        |    CASE WHEN st.used > 0 AND st.used + o.n > 512 THEN o.n
+        |         ELSE CAST(st.used AS BIGINT) + o.n END AS used
+        |  FROM o JOIN st ON o.shard = st.shard WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.source, o.quality_score, o.n,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN r.pack_idx + 1 ELSE r.pack_idx END,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN CAST(0 AS BIGINT) ELSE r.used END,
+        |    CASE WHEN r.used > 0 AND r.used + o.n > 512 THEN o.n ELSE r.used + o.n END
+        |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+        |SELECT doc_id, source, quality_score, n AS n_tokens, shard, pack_idx, pack_offset
+        |FROM rec ORDER BY doc_id""".stripMargin),
     // replays the histogram sketch: identical clamped-bin integer
     // arithmetic, HUGEINT-safe internal sums, and the same IEEE-double
     // interpolation order as Histogram.quantileEstimates

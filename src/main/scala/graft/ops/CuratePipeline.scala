@@ -45,4 +45,66 @@ object CuratePipeline {
       .filter(col("quality_score") >= minQuality)
     Curation.rebalanceToMixture(scored, weights, keyCol = idCol, seed = seed)
   }
+
+  /** The incremental (daily-crawl) curation cycle: the stages of [[curate]]
+    * that carry state between batches, composed end-to-end against that
+    * state —
+    *
+    *   1. exact dedup vs history    ([[Dedup.incrementalDedup]]: first-of-
+    *                                 fingerprint within the batch, novel
+    *                                 against the persistent index)
+    *   2. contamination screen      (benchmark n-grams, broadcast side)
+    *   3. quality filter            (signal score >= `minQuality`)
+    *   4. incremental packing       ([[Packing.packGreedyIncremental]]:
+    *                                 appends to the prior run's open packs)
+    *
+    * Near-dup clustering and mixture rebalancing stay batch-level in
+    * [[curate]] — their state is corpus-sized (shingle index) or global
+    * (source counts), not the O(index)+O(nShards) state a daily loop keeps.
+    *
+    * Two-batch ≡ one-shot invariant (suite-gated, mirroring the per-stage
+    * invariants): when every id of batch N+1 sorts after every id of batch
+    * N, running batches through `curateIncremental` with
+    * [[Dedup.updateFingerprintIndex]] / [[mergeShardStates]] between them
+    * is row-identical to one shot over the concatenation. Driver entry
+    * `t_curate_incr` replays the whole composition in DuckDB.
+    *
+    * @param priorStates one row per shard: (shard, pack_idx, used) — the
+    *                    open-pack state from the previous run
+    * @return one row per surviving batch doc:
+    *         (idCol, n_tokens, shard, pack_idx, pack_offset, source,
+    *         quality_score)
+    */
+  def curateIncremental(batch: DataFrame, index: DataFrame, benchmark: DataFrame,
+                        priorStates: DataFrame, budget: Long, nShards: Int,
+                        flagAt: Double = 0.2, minQuality: Double = 0.5,
+                        seed: Long = 0L,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val novel = Dedup.incrementalDedup(batch, index, textCol, idCol)
+    val contam = Curation.contaminationCheck(novel, benchmark,
+      flagAt = flagAt, textCol = textCol, idCol = idCol)
+    val clean = novel.join(
+      contam.filter(!col("contaminated")).select(col("doc_id").as(idCol)), Seq(idCol))
+    val scored = clean
+      .withColumn("quality_score", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality_score") >= minQuality)
+    val withTok = scored.withColumn("n_tokens",
+      graft.functions.TextStatsExpr.textStats(col(textCol))
+        .getField("n_tokens").cast("long"))
+    val packed = Packing.packGreedyIncremental(
+      withTok.select(col(idCol), col("n_tokens")), "n_tokens", budget,
+      nShards, priorStates, idCol, seed)
+    packed.join(withTok.drop(textCol, "n_tokens"), Seq(idCol))
+  }
+
+  /** Carry packing state across batches: shards the new batch touched take
+    * their terminal [[Packing.shardStates]]; untouched shards keep the
+    * prior row. O(nShards) rows either way.
+    */
+  def mergeShardStates(prior: DataFrame, packed: DataFrame): DataFrame = {
+    val cur = Packing.shardStates(packed)
+    cur.unionByName(
+      prior.select("shard", "pack_idx", "used")
+        .join(cur.select("shard"), Seq("shard"), "left_anti"))
+  }
 }

@@ -182,4 +182,52 @@ class CurationSuite extends SparkSpec {
     // quality floor holds on every surviving row
     assert(out.filter($"quality_score" < 0.5).count() == 0)
   }
+
+  // the COMPOSED incremental invariant, mirroring the per-stage ones: when
+  // every id of batch 2 sorts after every id of batch 1, two incremental
+  // runs with index/state carry-over between them are row-identical to one
+  // shot over the concatenation
+  test("curateIncremental: two batches == one shot when ids are ordered") {
+    import graft.ops.{CuratePipeline, Dedup}
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = d.filter($"doc_id" % 3 === 0)
+    val bench = d.filter($"doc_id" % 37 === 0)
+    // ordered disjoint batches, with cross-batch and vs-history duplicates:
+    // re-id the non-history docs into two blocks, then clone some history
+    // texts into each block so the anti-join and the in-batch window both
+    // have work to do
+    val rest = d.filter($"doc_id" % 3 =!= 0).select("doc_id", "source", "text")
+    val offset = 1000000L
+    val b1 = rest.filter($"doc_id" % 2 === 1)
+      .withColumn("doc_id", $"doc_id" + offset)
+      .unionByName(history.orderBy("doc_id").limit(20).select(
+        ($"doc_id" + offset + 500000L).as("doc_id"), $"source", $"text"))
+    val b2 = rest.filter($"doc_id" % 2 === 0)
+      .withColumn("doc_id", $"doc_id" + 3L * offset)
+      .unionByName(b1.orderBy("doc_id").limit(15).select(
+        ($"doc_id" + 3L * offset).as("doc_id"), $"source", $"text"))
+    val index0 = Dedup.fingerprintIndex(history)
+    val st0 = Seq((0L, 1L, 40L), (1L, 0L, 0L), (2L, 2L, 300L), (3L, 1L, 500L))
+      .toDF("shard", "pack_idx", "used")
+    def run(batch: org.apache.spark.sql.DataFrame, idx: org.apache.spark.sql.DataFrame,
+            st: org.apache.spark.sql.DataFrame) =
+      CuratePipeline.curateIncremental(batch, idx, bench, st,
+        budget = 512, nShards = 4, seed = 3)
+    val oneShot = run(b1.unionByName(b2), index0, st0)
+    val r1 = run(b1, index0, st0)
+    val index1 = Dedup.updateFingerprintIndex(index0, b1)
+    val st1 = CuratePipeline.mergeShardStates(st0,
+      r1.select("doc_id", "n_tokens", "shard", "pack_idx", "pack_offset"))
+    val r2 = run(b2, index1, st1)
+    val cols = Seq("doc_id", "source", "quality_score", "n_tokens", "shard",
+      "pack_idx", "pack_offset")
+    val got = r1.unionByName(r2).select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val want = oneShot.select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(got.length == want.length && got.nonEmpty,
+      s"row counts differ: ${got.length} vs ${want.length}")
+    assert(got.toSeq == want.toSeq, "incremental composition diverged from one-shot")
+  }
 }
