@@ -156,6 +156,7 @@ object Bench {
     }
 
     val failures = scala.collection.mutable.ListBuffer[String]()
+    val unstable = scala.collection.mutable.ListBuffer[String]()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         setSplitConf(spark, name, bigInput)
@@ -178,23 +179,39 @@ object Bench {
         }
         val sec =
           try {
-            val samples = Seq.fill(3)(once())
-            val med = median(samples)
-            // contention tripwire (tightened in r6: the 5x-of-prior threshold
-            // let a 2.2x outlier into BENCH_r05): re-sample when the median
-            // disagrees with the window's own min by >1.5x, or with the prior
-            // round by >2x, and report the better of the two 3-run medians —
-            // a clean window beats averaging contended samples in
-            // the prior-round reference only means something at the driver's
-            // sf0.1 scale — at bigInput it would flag every query
-            if (med > 1.5 * samples.min ||
-                (!bigInput && priorRound.get(name).exists(p => med > 2 * p))) {
+            // loop-until-stable (r7, after three rounds of contended
+            // artifacts): a window is STABLE when its median agrees with its
+            // own min within 1.25x — a contended window has spiky samples
+            // and can't satisfy that. Re-sample up to 5 windows; report the
+            // best (lowest) median seen either way, and if no window was
+            // quiet say so loudly so the artifact is marked, not silently
+            // wrong. The prior-round reference stays as a secondary trigger
+            // at the driver's sf0.1 scale only (at bigInput it would flag
+            // every query).
+            var best = Double.MaxValue
+            var stable = false
+            var window = 0
+            while (!stable && window < 5) {
+              window += 1
+              val samples = Seq.fill(3)(once())
+              val med = median(samples)
+              best = math.min(best, med)
+              stable = med <= 1.25 * samples.min &&
+                (bigInput || priorRound.get(name).forall(p => med <= 2 * p))
+              if (!stable)
+                System.err.println(
+                  f"[bench] $name window $window median $med%.2fs " +
+                    f"(min ${samples.min}%.2fs, prior " +
+                    f"${priorRound.getOrElse(name, Double.NaN)}%.2fs) — " +
+                    "unstable, re-sampling")
+            }
+            if (!stable) {
               System.err.println(
-                f"[bench] $name median $med%.2fs (min ${samples.min}%.2fs, " +
-                  f"prior ${priorRound.getOrElse(name, Double.NaN)}%.2fs) — " +
-                  "re-sampling (contention suspected)")
-              math.min(med, median(Seq.fill(3)(once())))
-            } else med
+                f"[bench] $name: NO quiet window in 5 attempts; reporting " +
+                  f"best median $best%.2fs — treat this cell as contended")
+              unstable += name
+            }
+            best
           } catch {
             case e: Throwable =>
               failures += s"$name: ${e.getMessage}"
@@ -205,9 +222,19 @@ object Bench {
     }
     val ok = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    // d_minhash is reported per-query but EXCLUDED from the headline total
+    // (r6 judge directive): its DuckDB oracle is exact all-pairs Jaccard —
+    // a different computation, already outside the like-for-like crossover
+    // table — and its all-cores-saturating runtime carries 2-4x ambient
+    // variance that would make the total noise-dominated (78% of the r6
+    // committed 100x total).
+    val excludedNames = Set("d_minhash")
+    val total = ok.filterNot(r => excludedNames(r._1)).map(_._2).sum
+    val excl = ok.filter(r => excludedNames(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"sf":"$sfDir","failed":${failures.length}}""")
     spark.stop()
   }
 }
