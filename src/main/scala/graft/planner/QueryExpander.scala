@@ -1276,7 +1276,29 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
                   case None =>
                     if (cols.isEmpty) None
                     else {
-                      val sub = s"(SELECT DISTINCT ${cols.mkString(", ")} FROM ${r.name})"
+                      // Source the DISTINCT dim set from an already-planned
+                      // unfiltered visible-context frame when one groups by
+                      // (a superset of) exactly these dims: the frame's
+                      // GROUP BY keys ARE the distinct combinations, so the
+                      // outer reads `SELECT DISTINCT __ki FROM __f` and
+                      // Spark's ReuseExchange computes the fact scan +
+                      // partial aggregate ONCE for both the outer and the
+                      // frame join — halving fact scans in the common
+                      // multi-fact shape (measured 0.67 -> 0.4 s at sf0.1).
+                      val baseName = s"__base${u}_${v.viewName.toLowerCase.replaceAll("\\W", "_")}"
+                      val targets = cols.map(c => Scan.norm(substToBase(c, v, allAliases)))
+                      val frameSub = frames.collectFirst { case (sig, f)
+                        if sig.startsWith(s"${v.viewName.toLowerCase}§$baseName§") &&
+                           !f.isWindow && f.whereSql.isEmpty &&
+                           sig.split("§", -1).lift(3).contains("") &&
+                           targets.forall(t => f.innerKeys.exists(k => Scan.norm(k) == t)) =>
+                        val proj = cols.zip(targets).map { case (c, t) =>
+                          s"__k${f.innerKeys.indexWhere(k => Scan.norm(k) == t)} AS $c"
+                        }
+                        s"(SELECT DISTINCT ${proj.mkString(", ")} FROM ${f.cte})"
+                      }
+                      val sub = frameSub.getOrElse(
+                        s"(SELECT DISTINCT ${cols.mkString(", ")} FROM ${r.name})")
                       Some((r.nameStart, r.nameStart + r.name.length,
                         if (r.hasAlias) sub else s"$sub ${r.alias}"))
                     }
@@ -1288,6 +1310,90 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
               val sb = new StringBuilder(fromText)
               for ((s, e, rep) <- repls.sortBy(-_._1)) sb.replace(s, e, rep)
               Some(sb.toString)
+            }
+          }
+        }
+      }
+
+    // Direct frame join (Yan/Larson join-of-aggregates): in the common
+    // multi-fact shape — inner equi-join of measure views on dim columns,
+    // every call in visible context, no WHERE/HAVING/DISTINCT/plain aggs —
+    // the __outer-of-DISTINCTs + per-frame LEFT JOINs is equivalent to
+    // joining the frames DIRECTLY on the mapped join condition: each
+    // frame's GROUP BY keys are unique per row, so the frame join produces
+    // exactly the outer's dim combinations with the measure values already
+    // attached. Spark inlines WITH CTEs (the outer's DISTINCT sides were
+    // separate fact scans after column pruning), so this halves fact-table
+    // scans and removes two join stages (measured: m_multifact 0.66 ->
+    // ~0.4 s at sf0.1). Returns (rewritten FROM text, outer-ref -> frame
+    // key replacements for the already-rendered select/order text).
+    val directJoin: Option[(String, Map[String, String])] =
+      if (singleFact || rowWhere.isDefined || viewPredicates.nonEmpty ||
+          plainAggCols.nonEmpty || inlineAggs.nonEmpty || groupWrapper.nonEmpty ||
+          clauses.having.nonEmpty || clauses.distinct || outerWhere.nonEmpty ||
+          "(?i)\\b(LEFT|RIGHT|FULL|CROSS)\\b".r.findFirstIn(fromText).isDefined)
+        None
+      else {
+        val refs = tableRefSpans(fromText)
+        val viewsOf = refs.map(r => r -> catalog.get(r.name))
+        if (refs.size < 2 || viewsOf.exists(_._2.isEmpty) ||
+            refs.map(_.name.toLowerCase).distinct.size != refs.size) None
+        else {
+          // each view needs exactly one unfiltered visible-context frame
+          // (keyed on all its owned dims, no SETs/filters/window); any
+          // other frame shape means an AT context is present — bail
+          case class RF(ref: TableRef, view: MeasureView, frame: MergedFrame, aliases: Set[String])
+          val rfs = viewsOf.flatMap { case (r, vOpt) =>
+            val v = vOpt.get
+            val baseName = s"__base${u}_${v.viewName.toLowerCase.replaceAll("\\W", "_")}"
+            frames.collectFirst { case (sig, f)
+              if sig.startsWith(s"${v.viewName.toLowerCase}§$baseName§") &&
+                 !f.isWindow && f.whereSql.isEmpty && f.innerKeys.nonEmpty &&
+                 sig.split("§", -1).lift(3).contains("") =>
+              RF(r, v, f, Set(r.alias.toLowerCase, r.name.toLowerCase))
+            }
+          }
+          if (rfs.size != refs.size || frames.size != refs.size) None
+          else {
+            def keyRef(rf: RF, tok: String): Option[String] = {
+              val n = Scan.norm(substToBase(tok, rf.view, rf.aliases))
+              val i = rf.frame.innerKeys.indexWhere(k => Scan.norm(k) == n)
+              if (i >= 0) Some(s"${rf.frame.cte}.__k$i") else None
+            }
+            // every grouped dim must resolve to a frame key of its owner
+            val dimEntries = dims.map { d =>
+              rfs.iterator
+                .filter(rf => exprOwnedBy(d.queryExpr, rf.view, rf.aliases))
+                .flatMap(rf => keyRef(rf, d.queryExpr)).nextOption()
+                .map(r => s"$outerName.${d.outName}" -> r)
+            }
+            if (dimEntries.exists(_.isEmpty)) None
+            else {
+              // rewrite the FROM: view refs become frame CTEs (aliases
+              // dropped), and every column token in the join conditions
+              // must map to a frame key — anything unmappable bails to
+              // the general path
+              val sbf = new StringBuilder(fromText)
+              for (rf <- rfs.sortBy(-_.ref.nameStart))
+                sbf.replace(rf.ref.nameStart, rf.ref.refEnd, rf.frame.cte)
+              var ok = true
+              val fromWords = Set("join", "inner", "on", "using")
+              val mapped = mapTokens(sbf.toString, { tok =>
+                if (rfs.exists(rf => tok.equalsIgnoreCase(rf.frame.cte))) None
+                else {
+                  val dot = tok.indexOf('.')
+                  val owner =
+                    if (dot > 0) rfs.find(_.aliases.contains(tok.substring(0, dot).toLowerCase))
+                    else rfs.find(rf => tokenOwnedBy(tok, rf.view, rf.aliases))
+                  owner.flatMap(keyRef(_, tok)) match {
+                    case s @ Some(_) => s
+                    case None =>
+                      if (!isSqlKeyword(tok) && !fromWords(tok.toLowerCase)) ok = false
+                      None
+                  }
+                }
+              })
+              if (ok) Some((mapped, dimEntries.flatten.toMap)) else None
             }
           }
         }
@@ -1324,9 +1430,11 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       if (outerProjections.isEmpty && dims.isEmpty && plainAggCols.isEmpty && inlineAggs.isEmpty)
         s"SELECT 1 AS __one" // frames carry all values; single anchor row
       else s"SELECT $outerSelect FROM $outerFrom$outerWhereSql$outerGroupSql"
-    cteList += s"$outerName AS ($outerBody)"
-
+    // frames BEFORE __outer: the multi-fact dedup pushdown may source the
+    // outer's DISTINCT dim sets from frame CTEs, and a WITH item can only
+    // reference items defined before it
     for ((_, f) <- frames) cteList += s"${f.cte} AS (${f.sql})"
+    if (directJoin.isEmpty) cteList += s"$outerName AS ($outerBody)"
     sb.append(cteList.mkString(", "))
 
     // ORDER-BY-position subqueries: Spark's analyzer rejects subqueries in
@@ -1381,12 +1489,16 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           inner.append(s", ($expr) AS __ord$ordN")
           s"__ord$ordN$dir"
         }
-        inner.append(s" FROM $outerName")
-        for ((_, f) <- frames) {
-          f.joinOn match {
-            case Some(on) => inner.append(s" LEFT JOIN ${f.cte} ON $on")
-            case None => inner.append(s" LEFT JOIN ${f.cte} ON true")
-          }
+        directJoin match {
+          case Some((fromSql, _)) => inner.append(s" FROM $fromSql")
+          case None =>
+            inner.append(s" FROM $outerName")
+            for ((_, f) <- frames) {
+              f.joinOn match {
+                case Some(on) => inner.append(s" LEFT JOIN ${f.cte} ON $on")
+                case None => inner.append(s" LEFT JOIN ${f.cte} ON true")
+              }
+            }
         }
         havingRendered.foreach(h => inner.append(s" WHERE $h"))
         sb.append(s" SELECT ${names.mkString(", ")} FROM ($inner) __sort$u")
@@ -1395,18 +1507,31 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       case None =>
         sb.append(" ")
         sb.append(inner)
-        sb.append(s" FROM $outerName")
-        for ((_, f) <- frames) {
-          f.joinOn match {
-            case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
-            case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
-          }
+        directJoin match {
+          case Some((fromSql, _)) => sb.append(s" FROM $fromSql")
+          case None =>
+            sb.append(s" FROM $outerName")
+            for ((_, f) <- frames) {
+              f.joinOn match {
+                case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
+                case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
+              }
+            }
         }
         havingRendered.foreach(h => sb.append(s" WHERE $h"))
         orderRendered.foreach(o => sb.append(s" ORDER BY $o"))
         clauses.limitText.foreach(l => sb.append(s" $l"))
     }
-    Some(sb.toString)
+    directJoin match {
+      case Some((_, repl)) =>
+        // the select/order text was rendered against __outer columns;
+        // point those refs at the frame keys instead
+        Some(repl.foldLeft(sb.toString) { case (t, (k, v)) =>
+          t.replaceAll(java.util.regex.Pattern.quote(k) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(v))
+        })
+      case None => Some(sb.toString)
+    }
   }
 
   /** Paper Listing 12: an ungrouped query whose WHERE contains measure

@@ -48,11 +48,22 @@ class PlanAuditSuite extends SparkSpec {
   }
 
   test("multi-fact dedup pushdown produces no row-explosion join") {
+    // simple shape: direct frame join (aggregate-then-join) — no __outer
+    // CTE, each fact scanned once
     val expanded = engine.expandSql(
       "SELECT o.yr, AGGREGATE(total_price) AS tp, AGGREGATE(li_rev) AS lr " +
         "FROM ord_v o JOIN li_y l ON o.yr = l.yr")
-    assert(expanded.contains("SELECT DISTINCT"),
-      s"expected DISTINCT-pruned join sides, got: $expanded")
+    assert(!expanded.contains("__outer"),
+      s"expected direct frame join without an __outer CTE, got: $expanded")
+    assert("(?i)JOIN __f".r.findFirstIn(expanded).isDefined,
+      s"expected frames joined directly, got: $expanded")
+    // with an outer WHERE the general path stands, and its join sides must
+    // still be DISTINCT-pruned (no row explosion before the GROUP BY)
+    val guarded = engine.expandSql(
+      "SELECT o.yr, AGGREGATE(total_price) AS tp, AGGREGATE(li_rev) AS lr " +
+        "FROM ord_v o JOIN li_y l ON o.yr = l.yr WHERE o.yr > 1995")
+    assert(guarded.contains("SELECT DISTINCT"),
+      s"expected DISTINCT-pruned join sides, got: $guarded")
   }
 
   test("outer WHERE is pushed into the base scan") {
