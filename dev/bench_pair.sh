@@ -20,10 +20,12 @@ OUT="${2:-/tmp/bench_pair_$(basename "$SF_DIR").json}"
 WORK="$(mktemp -d /tmp/bench_pair.XXXXXX)"
 trap 'rm -rf "$WORK"' EXIT
 
-# 1. engine run (writes its one-line JSON to stdout; stderr = tripwire log)
+# 1. engine run (one-line JSON on stdout; sbt prefixes it with [info], so
+#    extract rather than anchor; stderr = tripwire log)
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" \
-  2>"$WORK/engine.err" | grep -E '^\{"metric"' > "$WORK/engine.json"
+  2>"$WORK/engine.err" | grep -oE '\{"metric".*' | tail -1 > "$WORK/engine.json"
 cat "$WORK/engine.err" >&2 || true
+[ -s "$WORK/engine.json" ] || { echo "bench_pair: no engine JSON" >&2; exit 1; }
 
 # 2. dump the oracle SQL (Verify writes oracle_sql.json alongside results);
 #    reuse an existing dump when present to avoid a second sbt JVM.

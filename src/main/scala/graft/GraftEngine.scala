@@ -31,6 +31,8 @@ final class GraftEngine(val spark: SparkSession) {
   // fact-side scans at 100 TB. Idempotent across engine instances.
   if (!spark.experimental.extraOptimizations.contains(graft.plans.EagerAggregation))
     spark.experimental.extraOptimizations ++= Seq(graft.plans.EagerAggregation)
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.EagerGroupingSets))
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.EagerGroupingSets)
 
   val catalog = new MeasureCatalog
 

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -30,7 +30,13 @@ import org.apache.spark.sql.types.DecimalType
   * itself is unconditional and is what pays on a real cluster.
   *
   * Safety gates (each measured, not assumed):
-  *  - inner equi-joins only, every conjunct a column=column equality;
+  *  - inner/left/right equi-joins only, every conjunct a column=column
+  *    equality. Outer joins (Yan & Larson's outer cases) add two gates:
+  *    pushing the null-supplying side requires every aggregate input to be
+  *    NULL on a null-extended row (attribute or null-intolerant tree —
+  *    blocks COUNT(*) and COALESCE-style inputs); pushing the preserved
+  *    side needs nothing extra (unmatched keys collapse M null-extended
+  *    rows into one pre-aggregated row in the same all-NULL group);
   *  - LEAF-side pushes only — the target subtree must contain no Join.
   *    Pushing into a join-bearing subtree merely re-aggregates that join's
   *    output (measured +25% on a 3-join tree) since nothing upstream
@@ -61,7 +67,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
       // aggregate's expressions reference the join's attributes either way,
       // and the rewritten sides re-derive their own pruning)
       case agg @ Aggregate(grouping, aggExprs, PlanWithJoin(join), _)
-          if join.joinType == Inner && join.condition.isDefined && grouping.nonEmpty =>
+          if (join.joinType == Inner || join.joinType == LeftOuter ||
+              join.joinType == RightOuter) &&
+            join.condition.isDefined && grouping.nonEmpty =>
         val conjuncts = splitConjunctivePredicates(join.condition.get)
         rewrite(grouping, aggExprs, join, conjuncts, pushLeft = true)
           .orElse(rewrite(grouping, aggExprs, join, conjuncts, pushLeft = false))
@@ -86,6 +94,18 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
                       join: Join, conjuncts: Seq[Expression],
                       pushLeft: Boolean): Option[(Seq[NamedExpression], Join)] = {
     val (target, other) = if (pushLeft) (join.left, join.right) else (join.right, join.left)
+    // Outer-join gates (Yan & Larson's outer-join cases). Pushing the
+    // PRESERVED side is safe with the inner-join gates: unmatched target
+    // keys collapse from M null-extended rows to one pre-aggregated row,
+    // but all those rows carry identical (all-NULL) grouping keys and the
+    // partials preserve the group totals. Pushing the NULL-SUPPLYING side
+    // is safe only when every aggregate reads a real column of that side:
+    // an unmatched preserved row then contributes a NULL partial, which
+    // SUM skips exactly as it skipped the null-extended inputs — but a
+    // reference-free COUNT(*)/COUNT(1) counts preserved rows themselves
+    // and would be undercounted, so it blocks the push.
+    val nullSupplying = (join.joinType == LeftOuter && !pushLeft) ||
+      (join.joinType == RightOuter && pushLeft)
     if (target.isInstanceOf[Aggregate]) return None // one push per side
     // leaf-side pushes only (no Join inside the target subtree): measured at
     // 100x, pre-aggregating a scan side by its join key wins 2.2x (9.6 s ->
@@ -107,9 +127,23 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
 
     val aggCalls = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     if (aggCalls.isEmpty) return None
+    // Null-supplying pushes additionally require the aggregate input to
+    // evaluate to NULL on a null-extended row (all target columns NULL):
+    // the pre-aggregate replaces "evaluate the input over null-extended
+    // columns" with a NULL partial, and SUM/COUNT skip both the same way
+    // ONLY if the input was null too. An attribute is null on the row; a
+    // null-intolerant expression is null if any child is; anything else
+    // (COALESCE, IS NULL, CASE, literals) could produce a value from
+    // nulls and blocks the push.
+    def nullOnNullRow(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case _ if e.nullIntolerant => e.children.exists(nullOnNullRow)
+      case _ => false
+    }
     def pushable(ae: AggregateExpression): Boolean =
       ae.filter.isEmpty && !ae.isDistinct &&
         !ae.dataType.isInstanceOf[DecimalType] &&
+        (!nullSupplying || ae.aggregateFunction.children.exists(nullOnNullRow)) &&
         (ae.aggregateFunction match {
           case Sum(c, _) => c.references.subsetOf(target.outputSet)
           case c: Count => c.references.subsetOf(target.outputSet)

@@ -100,7 +100,7 @@ class EagerAggSuite extends SparkSpec {
     assert(plan.contains("__graft_partial"), s"AVG push did not fire:\n$plan")
   }
 
-  test("ineligible shapes are untouched: integral AVG, DISTINCT, left join, global agg") {
+  test("ineligible shapes are untouched: integral AVG, DISTINCT, COUNT(*)-into-null-side, global agg") {
     for (sql <- Seq(
       // AVG over an integral column is NOT pushed: Average accumulates a
       // double sum, an exact long partial would differ by ULPs
@@ -111,8 +111,14 @@ class EagerAggSuite extends SparkSpec {
       """SELECT o.o_orderpriority, COUNT(DISTINCT l.l_partkey) AS dp
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
-      // outer join blocks the push
-      """SELECT o.o_orderpriority, SUM(l.l_quantity) AS q
+      // COUNT(*) counts preserved rows of the LEFT join — pushing the
+      // null-supplying side would undercount them
+      """SELECT o.o_orderpriority, COUNT(*) AS n
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+      // a COALESCE input produces a value from a null-extended row —
+      // the NULL partial would silently drop it
+      """SELECT o.o_orderpriority, SUM(COALESCE(l.l_quantity, 5)) AS q
         |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin,
       // global aggregate (no GROUP BY) keeps empty-input COUNT semantics
@@ -123,6 +129,42 @@ class EagerAggSuite extends SparkSpec {
       assert(!plan.contains("__graft_partial"), s"rule fired on ineligible shape:\n$sql\n$plan")
       assertEquivalent(sql)
     }
+  }
+
+  test("LEFT join: null-supplying side pushes when inputs are null-intolerant") {
+    // lineitem is the null-supplying side; SUM/COUNT over its columns skip
+    // unmatched orders exactly as the null-extended inputs did
+    val sql =
+      """SELECT o.o_orderpriority, SUM(l.l_quantity * 2 + l.l_linenumber) AS q,
+        |       COUNT(l.l_partkey) AS np
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin
+    assertEquivalent(sql)
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    assert(plan.contains("__graft_partial"), s"null-supplying push did not fire:\n$plan")
+  }
+
+  test("LEFT join: preserved side pushes with COUNT(*) (unmatched keys collapse safely)") {
+    // orders is preserved; grouping keys come from the null-supplying side,
+    // so unmatched orders land in the all-NULL group either way
+    val sql =
+      """SELECT l.l_linestatus, SUM(o.o_totalprice) AS tp, COUNT(*) AS n
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY l.l_linestatus""".stripMargin
+    assertEquivalent(sql)
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    assert(plan.contains("__graft_partial"), s"preserved-side push did not fire:\n$plan")
+  }
+
+  test("RIGHT join mirrors the LEFT-join gates") {
+    assertEquivalent(
+      """SELECT o.o_orderpriority, SUM(l.l_quantity) AS q
+        |FROM lineitem l RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin)
+    assertEquivalent(
+      """SELECT l.l_linestatus, SUM(o.o_totalprice) AS tp, COUNT(*) AS n
+        |FROM lineitem l RIGHT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY l.l_linestatus""".stripMargin)
   }
 
   test("measure engine results are unchanged with the gate forced open") {
@@ -161,17 +203,23 @@ class EagerAggSuite extends SparkSpec {
       val aliases = ts.zipWithIndex.map { case (t, i) => s"$t a$i" }
       val joins = (1 until nTables).map { i =>
         val l = rnd.nextInt(i)
-        s"JOIN ${aliases(i)} ON a$l.k${1 + rnd.nextInt(2)} = a$i.k${1 + rnd.nextInt(2)}"
+        val jt = rnd.nextInt(4) match {
+          case 0 => "LEFT JOIN"
+          case 1 => "RIGHT JOIN"
+          case _ => "JOIN"
+        }
+        s"$jt ${aliases(i)} ON a$l.k${1 + rnd.nextInt(2)} = a$i.k${1 + rnd.nextInt(2)}"
       }
       val groupCol = s"a${rnd.nextInt(nTables)}.g"
       val aggs = (0 to rnd.nextInt(2)).map { j =>
         val at = rnd.nextInt(nTables)
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => s"SUM(a$at.v1) AS c$j"
           case 1 => s"SUM(a$at.v1 * 2 + a$at.v2) AS c$j"
           case 2 => s"COUNT(a$at.v2) AS c$j"
           case 3 => s"COUNT(*) AS c$j"
           case 4 => s"AVG(a$at.v1) AS c$j"
+          case 5 => s"SUM(COALESCE(a$at.v1, 7)) AS c$j" // null-intolerance gate
           case _ => s"${if (rnd.nextBoolean()) "MIN" else "MAX"}(a$at.v2) AS c$j"
         }
       }
