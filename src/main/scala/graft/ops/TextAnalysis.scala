@@ -171,9 +171,16 @@ object TextAnalysis {
   }
 
   /** Deterministic 64-bit document fingerprint (content hash over
-    * whitespace-normalized lowercase text) — the exact-dedup key.
+    * whitespace-normalized lowercase text) — the exact-dedup key. The
+    * fused codegen expression is bit-identical to [[fingerprintComposed]]
+    * (fenced in TextStatsSuite) without the regex NFA and the three
+    * intermediate strings per row.
     */
   def fingerprint(text: Column): Column =
+    graft.functions.NormFingerprintExpr.normFingerprint(text)
+
+  /** The composed formulation, kept as the equivalence-fence reference. */
+  private[graft] def fingerprintComposed(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every char

@@ -166,4 +166,23 @@ class TextStatsSuite extends SparkSpec {
     val projects = optimized.linesIterator.count(_.trim.startsWith("Project"))
     assert(projects <= 3, s"unexpected project explosion:\n$optimized")
   }
+
+  test("norm_fingerprint: bit-identical to the composed xxhash64 formulation") {
+    import spark.implicits._
+    // adversarial strings: ws runs,control chars, unicode case, surrogates,
+    // empty, only-whitespace, leading/trailing mixes
+    val advers = Seq(
+      "", " ", "\t\n", "  a  B\tc\u000Bd  ", "\u00C9t\u00E9  \u0130stanbul",
+      "already normalized", "Tabs\tand\nnewlines\r\f", "  lead", "trail  ",
+      "\uD83D\uDE00  EMOJI \uD83D\uDE00", "a b", "A  B", "\u000B", "x",
+      "mixed \t CASE \n text")
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    val out = df.select(
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fused"),
+      graft.ops.TextAnalysis.fingerprintComposed(col("text")).as("composed")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1), s"row $i: fused=${r.getLong(0)} composed=${r.getLong(1)}")
+    }
+  }
 }
