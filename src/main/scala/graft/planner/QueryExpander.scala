@@ -1198,6 +1198,54 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       cteList += s"${p.vbase} AS (SELECT $baseName.* FROM $baseName$joins WHERE ${p.rendered})"
     }
 
+    // Single-fact decomposable AT-frame derivation: an AT (ALL)/(ALL dim)
+    // frame over the unfiltered base whose aggregates are decomposable
+    // (SUM/COUNT/MIN/MAX) re-aggregates what the visible inline aggregate
+    // already computed per dim combination — so derive it from __outer
+    // (`SELECT keys, SUM(__aN) FROM __outer GROUP BY keys`) instead of
+    // rescanning the fact table. Cuts one full base scan per AT context;
+    // COUNT re-aggregates as SUM of group counts. Float SUMs change
+    // summation order exactly as Spark's own partial aggregation does.
+    // The inline aggregate is created here if no visible call asked for
+    // it (one more column on the existing outer scan is free).
+    val derivedFrameSql: Map[String, String] =
+      if (!singleFact || rowWhere.isDefined || viewPredicates.nonEmpty ||
+          outerWhere.nonEmpty || groupWrapper.nonEmpty || clauses.having.nonEmpty ||
+          clauses.distinct || dims.isEmpty) Map.empty
+      else {
+        val primaryBase = s"__base${u}_${primaryView.viewName.toLowerCase.replaceAll("\\W", "_")}"
+        val dimByNorm: Map[String, String] = dims.map(d =>
+          Scan.norm(substToBase(d.queryExpr, primaryView, primaryAliases)) -> d.outName).toMap
+        val headRe = "(?is)^\\s*(SUM|COUNT|MIN|MAX)\\s*\\((?!\\s*DISTINCT\\b)".r
+        frames.toList.flatMap { case (sig, f) =>
+          val parts = sig.split("§", -1)
+          val eligible = !f.isWindow && f.whereSql.isEmpty &&
+            parts.lift(1).contains(primaryBase) && parts.lift(3).contains("") &&
+            f.innerKeys.forall(k => dimByNorm.contains(Scan.norm(k))) &&
+            f.values.forall { case (_, (expr, guard)) =>
+              guard.isEmpty && headRe.findFirstIn(expr).isDefined }
+          if (!eligible) None
+          else {
+            val keyCols = f.innerKeys.zipWithIndex.map { case (k, i) =>
+              s"${dimByNorm(Scan.norm(k))} AS __k$i" }
+            val valCols = f.values.map { case (col, (expr, _)) =>
+              val head = headRe.findFirstIn(expr).get.trim.takeWhile(_.isLetter).toUpperCase
+              val reagg = if (head == "COUNT") "SUM" else head
+              val sig2 = "inline:" + Scan.norm(expr)
+              val (inlineCol, _) = inlineAggs.getOrElseUpdate(sig2,
+                { inlineCounter += 1; (s"__a$inlineCounter", expr) })
+              s"$reagg($inlineCol) AS $col"
+            }
+            val groupSql =
+              if (f.innerKeys.isEmpty) ""
+              else " GROUP BY " + f.innerKeys.indices.map(i =>
+                dimByNorm(Scan.norm(f.innerKeys(i)))).mkString(", ")
+            Some(f.cte ->
+              s"SELECT ${(keyCols ++ valCols).mkString(", ")} FROM $outerName$groupSql")
+          }
+        }.toMap
+      }
+
     // __outer
     val outerProjections = scala.collection.mutable.ListBuffer[String]()
     val outerGroupKeys = scala.collection.mutable.ListBuffer[String]()
@@ -1430,11 +1478,14 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       if (outerProjections.isEmpty && dims.isEmpty && plainAggCols.isEmpty && inlineAggs.isEmpty)
         s"SELECT 1 AS __one" // frames carry all values; single anchor row
       else s"SELECT $outerSelect FROM $outerFrom$outerWhereSql$outerGroupSql"
-    // frames BEFORE __outer: the multi-fact dedup pushdown may source the
-    // outer's DISTINCT dim sets from frame CTEs, and a WITH item can only
-    // reference items defined before it
-    for ((_, f) <- frames) cteList += s"${f.cte} AS (${f.sql})"
+    // base-scan frames BEFORE __outer (the multi-fact dedup pushdown may
+    // source the outer's DISTINCT dim sets from them); outer-derived
+    // frames AFTER it — a WITH item can only reference earlier items
+    for ((_, f) <- frames if !derivedFrameSql.contains(f.cte))
+      cteList += s"${f.cte} AS (${f.sql})"
     if (directJoin.isEmpty) cteList += s"$outerName AS ($outerBody)"
+    for ((_, f) <- frames if derivedFrameSql.contains(f.cte))
+      cteList += s"${f.cte} AS (${derivedFrameSql(f.cte)})"
     sb.append(cteList.mkString(", "))
 
     // ORDER-BY-position subqueries: Spark's analyzer rejects subqueries in
