@@ -147,6 +147,10 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
         (ae.aggregateFunction match {
           case Sum(c, _) => c.references.subsetOf(target.outputSet)
           case c: Count => c.references.subsetOf(target.outputSet)
+          // MIN/MAX are duplicate-insensitive: the join fan-out that SUM
+          // compensates for via re-summing partials is simply invisible
+          case Min(c) => c.references.subsetOf(target.outputSet)
+          case Max(c) => c.references.subsetOf(target.outputSet)
           // AVG decomposes to pushed SUM+COUNT. Restricted to float/double
           // inputs: there Average's own buffer already accumulates a double
           // sum, so the rewrite performs the SAME arithmetic (modulo the
@@ -193,6 +197,10 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper {
           // gate fired. With a grouping present the group is never empty, so
           // the coalesce only restores the nullability contract.
           case _: Count => Coalesce(Seq(summed, Literal(0L)))
+          case _: Min => AggregateExpression(
+            Min(partials(ae.canonicalized).toAttribute), Complete, isDistinct = false)
+          case _: Max => AggregateExpression(
+            Max(partials(ae.canonicalized).toAttribute), Complete, isDistinct = false)
           // AVG = sum-of-partial-sums / sum-of-partial-counts. Double
           // division: a 0 count pairs with a NULL sum -> NULL (and double
           // division never raises, ANSI included)

@@ -66,6 +66,27 @@ object StreamingMeasures {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming incremental document dedup — the live form of
+    * `Dedup.incrementalDedup`: a stream of crawled documents is
+    * fingerprinted (same fused norm_fingerprint as the batch path, so
+    * batch-built indexes and the stream agree byte-for-byte), first-seen
+    * fingerprints within the stream pass (dropDuplicates state, bounded
+    * by the watermark), and survivors are anti-joined against the static
+    * historical index — a stream-static join Spark executes per
+    * micro-batch with the index on the build side. At scale the index is
+    * a parquet table bucketed by `fp` (ScaleLayout), so the per-batch
+    * join is co-located; state size is bounded by distinct fingerprints
+    * per watermark window, never corpus-sized.
+    */
+  def streamingIncrementalDedup(docs: DataFrame, index: DataFrame,
+                                tsCol: String = "ts", textCol: String = "text",
+                                watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(index.select("fp"), Seq("fp"), "left_anti")
+
   /** Convenience: run a windowed-measure stream from memory source to an
     * in-memory sink for tests/demos; returns the query name to poll.
     */

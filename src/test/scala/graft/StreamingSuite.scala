@@ -145,4 +145,39 @@ class StreamingSuite extends SparkSpec {
       assert(got == batch, "streaming state must equal the batch sketch")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup converges to the batch incrementalDedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // history: first 20 docs of the corpus; stream: docs 10-49 in doc_id
+    // order across two micro-batches (first-arrived == min doc_id, the
+    // batch keeper rule), so stream survivors must equal the batch op's
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(50).collect()
+    val history = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.take(20).toSeq), docs.head.schema)
+    val index = graft.ops.Dedup.fingerprintIndex(history)
+    index.createOrReplaceTempView("si_index")
+    val indexDf = spark.table("si_index")
+
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val stream = src.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingMeasures.streamingIncrementalDedup(stream, indexDf)
+    val q = out.writeStream.format("memory").queryName("sincr_out").outputMode("append").start()
+    try {
+      val batchRows = docs.slice(10, 50)
+      val (b1, b2) = batchRows.splitAt(25)
+      src.addData(b1.zipWithIndex.map { case (r, i) => (ts(i), r.getLong(0), r.getString(1)) }.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(b2.zipWithIndex.map { case (r, i) => (ts(30 + i), r.getLong(0), r.getString(1)) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM sincr_out").collect().map(_.getLong(0)).toSet
+
+      val batchInput = spark.createDataFrame(
+        spark.sparkContext.parallelize(batchRows.toSeq), docs.head.schema)
+      val want = graft.ops.Dedup.incrementalDedup(batchInput, indexDf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
+    } finally q.stop()
+  }
 }
