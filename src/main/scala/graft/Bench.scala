@@ -18,17 +18,17 @@ object Bench {
     "d_exact", "d_minhash", "s_knn", "t_tokens", "t_analysis"
   )
 
-  /** Previous round's per-query seconds (r5 artifact, d_minhash replaced by
-    * its clean re-run — the committed cell was a contention outlier). Used
-    * only as the contention-tripwire reference, never in reported numbers.
+  /** Previous clean-window per-query seconds (round-7 paired run,
+    * dev/bench_pair_sf01_r7.json). Used only as the contention-tripwire
+    * reference, never in reported numbers.
     */
   val priorRound: Map[String, Double] = Map(
-    "m_agg_basic" -> 0.315, "m_agg_twodim" -> 0.235, "m_at_all_pct" -> 0.425,
-    "m_at_all_dim" -> 0.407, "m_at_set_yoy" -> 0.250, "m_countdistinct" -> 0.458,
-    "m_median" -> 0.312, "m_rollup" -> 0.369, "m_multifact" -> 0.414,
-    "q_tpch1" -> 0.236, "q_join_agg" -> 0.764, "q_window_fn" -> 0.528,
-    "q_cube" -> 0.309, "d_exact" -> 0.343, "d_minhash" -> 0.824,
-    "s_knn" -> 0.538, "t_tokens" -> 0.505, "t_analysis" -> 0.646)
+    "m_agg_basic" -> 0.246, "m_agg_twodim" -> 0.220, "m_at_all_pct" -> 0.336,
+    "m_at_all_dim" -> 0.403, "m_at_set_yoy" -> 0.286, "m_countdistinct" -> 0.293,
+    "m_median" -> 0.175, "m_rollup" -> 0.276, "m_multifact" -> 0.314,
+    "q_tpch1" -> 0.208, "q_join_agg" -> 0.413, "q_window_fn" -> 0.248,
+    "q_cube" -> 0.142, "d_exact" -> 0.443, "d_minhash" -> 0.904,
+    "s_knn" -> 0.312, "t_tokens" -> 0.190, "t_analysis" -> 0.244)
 
   /** Input-split sizing, scoped per query. The 128 MB default split puts a
     * whole 100 MB table in ONE input partition — the scan+join+partial-agg
