@@ -248,6 +248,12 @@ object SparkEntry {
         "FROM ord_v o JOIN li_y l ON o.yr = l.yr ORDER BY o.yr"),
     "m_window" -> m(
       "SELECT yr, ROUND(AGGREGATE(yr_qty), 2) AS yr_qty FROM win_v ORDER BY yr"),
+    // set-operation expansion: each UNION branch is an independent
+    // measure query (WITH prefixes hoisted, union tail re-attached)
+    "m_union" -> m(
+      "SELECT l_returnflag AS k, ROUND(AGGREGATE(revenue), 2) AS v FROM li_v GROUP BY l_returnflag " +
+        "UNION ALL SELECT l_linestatus, ROUND(AGGREGATE(revenue), 2) FROM li_v GROUP BY l_linestatus " +
+        "ORDER BY k, v"),
     // QUALIFY rewrite (hoist predicate over the nested post-aggregation
     // result, filter, project away) composed with measure expansion
     "m_qualify" -> m(
@@ -1117,6 +1123,10 @@ object SparkEntry {
     "m_window" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS yr, round(SUM(l_quantity), 2) AS yr_qty " +
         "FROM lineitem GROUP BY year(l_shipdate) ORDER BY yr"),
+    "m_union" ->
+      (s"SELECT l_returnflag AS k, round(SUM($rev), 2) AS v FROM lineitem GROUP BY l_returnflag " +
+        s"UNION ALL SELECT l_linestatus, round(SUM($rev), 2) FROM lineitem GROUP BY l_linestatus " +
+        "ORDER BY k, v"),
     // DuckDB has native QUALIFY — the oracle uses it directly
     "m_qualify" ->
       ("SELECT ship_year, l_returnflag, year_qty FROM " +

@@ -491,20 +491,25 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     out.toList
   }
 
-  /** Replace call spans and map residual dim/alias tokens to __outer refs. */
+  /** Replace call spans and map residual dim/alias tokens to __outer refs.
+    * `gapTransform` runs on the text BETWEEN call spans before token
+    * mapping (used to substitute whole expression-dim spans, which a
+    * per-token map cannot see).
+    */
   private def renderWithReplacements(text: String, spans: List[(Int, Int, String)],
-                                     tokenMap: String => Option[String]): String = {
+                                     tokenMap: String => Option[String],
+                                     gapTransform: String => String = identity): String = {
     val sorted = spans.sortBy(_._1)
     val sb = new StringBuilder
     var pos = 0
     for ((s, e, rep) <- sorted) {
       if (s >= pos) {
-        sb.append(mapTokens(text.substring(pos, s), tokenMap))
+        sb.append(mapTokens(gapTransform(text.substring(pos, s)), tokenMap))
         sb.append(rep)
         pos = e
       }
     }
-    sb.append(mapTokens(text.substring(pos), tokenMap))
+    sb.append(mapTokens(gapTransform(text.substring(pos)), tokenMap))
     sb.toString
   }
 
@@ -564,9 +569,120 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
   }
 
   // The main single-statement expansion.
+  /** Expand measure queries in the branches of a top-level set operation
+    * (`SELECT … UNION [ALL] SELECT …`). Each branch expands independently
+    * (every expansion mints unique CTE names), the WITH prefixes are
+    * hoisted and concatenated ahead of the whole union, and the union's
+    * trailing ORDER BY/LIMIT — which a branch cannot own without parens —
+    * is re-attached at the end. Parenthesized branches with calls and
+    * statements with their own user WITH stay on the passthrough path.
+    */
+  private def expandSetOp(stmt: String, cteNames: Set[String]): Option[String] = {
+    val mask = Scan.buildMask(stmt)
+    // locate every top-level set operator (with its optional ALL/DISTINCT)
+    case class Op(start: Int, end: Int, text: String)
+    val ops = scala.collection.mutable.ListBuffer[Op]()
+    for (kw <- Seq("UNION", "INTERSECT", "EXCEPT")) {
+      var from = 0
+      var p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
+      while (p >= 0) {
+        var e = p + kw.length
+        var j = e
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        for (mod <- Seq("ALL", "DISTINCT"))
+          if (stmt.regionMatches(true, j, mod, 0, mod.length) &&
+              (j + mod.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + mod.length))))
+            e = j + mod.length
+        ops += Op(p, e, stmt.substring(p, e))
+        from = e
+        p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
+      }
+    }
+    if (ops.isEmpty) return None
+    val sorted = ops.sortBy(_.start).toList
+    val bounds = (0 :: sorted.map(_.end)) zip (sorted.map(_.start) :+ stmt.length)
+    val branchesRaw = bounds.map { case (s, e) => stmt.substring(s, e).trim }
+
+    // the union tail (ORDER BY/LIMIT/OFFSET) lives syntactically in the
+    // last branch but belongs to the whole union
+    val last = branchesRaw.last
+    val lm = Scan.buildMask(last)
+    val tailPos = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(k => Scan.findTopLevelWord(last, lm, k, 0, last.length))
+      .filter(_ >= 0).sorted.headOption
+    val (lastBody, unionTail) = tailPos match {
+      case Some(p) => (last.substring(0, p).trim, " " + last.substring(p).trim)
+      case None => (last, "")
+    }
+    val branches = branchesRaw.init :+ lastBody
+
+    def hasCall(b: String): Boolean = {
+      val bm = Scan.buildMask(b)
+      AtParser.extractCalls(b, bm, 0, b.length).nonEmpty
+    }
+    // scope guard: parenthesized branches with calls keep the old path
+    if (branches.exists(b => b.startsWith("(") && hasCall(b))) return None
+
+    var any = false
+    val expandedBranches = branches.map { b =>
+      if (b.startsWith("(")) b
+      else expandSelect(b, cteNames) match {
+        case Some(e) => any = true; e
+        case None => b
+      }
+    }
+    if (!any) return None
+
+    // hoist each expanded branch's WITH prefix (generated CTE names are
+    // globally unique, so concatenation cannot collide)
+    def splitWith(sql: String): (List[String], String) = {
+      val m = Scan.buildMask(sql)
+      if (!sql.regionMatches(true, 0, "WITH", 0, 4) ||
+          (sql.length > 4 && Scan.isIdentChar(sql.charAt(4)))) return (Nil, sql)
+      val ctes = scala.collection.mutable.ListBuffer[String]()
+      var i = 4
+      var more = true
+      while (more) {
+        val start = {
+          var j = i
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          j
+        }
+        // walk to the cte body's closing paren at depth 0
+        var j = start
+        var depth = 0
+        var opened = false
+        var end = -1
+        while (end < 0 && j < sql.length) {
+          if (!m(j)) {
+            val c = sql.charAt(j)
+            if (c == '(') { depth += 1; opened = true }
+            else if (c == ')') { depth -= 1; if (opened && depth == 0) end = j + 1 }
+          }
+          j += 1
+        }
+        if (end < 0) return (Nil, sql) // malformed; leave whole
+        ctes += sql.substring(start, end).trim
+        var k = end
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && sql.charAt(k) == ',') { i = k + 1 }
+        else { more = false; i = k }
+      }
+      (ctes.toList, sql.substring(i))
+    }
+
+    val parts = expandedBranches.map(splitWith)
+    val allCtes = parts.flatMap(_._1)
+    val bodies = parts.map(_._2.trim)
+    val joined = bodies.head + sorted.zip(bodies.tail)
+      .map { case (op, b) => s" ${op.text} $b" }.mkString
+    val prefix = if (allCtes.isEmpty) "" else s"WITH ${allCtes.mkString(", ")} "
+    Some(prefix + joined + unionTail)
+  }
+
   private def expandSelect(stmt: String, cteNames: Set[String] = Set.empty): Option[String] = {
     val clauses = SqlClauses.parse(stmt).getOrElse(return None)
-    if (clauses.hasSetOp) return None
+    if (clauses.hasSetOp) return expandSetOp(stmt, cteNames)
     if (clauses.qualify.isDefined) {
       // always Some — even a measure-free query needs the rewrite for
       // Spark to parse it
@@ -726,6 +842,34 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     }
 
     val itemAliases: Set[String] = items.flatMap(_.alias).map(_.toLowerCase).toSet
+    /** Substitute whole expression-dim spans (`MONTH(order_date)` when
+      * grouped by that expression) with the outer dim column — a per-token
+      * map cannot rewrite base-column references nested inside an
+      * expression the outer aggregated away. Exact-substring match at
+      * token boundaries, outside string literals; plain-column dims stay
+      * with the token map.
+      */
+    def replaceDimSpans(text: String): String = {
+      var t = text
+      for (d <- dims.sortBy(-_.queryExpr.length)
+           if SqlClauses.plainColumnName(d.queryExpr).isEmpty) {
+        val pat = d.queryExpr
+        val mask = Scan.buildMask(t)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < t.length) {
+          if (!mask(i) && t.regionMatches(true, i, pat, 0, pat.length) &&
+              (i == 0 || !Scan.isIdentChar(t.charAt(i - 1))) &&
+              (i + pat.length >= t.length || !Scan.isIdentChar(t.charAt(i + pat.length)))) {
+            sb.append(s"$outerName.${d.outName}")
+            i += pat.length
+          } else { sb.append(t.charAt(i)); i += 1 }
+        }
+        t = sb.toString
+      }
+      t
+    }
+
     def dimTokenMap(tok: String): Option[String] = {
       val stripped = Scan.stripQual(tok, allAliases)
       dims.find(d =>
@@ -1118,7 +1262,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           d match {
             case Some(ds) => s"$outerName.${ds.outName} AS ${ds.outName}"
             case None => // selected but not grouped (legal under GROUP BY with exprs)
-              mapTokens(it.text, dimTokenMap)
+              mapTokens(replaceDimSpans(it.text), dimTokenMap)
           }
         case "literal" => it.text
         case "plainagg" =>
@@ -1126,7 +1270,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           s"$outerName.$name AS $name"
         case "measure" =>
           val spans = it.calls.map(c => (c.start, c.end, planFrame(planCall(c))))
-          renderWithReplacements(it.text, spans, dimTokenMap)
+          renderWithReplacements(it.text, spans, dimTokenMap, replaceDimSpans)
       }
     }
 
@@ -1155,7 +1299,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       val m = Scan.buildMask(text)
       val calls = AtParser.extractCalls(text, m, 0, text.length)
       val spans = calls.map(c => (c.start, c.end, planFrame(planCall(c))))
-      renderWithReplacements(text, spans, dimTokenMap)
+      renderWithReplacements(text, spans, dimTokenMap, replaceDimSpans)
     }
     // HAVING without measure calls (plain aggregate condition) stays inside
     // __outer — for multi-fact queries the join FROM is __outer's input, so

@@ -648,4 +648,29 @@ class SemanticsSuite extends SparkSpec {
       """2022	10
         |2023	20""".stripMargin)
   }
+
+  test("set operations: each UNION branch expands; WITH prefixes hoisted; tail re-attached") {
+    // branch 1 grouped by month, branch 2 the grand total via AT (ALL)
+    checkGolden(engine.sql(
+      """SELECT CAST(MONTH(order_date) AS STRING) AS k, AGGREGATE(revenue) AS v
+        |FROM daily_orders_v GROUP BY MONTH(order_date)
+        |UNION ALL
+        |SELECT 'total', AGGREGATE(revenue) FROM daily_orders_v
+        |ORDER BY k""".stripMargin),
+      """1	250
+        |2	320
+        |3	270
+        |total	840""".stripMargin)
+    // EXCEPT with a measure branch; LIMIT belongs to the whole union
+    checkGolden(engine.sql(
+      """SELECT CAST(MONTH(order_date) AS INT) AS m FROM daily_orders_v GROUP BY 1
+        |EXCEPT SELECT 2 AS m ORDER BY m LIMIT 1""".stripMargin),
+      "1")
+    // mixed: measure branch UNION plain-SQL branch
+    checkGolden(engine.sql(
+      """SELECT 'm' AS k, AGGREGATE(revenue) AS v FROM daily_orders_v
+        |UNION ALL SELECT 'p', SUM(amount) FROM daily_orders ORDER BY k""".stripMargin),
+      """m	840
+        |p	840""".stripMargin)
+  }
 }
