@@ -705,6 +705,22 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val measureNames: Set[String] = measureViews.flatMap(t => catalog.get(t.name).toList)
       .flatMap(_.measureNamesLower).toSet
 
+    // call-site FILTER is not a measure operation in the reference either
+    // (FILTER lives in the measure DEFINITION, measures.test:2807-2823);
+    // fail with guidance instead of leaking a generated-SQL parse error
+    locally {
+      val sm = Scan.buildMask(stmt)
+      for (c <- AtParser.extractCalls(stmt, sm, 0, stmt.length)) {
+        var j = c.end
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        if (stmt.regionMatches(true, j, "FILTER", 0, 6) &&
+            (j + 6 >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + 6))))
+          throw new GraftException(
+            "FILTER on AGGREGATE() is not supported: put the FILTER in the measure " +
+              "definition (SUM(x) FILTER (WHERE ...) AS MEASURE m) or use AGGREGATE(m) AT (WHERE ...)")
+      }
+    }
+
     val singleFact = tables.length == 1 && measureViews.length == 1
     val primaryView = catalog.get(measureViews.head.name).get
     val primaryAliases = Set(measureViews.head.alias.toLowerCase, measureViews.head.name.toLowerCase)

@@ -673,4 +673,11 @@ class SemanticsSuite extends SparkSpec {
       """m	840
         |p	840""".stripMargin)
   }
+
+  test("call-site FILTER raises a guided error, not a generated-SQL parse error") {
+    val e = intercept[GraftException](engine.sql(
+      "SELECT MONTH(order_date) AS m, AGGREGATE(revenue) FILTER (WHERE amount > 100) AS r " +
+        "FROM daily_orders_v GROUP BY 1").collect())
+    assert(e.getMessage.contains("AT (WHERE"), e.getMessage)
+  }
 }
