@@ -146,32 +146,29 @@ object Dedup {
     // (measured: 277 s -> see PERF.md at 500k docs / 24.7M pairs). Jaccard
     // over fingerprints equals Jaccard over shingles absent a 64-bit
     // collision inside one pair's union (< 2^-48 for ~200-shingle docs).
+    // fused one-pass shingle fingerprints (functions.ShingleFpExpr) —
+    // bit-identical hash values to the composed
+    // array_distinct(transform(shingles(text), xxhash64)) formulation
+    // (fenced in PipelineGatesSuite), SORTED so pair verification below
+    // runs as a linear merge
     val shingled = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__sh", shingles(col("__text")))
+      .withColumn("__sh", graft.functions.ShingleFpExpr.shingleFp(col("__text"), 3))
       .filter(size(col("__sh")) > 0)
-      .select(col("doc_id"), transform(col("__sh"), s => xxhash64(s)).as("__sh"))
+      .select(col("doc_id"), col("__sh"))
       .persist()
 
-    // Signature via explode + per-seed MIN aggregate: higher-order-function
-    // lambdas run interpreted, but explode + hash + min are whole-stage
-    // codegen'd and get map-side partial aggregation — the scalable shape
-    // (shuffle is one row per doc, k longs wide).
-    val exploded = shingled.select(col("doc_id"), explode(col("__sh")).as("__s"))
-    val minCols = (0 until k).map(seed => min(xxhash64(col("__s"), lit(seed))).as(s"__m$seed"))
-    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bucket"))
-    }
-    // candidate generation runs on SLIM (doc_id, band, bucket) rows only —
-    // carrying the shingle arrays through the band explode would multiply
-    // the corpus payload x bands (measured: OOM of a shared 8 GB heap at
-    // 500k docs; the slim shape runs the same corpus in bounded memory).
-    // Shuffle on (band, bucket); cap runaway buckets. bucketed feeds BOTH
-    // sides of the candidate self-join — persist so the cap join runs once,
-    // not once per side
-    val slim = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
-      .select(col("doc_id"), col("__bk.band"), col("__bk.bucket"))
+    // Signature + band buckets fused per row (functions.MinHashBandsExpr,
+    // byte-identical hash chain to the explode + per-seed MIN + concat_ws
+    // formulation it replaces — fenced in PipelineGatesSuite): the
+    // signature never leaves its row, so the 100M-row explode and the
+    // k-column groupBy-min disappear; candidate generation's only shuffle
+    // is the slim (doc_id, band, bucket) exchange below. Cap runaway
+    // buckets. bucketed feeds BOTH sides of the candidate self-join —
+    // persist so the cap join runs once, not once per side.
+    val slim = shingled
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
+          .as(Seq("band", "bucket")))
     val bucketSizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
     val bucketed = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("band", "bucket"))
@@ -195,9 +192,10 @@ object Dedup {
       .join(shingled.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
         .hint("shuffle_hash"), "doc_id_b")
 
-    val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
-    val union = size(array_union(col("__sh_a"), col("__sh_b"))).cast("double")
-    pairs.withColumn("jaccard", round(inter / union, 6))
+    // sorted-merge jaccard: same value as size(intersect)/size(union) on
+    // the sorted-distinct fingerprint arrays, with no per-pair hash set
+    pairs.withColumn("jaccard",
+        round(graft.functions.SortedJaccardExpr.sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

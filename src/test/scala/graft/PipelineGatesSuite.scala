@@ -456,4 +456,60 @@ class PipelineGatesSuite extends SparkSpec {
     for ((id, _, want) <- cases)
       assert(got(id) == want, s"case $id: got ${got(id).replace("\n", "\\n")}")
   }
+
+  test("shingle_fp: bit-identical to composed shingle fingerprints; sorted_jaccard matches set ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val advers = Seq("", " ", "\t", "a", "a b", "a b c", "a b c d e",
+      "  Tabs\tand\nnewlines  ", "x \u000B y z w", "Repeat a b c a b c a b c",
+      "\u00C9t\u00E9 \u0130stanbul m\u00FCnchen stra\u00DFe")
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    val composed = array_sort(array_distinct(transform(
+      graft.ops.Dedup.shingles(col("text"), 3), s => xxhash64(s))))
+    val out = df.select(
+      graft.functions.ShingleFpExpr.shingleFp(col("text"), 3).as("fused"),
+      composed.as("ref")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"row $i: fused=${r.getSeq[Long](0).take(5)} ref=${r.getSeq[Long](1).take(5)}")
+    }
+    // sorted_jaccard == size(intersect)/size(union) on sorted-distinct arrays
+    val pairs = df.as("x").crossJoin(df.as("y")).limit(400)
+      .select(graft.functions.ShingleFpExpr.shingleFp(col("x.text"), 3).as("a"),
+        graft.functions.ShingleFpExpr.shingleFp(col("y.text"), 3).as("b"))
+    val cmp = pairs.select(
+      graft.functions.SortedJaccardExpr.sortedJaccard(col("a"), col("b")).as("merge"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("setop")).collect()
+    cmp.zipWithIndex.foreach { case (r, i) =>
+      val m = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val s2 = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      if (m == null || s2 == null) assert(m == s2 || (s2 != null && s2.isNaN), s"row $i: $m vs $s2")
+      else assert(m.doubleValue() == s2.doubleValue(), s"row $i: $m vs $s2")
+    }
+  }
+
+  test("minhash_bands: byte-identical to the explode + per-seed MIN + concat_ws formulation") {
+    import org.apache.spark.sql.functions._
+    val bands = 8; val rows = 4; val k = bands * rows
+    val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.functions.ShingleFpExpr.shingleFp(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val fused = sh.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
+          .as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exploded = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
+    val minCols = (0 until k).map(seed => min(xxhash64(col("__s"), lit(seed))).as(s"__m$seed"))
+    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*)).as("bucket"))
+    }
+    val ref = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused == ref, s"diff=${(fused diff ref).take(3)} / ${(ref diff fused).take(3)}")
+  }
 }
