@@ -219,10 +219,15 @@ object Dedup {
                         threshold: Double = 0.5, w: Int = 3,
                         maxDocFreq: Int = 1000): DataFrame = {
     // sh persisted: tok feeds both the doc-frequency count and the join,
-    // and without the cache the regex-heavy shingle computation runs per
-    // consumer. Both caches are process-lifetime (LRU-evicted) — batch
-    // callers may spark.catalog.clearCache() between corpora.
-    val sh = df.select(col(idCol).as("doc_id"), shingles(col(textCol), w).as("__sh"))
+    // and without the cache the shingle computation runs per consumer.
+    // Both caches are process-lifetime (LRU-evicted) — batch callers may
+    // spark.catalog.clearCache() between corpora. The index tokens are the
+    // fused 64-bit shingle FINGERPRINTS (one-pass, fenced bit-identical to
+    // hashing the shingle strings), so the inverted-index shuffle carries
+    // 8-byte keys, never shingle text — jaccard counts are identical
+    // absent a 64-bit collision inside one pair's union.
+    val sh = df.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleFpExpr.shingleFp(col(textCol), w).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist()
     val tok = sh.select(col("doc_id"), explode(col("__sh")).as("__s"))
