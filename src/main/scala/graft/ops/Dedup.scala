@@ -517,19 +517,28 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkWords >= 1, s"chunkWords $chunkWords must be >= 1")
     val k = chunkWords
+    // fused one-pass chunking (functions.ChunkWordsExpr) — string-identical
+    // to the composed split/slice/array_join formulation (fenced in
+    // PipelineGatesSuite) without the interpreted HOF transform
     val chunks = df.select(
       col(idCol),
-      expr(s"""explode(transform(sequence(0, (size(split(trim($textCol), '\\\\s+')) + ${k - 1}) DIV $k - 1),
-        i -> struct(i AS pos,
-          array_join(slice(split(trim($textCol), '\\\\s+'), i * $k + 1, $k), ' ') AS chunk)))""").as("c"))
-      .select(col(idCol), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-    val keepers = chunks.groupBy("chunk")
+      posexplode(graft.functions.ChunkWordsExpr.chunkWords(col(textCol), k))
+        .as(Seq("pos", "chunk")))
+    // keeper election and the join back are keyed on the chunk's 64-bit
+    // fingerprint, so both shuffles move (fp, id, pos) triples — the chunk
+    // TEXT stays map-side on the rebuild branch only. Jaccard-style
+    // equality via fp is exact absent a 64-bit collision between two
+    // distinct chunks in the corpus.
+    val withFp = chunks.withColumn("__cfp", xxhash64(col("chunk")))
+    val keepers = withFp.select(col("__cfp"), col(idCol), col("pos"))
+      .groupBy("__cfp")
       .agg(min(struct(col(idCol), col("pos"))).as("kp"))
-      .select(col("chunk"), col("kp").getField(idCol).as(idCol),
+      .select(col("__cfp"), col("kp").getField(idCol).as(idCol),
         col("kp").getField("pos").as("pos"))
-    val kept = chunks.join(keepers, Seq("chunk", idCol, "pos"))
+    val kept = withFp.join(keepers, Seq("__cfp", idCol, "pos"))
     df.select(col(idCol),
-        expr(s"(size(split(trim($textCol), '\\\\s+')) + ${k - 1}) DIV $k").cast("bigint").as("n_chunks"))
+        size(graft.functions.ChunkWordsExpr.chunkWords(col(textCol), k))
+          .cast("bigint").as("n_chunks"))
       .join(
         kept.groupBy(idCol).agg(
           count(lit(1)).as("n_kept"),

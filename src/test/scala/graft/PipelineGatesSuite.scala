@@ -512,4 +512,26 @@ class PipelineGatesSuite extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(fused == ref, s"diff=${(fused diff ref).take(3)} / ${(ref diff fused).take(3)}")
   }
+
+  test("chunk_words: string-identical to the composed split/slice/array_join formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 10
+    val advers = Seq("", " ", "\tlead", "trail\t", "one", "a b c d e f g h i j",
+      "a b c d e f g h i j k", "x\u000By  double  spaces\t\ttabs",
+      (1 to 35).map(i => s"w$i").mkString(" "))
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    val words = split(trim(col("text")), "\\s+")
+    val nChunks = floor((size(words) + lit(k - 1)) / lit(k)).cast("int")
+    val composed = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * k + 1, lit(k)), " "))
+    val out = df.select(
+      graft.functions.ChunkWordsExpr.chunkWords(col("text"), k).as("fused"),
+      composed.as("ref")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"row $i: fused=${r.getSeq[String](0).take(2)} ref=${r.getSeq[String](1).take(2)}")
+    }
+  }
 }
