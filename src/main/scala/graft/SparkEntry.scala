@@ -658,6 +658,12 @@ object SparkEntry {
     "t_sample" -> ((s, dir) =>
       Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25, seed = 7)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // weighted priority sampling: 50 docs, inclusion probability ∝ text
+    // length — integer priority (w << 30) DIV u, exact on any engine
+    "t_weighted" -> ((s, dir) =>
+      Sampling.weightedPrioritySample(docs(s, dir), k = 50,
+          greatest(length(col("text")), lit(1)), "doc_id", seed = 7)
+        .select("doc_id", "source", "priority").orderBy("doc_id")),
     // reproducible training-order shuffle: position 1..N in key-hash
     // order via distributed two-phase enumeration (bucket counts ->
     // prefix-sum -> per-bucket row_number); the oracle runs the single
@@ -1735,6 +1741,15 @@ object SparkEntry {
         |  FROM documents
         |) t WHERE (b * b + 7 * b) % 1000000007 < 250000001
         |ORDER BY doc_id""".stripMargin),
+    "t_weighted" ->
+      ("""SELECT doc_id, source, priority FROM (
+        |  SELECT doc_id, source,
+        |    (greatest(length(text), 1) * 1073741824) // (((b * b + 7 * b) % 1000000007) + 1) AS priority
+        |  FROM (SELECT doc_id, source, text,
+        |          ((doc_id & 1073741823) * 2654435761 + (doc_id >> 30) * 976369) % 1000000007 AS b
+        |        FROM documents) h
+        |  ORDER BY priority DESC, doc_id LIMIT 50
+        |) t ORDER BY doc_id""".stripMargin),
     // the global-window definition the two-phase enumeration equals
     "t_shuffle" ->
       ("""SELECT doc_id, row_number() OVER (

@@ -59,6 +59,34 @@ object Sampling {
                           seed: Long = 0L): DataFrame =
     df.where(hashBucket(col(keyCol), seed) < lit((fraction * P2).toLong))
 
+  /** Weighted priority sample (Duffield/Lund/Thorup priority sampling):
+    * keep the k rows with the largest priority w/u, u a per-row uniform
+    * derived from the key hash — inclusion probability grows ∝ weight, so
+    * "sample 50k documents weighted by token count" is one call. All
+    * arithmetic is INTEGER (priority = (w << 30) DIV u with u in
+    * [1, P2] and w ≤ 2^32, so the product stays inside BIGINT), which
+    * makes the selection deterministic, engine-replayable (exact DuckDB
+    * oracle), and nested the same way on every executor count.
+    *
+    * Scale shape: a narrow map computes the priority, then top-k runs as
+    * TakeOrdered (per-partition partial top-k, one k-row merge at the
+    * driver) — no global sort, no full shuffle.
+    */
+  def weightedPrioritySample(df: DataFrame, k: Int, weightCol: Column,
+                             keyCol: String, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val w = when(weightCol.cast("bigint") < 0 || weightCol.cast("bigint") > (1L << 32),
+        raise_error(concat(lit("weightedPrioritySample: weight outside [0, 2^32]: "),
+          weightCol.cast("string"))))
+      .otherwise(weightCol.cast("bigint"))
+    df.withColumn("__wps_u", hashBucket(col(keyCol), seed) + lit(1L))
+      .withColumn("__wps_w", w)
+      .withColumn("priority", expr(s"(__wps_w * ${1L << 30}) DIV __wps_u"))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+      .drop("__wps_u", "__wps_w")
+  }
+
   /** Per-stratum fractions (domain balancing / data mixing): strata listed
     * in `fractions` keep their own rate; unlisted strata keep `default`.
     *

@@ -534,4 +534,33 @@ class PipelineGatesSuite extends SparkSpec {
         s"row $i: fused=${r.getSeq[String](0).take(2)} ref=${r.getSeq[String](1).take(2)}")
     }
   }
+
+  test("weightedPrioritySample: deterministic, weight-monotone, TakeOrdered plan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = greatest(length(col("text")), lit(1))
+    val s1 = graft.ops.Sampling.weightedPrioritySample(docs, 40, w, "doc_id", seed = 7)
+    val s2 = graft.ops.Sampling.weightedPrioritySample(docs.repartition(13), 40, w, "doc_id", seed = 7)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "selection must not depend on partitioning")
+    assert(ids1.size == 40)
+    // weight-monotonicity: across many seeds, long docs must be selected
+    // far more often than short ones (inclusion probability ~ weight)
+    val lens = docs.select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val med = lens.values.toSeq.sorted.apply(lens.size / 2)
+    var longHits = 0L; var shortHits = 0L
+    for (seed <- 0 until 8) {
+      val sel = graft.ops.Sampling.weightedPrioritySample(docs, 40, w, "doc_id", seed)
+        .select("doc_id").collect().map(_.getLong(0))
+      longHits += sel.count(id => lens(id) > med)
+      shortHits += sel.count(id => lens(id) <= med)
+    }
+    assert(longHits > 2 * shortHits,
+      s"weighting not reflected in selection: long=$longHits short=$shortHits")
+    // partial top-k, not a global sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+  }
 }
