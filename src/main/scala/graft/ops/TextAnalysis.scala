@@ -196,6 +196,13 @@ object TextAnalysis {
     * sets and joining on the fingerprint.
     */
   def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    // fused one-pass expression — bit-identical values AND order to
+    // [[winnowFingerprintsComposed]] (fenced in TextStatsSuite) without
+    // the per-position substr/hash through interpreted transforms
+    graft.functions.WinnowFpExpr.winnowFp(text, k, window)
+
+  /** The composed formulation, kept as the equivalence-fence reference. */
+  private[graft] def winnowFingerprintsComposed(text: Column, k: Int = 8, window: Int = 4): Column =
     // normalized text and gram-hash array each bound via Cols.bindOnce —
     // as plain subtrees the normalization would re-run per gram and the
     // gram array per window position (O(positions^2 x length) per row,

@@ -185,4 +185,22 @@ class TextStatsSuite extends SparkSpec {
       assert(r.getLong(0) == r.getLong(1), s"row $i: fused=${r.getLong(0)} composed=${r.getLong(1)}")
     }
   }
+
+  test("winnow_fp: bit-identical (values and order) to the composed winnowing formulation") {
+    import spark.implicits._
+    val advers = Seq("", "short", "exactly8", "exactly8x", " lead and trail ",
+      "Tabs\tin\tthe\tmiddle of a longer text to winnow over",
+      "\uD83D\uDE00 emoji \uD83D\uDE00 with astral code points spread through the text",
+      "\u00C9t\u00E9 \u0130stanbul m\u00FCnchen stra\u00DFe repeated \u00C9t\u00E9 \u0130stanbul",
+      ("repeat me " * 30).trim)
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    val out = df.select(
+      graft.ops.TextAnalysis.winnowFingerprints(col("text")).as("fused"),
+      graft.ops.TextAnalysis.winnowFingerprintsComposed(col("text")).as("ref")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"row $i: fused=${r.getSeq[Long](0).take(4)} ref=${r.getSeq[Long](1).take(4)}")
+    }
+  }
 }
