@@ -87,6 +87,35 @@ object StreamingMeasures {
       .dropDuplicatesWithinWatermark("fp")
       .join(index.select("fp"), Seq("fp"), "left_anti")
 
+  /** Streaming corpus-quality monitor: per (window, source) aggregate of
+    * the fused text statistics — doc count, token sum, mean quality score
+    * — over a live document stream. The per-row signals come from the SAME
+    * codegen'd `text_stats` expression the batch pipeline uses (one fused
+    * scan per document), so batch-computed quality thresholds transfer to
+    * the stream unchanged. The ingest-health dashboard query of a crawl
+    * pipeline: a bad crawl batch shows up as a quality dip in its window.
+    */
+  def qualityMonitor(docs: DataFrame, tsCol: String = "ts",
+                     textCol: String = "text",
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val stats = graft.functions.TextStatsExpr.textStats(col(textCol))
+    val qcols = graft.ops.TextAnalysis.qualityColumnsFrom(stats).toMap
+    val score = graft.ops.TextAnalysis.qualityScoreFrom(
+      qcols("n_tokens"), qcols("punct_ratio"), qcols("digit_ratio"),
+      qcols("mean_word_len"), qcols("stopword_ratio"))
+    docs
+      .withColumn("__q", score)
+      .withColumn("__nt", qcols("n_tokens"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").cast("long").as("sum_tokens"),
+        round(avg("__q"), 4).as("mean_quality"),
+        round(min("__q"), 4).as("min_quality"))
+  }
+
   /** Convenience: run a windowed-measure stream from memory source to an
     * in-memory sink for tests/demos; returns the query name to poll.
     */

@@ -180,4 +180,37 @@ class StreamingSuite extends SparkSpec {
       assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
     } finally q.stop()
   }
+
+  test("streaming quality monitor equals the batch quality aggregate per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text").orderBy("doc_id").limit(60).collect()
+    val src = MemoryStream[(Timestamp, String, String)]
+    val stream = src.toDF().toDF("ts", "source", "text")
+    val mon = StreamingMeasures.qualityMonitor(stream, windowLen = "10 minutes")
+    val q = mon.writeStream.format("memory").queryName("qmon_out").outputMode("update").start()
+    try {
+      src.addData(docs.map(r => (ts(1), r.getString(1), r.getString(2))).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT source, n_docs, sum_tokens, mean_quality FROM qmon_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+      // batch replay of the identical aggregate
+      val stats = graft.functions.TextStatsExpr.textStats(col("text"))
+      val qc = graft.ops.TextAnalysis.qualityColumnsFrom(stats).toMap
+      val score = graft.ops.TextAnalysis.qualityScoreFrom(
+        qc("n_tokens"), qc("punct_ratio"), qc("digit_ratio"),
+        qc("mean_word_len"), qc("stopword_ratio"))
+      val want = spark.createDataFrame(
+          spark.sparkContext.parallelize(docs.toSeq), docs.head.schema)
+        .withColumn("__q", score).withColumn("__nt", qc("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").cast("long").as("sum_tokens"),
+          round(avg("__q"), 4).as("mean_quality"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"stream=$got\nbatch=$want")
+    } finally q.stop()
+  }
 }
