@@ -168,6 +168,16 @@ object MeasureDdl {
         val dimPairs = items.collect { case Left(item) =>
           val (expr, aliasOpt) = SqlClauses.splitAlias(item)
           val name = aliasOpt.orElse(SqlClauses.plainColumnName(expr)).getOrElse(expr)
+          // quoted aliases arrive unquoted from splitAlias and are fine
+          // when identifier-safe; spaces/punctuation would break dim-token
+          // resolution through the whole query surface — same policy as
+          // measure names, failed loudly here instead of an
+          // unresolved-column error at query time
+          if (aliasOpt.exists(a => !a.forall(Scan.isIdentChar)))
+            throw new graft.planner.GraftException(
+              s"dimension alias '${aliasOpt.get}' is not a plain identifier; quoted dimension " +
+                "aliases with spaces or punctuation are not supported in measure views — use " +
+                "an identifier (e.g. return_flag)")
           (name, expr)
         }
         val dimensionExprs = dimPairs.map { case (n, e) => n.toLowerCase -> e }.toMap
@@ -251,7 +261,15 @@ object MeasureDdl {
           (name.head == '`' && name.last == '`')))
         name.substring(1, name.length - 1)
       else name
-    if (cleanName.isEmpty || !cleanName.forall(Scan.isIdentChar)) return None
+    if (cleanName.isEmpty) return None
+    // quoted names are fine when identifier-safe (case preservation); a
+    // name with spaces/punctuation would need quoting through the whole
+    // AGGREGATE() call surface — fail loudly instead of leaking the raw
+    // `AS MEASURE` text into a Spark parse error
+    if (!cleanName.forall(Scan.isIdentChar))
+      throw new graft.planner.GraftException(
+        s"measure name '$cleanName' is not a plain identifier; quoted measure names with " +
+          "spaces or punctuation are not supported — use an identifier (e.g. total_qty)")
     Some((item.substring(0, start).trim, cleanName))
   }
 

@@ -680,4 +680,20 @@ class SemanticsSuite extends SparkSpec {
         "FROM daily_orders_v GROUP BY 1").collect())
     assert(e.getMessage.contains("AT (WHERE"), e.getMessage)
   }
+
+  test("quoted identifier-safe names work; spacey quoted names raise guided errors") {
+    engine.sql("CREATE OR REPLACE VIEW q_ident_v AS SELECT order_date AS `OrderDate`, " +
+      "SUM(amount) AS MEASURE `TotalAmt` FROM daily_orders")
+    checkGolden(engine.sql(
+      "SELECT MONTH(OrderDate) AS m, AGGREGATE(TotalAmt) AS v FROM q_ident_v GROUP BY 1 ORDER BY 1"),
+      """1	250
+        |2	320
+        |3	270""".stripMargin)
+    val e1 = intercept[GraftException](engine.sql(
+      "CREATE VIEW bad_m_v AS SELECT order_date, SUM(amount) AS MEASURE `Total Amt` FROM daily_orders"))
+    assert(e1.getMessage.contains("not a plain identifier"), e1.getMessage)
+    val e2 = intercept[GraftException](engine.sql(
+      "CREATE VIEW bad_d_v AS SELECT order_date AS `Order Date`, SUM(amount) AS MEASURE t FROM daily_orders"))
+    assert(e2.getMessage.contains("not a plain identifier"), e2.getMessage)
+  }
 }
