@@ -343,7 +343,9 @@ object Dedup {
                               minCosine: Double = 0.95, planes: Int = 12,
                               seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val rng = new scala.util.Random(seed)
-    lazy val dim = df.select(size(col(vecCol))).head().getInt(0)
+    lazy val dim = df.select(size(col(vecCol))).limit(1).collect().headOption
+      .getOrElse(throw new graft.planner.GraftException("embeddingNearDuplicates: empty corpus — nothing to index"))
+      .getInt(0)
     val hyper: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
 
     def dotLit(v: Column, plane: Seq[Double]): Column =

@@ -169,7 +169,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 4,
               tables: Int = 4, vecCol: String = "embedding", idCol: String = "vec_id",
               seed: Long = 7L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect().headOption
+      .getOrElse(throw new graft.planner.GraftException("lshTopK: empty corpus — nothing to index"))
+      .getInt(0)
     val rng = new scala.util.Random(seed)
     val hyper: Seq[Seq[Seq[Double]]] =
       Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian())))
