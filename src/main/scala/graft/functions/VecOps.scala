@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused vector-vs-constant kernels for the LSH/IVF index builders: the
+  * dot product against a hyperplane and the negated squared L2 distance
+  * to a centroid, each IEEE-identical to the zip_with/aggregate HOF fold
+  * it replaces (left fold in index order — fenced in SimilaritySuite)
+  * but inside whole-stage codegen with no intermediate arrays. These run
+  * per corpus row × planes (or × centroids) at index build, i.e. the
+  * write-path cost of every ANN/near-dup index.
+  *
+  * Null semantics match zip_with: any null element or a length mismatch
+  * with the constant vector yields null.
+  */
+abstract class VecConstExpr extends UnaryExpression {
+  def weights: Seq[Double]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient protected lazy val w: Array[Double] = weights.toArray
+
+  /** Static fold entry (object-side) the generated code calls. */
+  protected def foldName: String
+
+  protected def fold(a: ArrayData): java.lang.Double
+
+  override def nullSafeEval(input: Any): Any = fold(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the plain double[] (never `this` — a self-reference makes
+    // the codegen references array drag the expression instance through
+    // task serialization)
+    val wRef = ctx.addReferenceObj("weights", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VecOps.$foldName($a, $wRef);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+  }
+}
+
+/** dot(v, weights): ((0.0 + v0*w0) + v1*w1) + … */
+case class DotConstExpr(child: Expression, weights: Seq[Double]) extends VecConstExpr {
+  override def prettyName: String = "dot_const"
+  override protected def foldName: String = "dotFold"
+  override protected def fold(a: ArrayData): java.lang.Double = VecOps.dotFold(a, w)
+  override protected def withNewChildInternal(newChild: Expression): DotConstExpr =
+    copy(child = newChild)
+}
+
+/** -Σ (v_i - c_i)² — the monotone nearest-centroid score IVF ranks by. */
+case class NegSqDistExpr(child: Expression, weights: Seq[Double]) extends VecConstExpr {
+  override def prettyName: String = "neg_sq_dist"
+  override protected def foldName: String = "negSqFold"
+  override protected def fold(a: ArrayData): java.lang.Double = VecOps.negSqFold(a, w)
+  override protected def withNewChildInternal(newChild: Expression): NegSqDistExpr =
+    copy(child = newChild)
+}
+
+object VecOps {
+  def dotFold(a: ArrayData, w: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != w.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      acc += a.getDouble(i) * w(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def negSqFold(a: ArrayData, w: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != w.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getDouble(i) - w(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc * -1.0)
+  }
+
+  def dotConst(v: Column, weights: Seq[Double]): Column =
+    GraftSqlBridge.column(DotConstExpr(
+      GraftSqlBridge.expression(v.cast("array<double>")), weights))
+
+  def negSqDist(v: Column, weights: Seq[Double]): Column =
+    GraftSqlBridge.column(NegSqDistExpr(
+      GraftSqlBridge.expression(v.cast("array<double>")), weights))
+}

@@ -349,8 +349,7 @@ object Dedup {
     val hyper: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
 
     def dotLit(v: Column, plane: Seq[Double]): Column =
-      aggregate(zip_with(v, array(plane.map(lit): _*), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.VecOps.dotConst(v, plane)
 
     val bucketExpr =
       if (planes == 0) lit(0L)

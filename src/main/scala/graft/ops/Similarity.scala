@@ -83,12 +83,13 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
-  /** Sign-LSH bucket id from random hyperplanes (shared with Dedup). */
+  /** Sign-LSH bucket id from random hyperplanes (shared with Dedup).
+    * Per-plane dots run through the fused `dot_const` kernel —
+    * bit-identical to the HOF fold (fenced in SimilaritySuite), so the
+    * bucketing is unchanged while the index build stays in codegen. */
   private def signBucket(v: Column, hyper: Seq[Seq[Double]]): Column =
     hyper.indices.map { p =>
-      val dot = aggregate(zip_with(v, array(hyper(p).map(lit): _*), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, 1L << p).otherwise(0L)
+      when(graft.functions.VecOps.dotConst(v, hyper(p)) >= 0, 1L << p).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) approximate top-k: k-means centroids partition the
@@ -123,9 +124,9 @@ object Similarity {
     val centroids: Array[Seq[Double]] = km.clusterCenters.map(_.toArray.toSeq)
 
     def cellDots(v: Column): Seq[Column] = centroids.toSeq.map { c =>
-      // negative squared L2 distance to centroid (monotone for nearest-cell)
-      aggregate(zip_with(v, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x) * -1.0
+      // negative squared L2 distance to centroid (monotone for
+      // nearest-cell); fused kernel, bit-identical to the HOF fold
+      graft.functions.VecOps.negSqDist(v, c)
     }
     def cellRank(v: Column): Column = {
       val scored = array(cellDots(v).zipWithIndex.map { case (d, i) =>

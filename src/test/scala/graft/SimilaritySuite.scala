@@ -99,4 +99,29 @@ class SimilaritySuite extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [cosine_sim"), plan)
   }
+
+  test("dot_const / neg_sq_dist: bit-identical to the HOF folds") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>")).limit(300)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val weights = Seq.fill(dim)(rnd.nextGaussian())
+    val wArr = array(weights.map(lit): _*)
+    val hofDot = aggregate(zip_with(col("v"), wArr, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNsd = aggregate(zip_with(col("v"), wArr, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) * -1.0
+    val out = e.select(
+      graft.functions.VecOps.dotConst(col("v"), weights).as("fd"),
+      hofDot.as("hd"),
+      graft.functions.VecOps.negSqDist(col("v"), weights).as("fn"),
+      hofNsd.as("hn")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot row $i")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"nsd row $i")
+    }
+  }
 }
