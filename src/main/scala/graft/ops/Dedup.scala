@@ -303,9 +303,16 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                             maxHamming: Int = 3, maxBucket: Int = 1000,
-                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
+                            hashFn: Column => Column = null): DataFrame = {
+    // default (xxhash64) path: the fused one-pass SimHashExpr, bit-identical
+    // to the composed simhash() fold (fenced in PipelineGatesSuite); an
+    // explicit hashFn (the oracle-replayable polynomial twin) keeps the
+    // composed formulation
+    val simCol =
+      if (hashFn == null) graft.functions.SimHashExpr.simhash64(col("__text"), 2)
+      else simhash(col("__text"), hashFn = hashFn)
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__sim", simhash(col("__text"), hashFn = hashFn))
+      .withColumn("__sim", simCol)
     val banded = docs.select(col("doc_id"), col("__sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -563,4 +563,18 @@ class PipelineGatesSuite extends SparkSpec {
     val plan = s1.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"), plan)
   }
+
+  test("simhash64: bit-identical to the composed simhash fold") {
+    import spark.implicits._
+    val advers = Seq("", "one", "two words", "a b c d e f",
+      "Tabs\tand\nnewlines and MIXED case words repeated words repeated")
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    val out = df.select(
+      graft.functions.SimHashExpr.simhash64(col("text"), 2).as("fused"),
+      graft.ops.Dedup.simhash(col("text"), 2).as("ref")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1), s"row $i: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+  }
 }
