@@ -97,6 +97,24 @@ object VecOps {
     java.lang.Double.valueOf(acc * -1.0)
   }
 
+  def sqDistLd(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def sqDistLongDouble(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SqDistLongDoubleExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   def dotConst(v: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(DotConstExpr(
       GraftSqlBridge.expression(v.cast("array<double>")), weights))
@@ -104,4 +122,36 @@ object VecOps {
   def negSqDist(v: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(NegSqDistExpr(
       GraftSqlBridge.expression(v.cast("array<double>")), weights))
+}
+
+/** Squared L2 distance between a quantized long vector and a double
+  * centroid: ((0.0 + (a0-b0)²) + (a1-b1)²) + … with the long→double cast
+  * per element — IEEE-identical to the zip_with/aggregate fold in
+  * `Clustering.sqDist` (fenced in SimilaritySuite). The k-means
+  * assignment hot loop (rows × centroids per Lloyd round).
+  */
+case class SqDistLongDoubleExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sq_dist_lq requires array<bigint>, array<double>; got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_dist_lq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sqDistLd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VecOps.sqDistLd($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistLongDoubleExpr =
+    copy(left = newLeft, right = newRight)
 }

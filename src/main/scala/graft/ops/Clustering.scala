@@ -34,6 +34,12 @@ object Clustering {
     * and a centroid vector `c` (array<double>), folded in index order.
     */
   private def sqDist(q: Column, c: Column): Column =
+    // fused kernel, IEEE-identical to the zip_with/aggregate fold it
+    // replaces (fenced in SimilaritySuite)
+    graft.functions.VecOps.sqDistLongDouble(q, c)
+
+  /** The HOF formulation, kept as the equivalence-fence reference. */
+  private[graft] def sqDistHof(q: Column, c: Column): Column =
     aggregate(
       zip_with(q, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
       lit(0.0), (acc, x) => acc + x)

@@ -124,4 +124,22 @@ class SimilaritySuite extends SparkSpec {
              java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"nsd row $i")
     }
   }
+
+  test("sq_dist_lq: bit-identical to the long-vs-double HOF fold") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+      .select(
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"),
+        transform(col("embedding"), x => x.cast("double") * 997.0).as("c"))
+    val hof = aggregate(
+      zip_with(col("q"), col("c"), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val out = e.select(
+      graft.functions.VecOps.sqDistLongDouble(col("q"), col("c")).as("f"),
+      hof.as("h")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"row $i")
+    }
+  }
 }
