@@ -138,4 +138,15 @@ class EagerGroupingSetsSuite extends SparkSpec {
     info(s"rule fired on $fired/60 random cases")
     assert(fired >= 30, s"rule fired on only $fired/60 — generator drifted off the rule's surface")
   }
+
+  test("composes with EagerAggregation: CUBE over an equi-join stays equivalent") {
+    val sql =
+      """SELECT o.o_orderpriority, l.l_returnflag, SUM(l.l_quantity) AS q, COUNT(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY CUBE(o.o_orderpriority, l.l_returnflag)""".stripMargin
+    assertEquivalent(sql)
+    val plan = withGate(0L)(run(sql).queryExecution.optimizedPlan.toString())
+    info("fired: gpartial=" + plan.contains("__graft_gpartial") +
+      " jpartial=" + plan.contains("__graft_partial"))
+  }
 }
