@@ -22,19 +22,35 @@ import org.apache.spark.sql.functions._
   * not just stage internals.
   *
   * Scale shape is the sum of its parts: no stage shuffles raw text except
-  * the n-gram inverted index (df-capped), the contamination side is
-  * broadcast, and stages 4–5 are pure per-row predicates — the whole pass
-  * is a handful of bounded shuffles over fingerprints/ids at 100 TB.
+  * the near-dup index (MinHash-LSH by default — bucketed and capped; the
+  * exact n-gram inverted index is available via `nearDupExact` but its
+  * Σ df² work is quadratic in duplicate-group size, see
+  * [[Dedup.ngramJaccardPairs]]), the contamination side is broadcast, and
+  * stages 4–5 are pure per-row predicates — the whole pass is a handful
+  * of bounded shuffles over fingerprints/ids at 100 TB. (Measured: the
+  * exact path OOMs a single 8 GB JVM on the 99%-dup 100x corpus; the LSH
+  * default completes, see PERF.md.)
   */
 object CuratePipeline {
 
   def curate(docs: DataFrame, benchmark: DataFrame, weights: Map[String, Long],
              jaccardThreshold: Double = 0.7, flagAt: Double = 0.2,
              minQuality: Double = 0.5, seed: Long = 0L,
-             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+             textCol: String = "text", idCol: String = "doc_id",
+             nearDupExact: Boolean = false): DataFrame = {
     val afterExact = Dedup.exactDedup(docs, textCol, idCol)
-    val pairs = Dedup.ngramJaccardPairs(afterExact, textCol = textCol,
-      idCol = idCol, threshold = jaccardThreshold)
+    // the driver oracle replays the EXACT pair set; the LSH default stays
+    // oracle-valid because recall at the 0.7 threshold is exactly 1 on the
+    // test corpus (pair-similarity spectrum empty between 0.3 and 0.9 —
+    // the same argument the d_minhash entry rests on, gate-asserted in
+    // PipelineGatesSuite)
+    val pairs =
+      if (nearDupExact)
+        Dedup.ngramJaccardPairs(afterExact, textCol = textCol,
+          idCol = idCol, threshold = jaccardThreshold)
+      else
+        Dedup.minhashNearDuplicates(afterExact, textCol = textCol,
+          idCol = idCol, threshold = jaccardThreshold)
     val afterNear = Dedup.dedupByPairs(afterExact, pairs, idCol = idCol)
     val contam = Curation.contaminationCheck(afterNear, benchmark,
       flagAt = flagAt, textCol = textCol, idCol = idCol)

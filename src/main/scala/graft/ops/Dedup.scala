@@ -207,7 +207,15 @@ object Dedup {
     *
     * Scale shape: the shuffle key is the shingle; `maxDocFreq` drops
     * boilerplate shingles that appear in more than N docs, which bounds the
-    * per-token pair fan-out (a shingle in k docs emits k² pairs). Both the
+    * per-token pair fan-out (a shingle in k docs emits k² pairs). The
+    * total work is Σ_token df² — on a duplicate-heavy corpus every
+    * near-dup group of size g contributes ~shingles x g² pair instances
+    * BELOW the cap, so the exact path is inherently quadratic in group
+    * size (measured: the 99%-dup 100x corpus emits ~5B pair instances
+    * and exhausts a single 8 GB JVM). That envelope is why the
+    * probabilistic index exists: use [[minhashNearDuplicates]] at scale,
+    * or set maxDocFreq under the expected duplicate-group size and accept
+    * the documented recall loss on shared tokens above it. Both the
     * intersection AND the set sizes are computed over the same capped
     * universe, so the jaccard is exact over non-boilerplate shingles — and
     * fully exact when no shingle exceeds the cap. Contrast

@@ -1,0 +1,34 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ProbeCurate {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/repo/bench_sf10")
+    graft.SparkEntry.engineFor(spark, dir)
+    for (name <- Seq("t_curate", "t_curate_incr", "t_bm25", "t_tfidf", "c_kmeans",
+        "g_pagerank", "t_bpe", "t_subword", "t_nb_score", "t_lm_score",
+        "t_mixture", "t_weighted", "t_winnow_poly", "e_asof", "e_range",
+        "e_sessions", "q_hll", "t_cms", "q_histq")) {
+      graft.SparkEntry.queries.get(name).foreach { fn =>
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          println(f"SWEEP2 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch {
+          case e: Throwable =>
+            println(s"SWEEP2 $name FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n',' ')}")
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
