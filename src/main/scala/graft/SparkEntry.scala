@@ -572,7 +572,7 @@ object SparkEntry {
     // hamming join, bit for bit
     "d_simhash_poly" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 3,
-          hashFn = Dedup.polyStringHash)
+          hashFn = Some(Dedup.polyStringHash))
         .orderBy("doc_id_a", "doc_id_b")),
     // exact inverted-index n-gram Jaccard — same oracle as d_minhash (both
     // must produce the exact pair set; the ALGORITHMS differ: probabilistic

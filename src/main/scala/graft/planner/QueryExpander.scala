@@ -1377,13 +1377,26 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         val dimByNorm: Map[String, String] = dims.map(d =>
           Scan.norm(substToBase(d.queryExpr, primaryView, primaryAliases)) -> d.outName).toMap
         val headRe = "(?is)^\\s*(SUM|COUNT|MIN|MAX)\\s*\\((?!\\s*DISTINCT\\b)".r
+        // Re-aggregation is only sound when the value expression is exactly
+        // ONE aggregate call spanning the whole string: a composite like
+        // SUM(a)/SUM(b) or MAX(x)-MIN(x) is Decomposable per classify() but
+        // sum-of-ratios != ratio-of-sums, so it must recompute from base.
+        def wholeSingleAgg(expr: String): Boolean = {
+          val t = expr.trim
+          headRe.findFirstMatchIn(t) match {
+            case Some(m) =>
+              val close = Scan.matchParen(t, Scan.buildMask(t), m.end - 1)
+              close == t.length - 1
+            case None => false
+          }
+        }
         frames.toList.flatMap { case (sig, f) =>
           val parts = sig.split("§", -1)
           val eligible = !f.isWindow && f.whereSql.isEmpty &&
             parts.lift(1).contains(primaryBase) && parts.lift(3).contains("") &&
             f.innerKeys.forall(k => dimByNorm.contains(Scan.norm(k))) &&
             f.values.forall { case (_, (expr, guard)) =>
-              guard.isEmpty && headRe.findFirstIn(expr).isDefined }
+              guard.isEmpty && wholeSingleAgg(expr) }
           if (!eligible) None
           else {
             val keyCols = f.innerKeys.zipWithIndex.map { case (k, i) =>

@@ -674,6 +674,52 @@ class SemanticsSuite extends SparkSpec {
         |p	840""".stripMargin)
   }
 
+  // Regression (round-8 advice): a composite Decomposable measure like
+  // SUM(a)/SUM(b) must NOT take the derived-frame re-aggregation shortcut —
+  // sum of per-group ratios != ratio of sums. Same for MAX(x)-MIN(x).
+  test("composite decomposable measures recompute AT frames from base, not from __outer") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW ratio_rows AS
+        |SELECT * FROM VALUES
+        |  ('a', 10.0, 2.0), ('a', 20.0, 2.0),
+        |  ('b', 50.0, 10.0), ('b', 10.0, 6.0)
+        |AS t(grp, num, den)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE VIEW ratio_v AS
+        |SELECT grp, SUM(num)/SUM(den) AS MEASURE ratio,
+        |       MAX(num)-MIN(num) AS MEASURE spread
+        |FROM ratio_rows""".stripMargin)
+    // per-group: a = 30/4 = 7.5, b = 60/16 = 3.75; grand = 90/20 = 4.5
+    // (the buggy derived path would report SUM(7.5, 3.75) = 11.25)
+    checkGolden(engine.sql(
+      """SELECT grp, AGGREGATE(ratio) AS r, AGGREGATE(ratio) AT (ALL) AS overall
+        |FROM ratio_v""".stripMargin),
+      """a	7.5	4.5
+        |b	3.75	4.5""".stripMargin)
+    // spreads: a = 20-10 = 10, b = 50-10 = 40; grand = 50-10 = 40 — but with
+    // num values arranged so the buggy MAX-of-spreads differs, use AT (ALL grp)
+    checkGolden(engine.sql(
+      """SELECT grp, AGGREGATE(spread) AS s, AGGREGATE(spread) AT (ALL grp) AS g
+        |FROM ratio_v""".stripMargin),
+      """a	10	40
+        |b	40	40""".stripMargin)
+    // a genuinely distinguishing spread case: groups whose per-group spreads
+    // never reach the global spread
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW spread_rows AS
+        |SELECT * FROM VALUES ('a', 10.0), ('a', 12.0), ('b', 14.0), ('b', 20.0)
+        |AS t(grp, x)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE VIEW spread_v AS
+        |SELECT grp, MAX(x)-MIN(x) AS MEASURE spread FROM spread_rows""".stripMargin)
+    // per-group: a = 2, b = 6; grand = 20-10 = 10 (buggy: MAX(2,6) = 6)
+    checkGolden(engine.sql(
+      """SELECT grp, AGGREGATE(spread) AS s, AGGREGATE(spread) AT (ALL) AS g
+        |FROM spread_v""".stripMargin),
+      """a	2	10
+        |b	6	10""".stripMargin)
+  }
+
   test("call-site FILTER raises a guided error, not a generated-SQL parse error") {
     val e = intercept[GraftException](engine.sql(
       "SELECT MONTH(order_date) AS m, AGGREGATE(revenue) FILTER (WHERE amount > 100) AS r " +
