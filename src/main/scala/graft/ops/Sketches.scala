@@ -56,9 +56,32 @@ object Sketches {
   def hllRegisters(df: DataFrame, valueCol: String, p: Int = 8,
                    groupCols: Seq[String] = Nil, maxRho: Int = 40): DataFrame = {
     require(p >= 4 && p <= 14, s"p in [4,14]: $p")
+    // fused one-pass (idx, rho) kernel — bit-identical to the composed
+    // HOF formulation below (fenced in SketchesSuite); the register fold
+    // was the one hot sketch kernel still running interpreted.
+    // NULL values are excluded up front — COUNT(DISTINCT) ignores nulls,
+    // and a null-keyed register would pollute the estimate's register count
+    val ir = graft.functions.HllIdxRhoExpr.hllIdxRho(
+      col(valueCol).cast("string"), p, maxRho)
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ ir.as("__ir")): _*)
+      .select((groupCols.map(col)
+        :+ col("__ir.idx").as("idx") :+ col("__ir.rho").as("rho")): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max("rho").as("rho"))
+  }
+
+  /** The composed higher-order-function formulation [[hllRegisters]] fuses:
+    * kept as the equivalence fence's reference (SketchesSuite asserts the
+    * two are row-identical) and as the oracle-readable spec of the
+    * arithmetic the DuckDB replay mirrors.
+    */
+  private[graft] def hllRegistersComposed(df: DataFrame, valueCol: String, p: Int = 8,
+                   groupCols: Seq[String] = Nil, maxRho: Int = 40): DataFrame = {
+    require(p >= 4 && p <= 14, s"p in [4,14]: $p")
     val m = 1 << p
     val h = Dedup.polyStringHash(col(valueCol).cast("string"))
-    val keyed = df.select(
+    val keyed = df.filter(col(valueCol).isNotNull).select(
       (groupCols.map(col) :+ pmod(h, lit(m.toLong)).as("idx")
         :+ rhoOf(floor(h / lit(m.toLong)), maxRho).cast("long").as("rho")): _*)
     keyed.groupBy((groupCols :+ "idx").map(col): _*)

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: time the named SparkEntry queries (args after the first) on
+  * `args(0)` with the same session shape as ProbeSweep (fresh JVM, noop
+  * sink), so a single sweep cell can be re-measured without the full run.
+  */
+object ProbeTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/bench_sf10")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.engineFor(spark, dir)
+    for (name <- names) {
+      graft.SparkEntry.queries.get(name) match {
+        case None => println(s"TIME $name: no such entry")
+        case Some(fn) =>
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            println(f"TIME $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } catch {
+            case e: Throwable =>
+              println(s"TIME $name FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n', ' ')}")
+          }
+          spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

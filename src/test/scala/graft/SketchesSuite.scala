@@ -22,6 +22,31 @@ class SketchesSuite extends SparkSpec {
     assert(diff.count() == 0, "max-merged half-sketches must equal the whole sketch")
   }
 
+  // equivalence fence for the fused (idx, rho) kernel: the one-pass
+  // HllIdxRhoExpr must be row-identical to the composed HOF formulation
+  // on integer keys, free text (incl. multi-byte), empty strings, and
+  // across p/maxRho settings — change either side only together
+  test("fused hll registers are bit-identical to the composed formulation") {
+    for ((df, c) <- Seq((li, "l_orderkey"), (docs, "text"))) {
+      for ((p, mr) <- Seq((8, 40), (4, 40), (12, 6))) {
+        val fused = Sketches.hllRegisters(df, c, p = p, maxRho = mr)
+        val composed = Sketches.hllRegistersComposed(df, c, p = p, maxRho = mr)
+        val diff = fused.join(composed, Seq("idx"), "full")
+          .filter(coalesce(fused("rho"), lit(-1L)) =!= coalesce(composed("rho"), lit(-1L)))
+        assert(diff.count() == 0, s"fused != composed for $c p=$p maxRho=$mr")
+      }
+    }
+    // edge strings: empty (hashes to 0), whitespace, multi-byte code points,
+    // supplementary-plane char, and a null
+    val edge = Seq("", " ", "a", "héllo wörld", "日本語テキスト", "x😀y", "0", "999999")
+      .toDF("v").union(spark.sql("SELECT CAST(NULL AS STRING) AS v"))
+    val f = Sketches.hllRegisters(edge, "v", p = 6, maxRho = 40)
+    val g = Sketches.hllRegistersComposed(edge, "v", p = 6, maxRho = 40)
+    val d = f.join(g, Seq("idx"), "full")
+      .filter(coalesce(f("rho"), lit(-1L)) =!= coalesce(g("rho"), lit(-1L)))
+    assert(d.count() == 0, "fused != composed on edge strings")
+  }
+
   test("hll estimate is within 15% of exact distinct (l_orderkey, m=256)") {
     val regs = Sketches.hllRegisters(li, "l_orderkey")
     val est = Sketches.hllEstimate(regs).collect()(0).getDouble(0)
