@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream forked `run` output verbatim (no [info]/[error] log prefixes):
+// the driver parses graft.Bench's one-line JSON from stdout, and sbt's
+// logger prefix was keeping BENCH_r*.json's `parsed` field empty.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

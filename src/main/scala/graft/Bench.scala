@@ -234,7 +234,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"sf":"$sfDir","failed":${failures.length}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"sf":"$sfDir","failed":${failures.length}}"""
+    // also drop the artifact to a file when asked — belt-and-braces for
+    // drivers that scrape a log tail instead of clean stdout
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
     spark.stop()
+    // printed AFTER spark.stop() so the JSON is the final stdout line
+    println(json)
   }
 }

@@ -401,12 +401,26 @@ object Dedup {
     * the keep rule is a pure EXISTS against lower ids, and cosine is
     * rounded to 6 places before the threshold compare on both engines —
     * so the whole operator is oracle-replayable (entry d_semdedup).
+    *
+    * `k <= 0` (the default) AUTO-SCALES the cluster count to
+    * `max(8, ceil(n / targetClusterSize))` from one count() pass
+    * (metadata-only on parquet), which is what actually enforces the
+    * "k grows with the corpus" requirement above: with k pinned, cluster
+    * populations grow linearly with the corpus and the in-cluster
+    * pairwise step grows quadratically (measured: pinned k=8 took 584 s
+    * on the 100x corpus; auto-k is re-measured in PERF.md §0f). Pass an
+    * explicit k to pin it (the oracle entry does, so its replay is
+    * untouched).
     */
   def semanticDedup(df: DataFrame, vecCol: String = "embedding",
-                    idCol: String = "vec_id", k: Int = 8, iters: Int = 1,
+                    idCol: String = "vec_id", k: Int = 0, iters: Int = 1,
                     minCosine: Double = 0.95,
-                    maxCluster: Int = 100000): DataFrame = {
-    val assigned = Clustering.kmeans(df, k = k, iters = iters,
+                    maxCluster: Int = 100000,
+                    targetClusterSize: Int = 4096): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else math.max(8L, (df.count() + targetClusterSize - 1) / targetClusterSize).toInt
+    val assigned = Clustering.kmeans(df, k = kEff, iters = iters,
       idCol = idCol, vecCol = vecCol)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))

@@ -65,7 +65,21 @@ object GenScaled {
     }.reduce(_ union _)
       .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    for (t <- Seq("region", "nation", "supplier", "part", "events")) {
+    // events scale along the realistic axis — MORE USERS, same per-user
+    // event density (shifted user_id + event_id per copy; timestamps stay):
+    // as-of/range/session state is per-user, so this grows the key space
+    // the way a larger deployment would, without inflating any one user's
+    // timeline past its real density
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val evOff = ev0.agg(max("event_id")).head().getLong(0) + 1
+    val userOff = ev0.agg(max("user_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      ev0.withColumn("event_id", col("event_id") + lit(i * evOff))
+        .withColumn("user_id", col("user_id") + lit(i * userOff))
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    for (t <- Seq("region", "nation", "supplier", "part")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

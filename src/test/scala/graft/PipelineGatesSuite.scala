@@ -413,6 +413,24 @@ class PipelineGatesSuite extends SparkSpec {
     assert(got.values.exists(!_._2), "expected at least one dropped vector")
   }
 
+  test("semanticDedup auto-k: floors at 8 on small corpora, scales as ceil(n/target)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    // small corpus: auto-k hits the floor of 8 -> identical rows to k=8
+    val auto = Dedup.semanticDedup(e, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val pinned = Dedup.semanticDedup(e, k = 8, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(auto == pinned, "auto-k at the floor must equal explicit k=8")
+    // above the floor: targetClusterSize=20 on the 500-vector corpus -> k=25
+    val n = e.count()
+    val kExpect = math.max(8L, (n + 19) / 20).toInt
+    val scaled = Dedup.semanticDedup(e, minCosine = 0.3, targetClusterSize = 20)
+    val kGot = scaled.agg(countDistinct(col("cluster"))).collect()(0).getLong(0)
+    assert(kGot <= kExpect && kGot > 8,
+      s"expected up to $kExpect populated clusters (k scaled off the floor), got $kGot")
+  }
+
   test("deterministicShuffle: permutation, equal to the global-window definition, seed-sensitive") {
     import spark.implicits._
     val d = (0L until 500L).toDF("doc_id").repartition(7)
