@@ -10,8 +10,9 @@
 # The engine side is the full graft.Bench run (median-of-3 per query,
 # loop-until-stable contention guard); the DuckDB side replays the SAME
 # oracle SQL on the SAME parquet via dev/bench_duck.py, faster-of-2 per
-# query, immediately after in the same window. d_minhash is excluded from
-# both totals (its oracle is exact all-pairs Jaccard, not like-for-like).
+# query, immediately after in the same window. d_minhash is paired against
+# a DuckDB banded-LSH twin (same work shape) and reported as its own
+# `d_minhash_lsh_pair` field, outside the headline totals.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -51,15 +52,23 @@ duck = json.load(open(sys.argv[2]))
 eq, dq = eng["queries"], duck["queries"]
 ratios = {k: round(eq[k] / dq[k], 2)
           for k in eq if k in dq and eq[k] > 0 and dq[k] > 0}
-like = [k for k in ratios]
+# d_minhash is paired against the DuckDB LSH twin (same work shape, its
+# own hash fn) — reported as its own pair, still outside the headline
+# totals (r6 judge directive: its ambient variance would dominate them)
+like = [k for k in ratios if k != "d_minhash"]
 et = round(sum(eq[k] for k in like), 3)
 dt = round(sum(dq[k] for k in like), 3)
-print(json.dumps({
+out = {
     "sf": sys.argv[3],
     "engine": eng, "duckdb": duck,
     "like_for_like": {"engine_total": et, "duckdb_total": dt,
                       "ratio": round(et / dt, 2) if dt else None},
-    "ratios": ratios,
-}, indent=2))
+    "ratios": {k: v for k, v in ratios.items() if k != "d_minhash"},
+}
+if "d_minhash" in ratios:
+    out["d_minhash_lsh_pair"] = {
+        "engine": eq["d_minhash"], "duckdb_lsh_twin": dq["d_minhash"],
+        "ratio": ratios["d_minhash"]}
+print(json.dumps(out, indent=2))
 PY
 cat "$OUT"

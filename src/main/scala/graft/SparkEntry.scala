@@ -856,6 +856,41 @@ object SparkEntry {
           col("punct_ratio"), col("digit_ratio"), col("upper_ratio"),
           col("mean_word_len"), col("stopword_ratio"), col("quality_score"))
         .orderBy("doc_id")),
+    // Corpus-quality dashboard (round-8 verdict stretch item 9): the
+    // monitoring rollup a training-data team keeps on screen — per
+    // (source, lang): volume, exact distinct + HLL-sketched distinct,
+    // dup rate, token volume and median, and an integer-exact quality
+    // aggregate. Composes TextStats + the exact-dedup normalization +
+    // the grouped HLL sketch: two map-side-combined scans (signal scan
+    // + register scan) joined on the tiny group space — at 100 TB this
+    // shuffles per-group scalars and 256-row register tables, never
+    // documents. The streaming twin of this rollup is the corpus-quality
+    // monitor in streaming/ (convergence-gated in StreamingSuite).
+    "t_dashboard" -> ((s, dir) => {
+      val a = TextAnalysis.analyze(docs(s, dir))
+      val base = a.select(col("source"), col("lang"),
+        lower(regexp_replace(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")).as("__norm"),
+        col("n_tokens").cast("long").as("__ntok"),
+        // quality in exact integer 1e-4 units: deterministic SUM, one
+        // IEEE division at the end (same discipline as the HLL estimate)
+        round(col("quality_score") * 10000).cast("long").as("__qi"))
+      val agg = base.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__norm")).as("n_distinct"),
+        sum("__ntok").as("total_tokens"),
+        round(expr("median(__ntok)"), 6).as("med_tokens"),
+        sum("__qi").as("__qsum"))
+      val est = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(base.select("source", "lang", "__norm"),
+          "__norm", p = 8, groupCols = Seq("source", "lang")),
+        p = 8, groupCols = Seq("source", "lang"))
+      agg.join(est, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("est").as("distinct_est"), col("total_tokens"), col("med_tokens"),
+          round(col("__qsum").cast("double") / (col("n_docs") * lit(10000.0)), 6).as("avg_quality"))
+        .orderBy("source", "lang")
+    }),
     // the xxhash64 fingerprint column has no DuckDB equivalent — rows-only;
     // lang_pred accuracy vs the dataset's lang label is gated in
     // PipelineGatesSuite, and the language-ID half is oracle-checked via
@@ -2445,6 +2480,60 @@ object SparkEntry {
         |       + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
         |       + least(stopword_ratio * 3.0, 1.0)) / 5.0, 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin),
+    // replays the dashboard end-to-end: the t_analysis signal chain for
+    // n_tokens/quality (integer 1e-4 units), the d_exact normalization for
+    // the distinct count, and the grouped q_hll_est register/estimate
+    // chain over the normalized text
+    "t_dashboard" ->
+      ("""WITH t AS (
+        |  SELECT source, lang,
+        |    lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE) AS w,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_len,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(translate(text, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS DOUBLE) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, lang, norm, CAST(w AS BIGINT) AS ntok,
+        |    CAST(round(round((least(w / 50.0, 1.0)
+        |       + (1.0 - least(n_punct / safe_len * 4.0, 1.0))
+        |       + (1.0 - least(n_digit / safe_len * 4.0, 1.0))
+        |       + (CASE WHEN len / greatest(w, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+        |       + least(stop_hits / greatest(w, 1.0) * 3.0, 1.0)) / 5.0, 4) * 10000) AS BIGINT) AS qi
+        |  FROM t),
+        |agg AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT norm) AS n_distinct,
+        |    SUM(ntok) AS total_tokens,
+        |    round(median(ntok), 6) AS med_tokens,
+        |    SUM(qi) AS qsum
+        |  FROM r GROUP BY 1, 2),
+        |h AS (
+        |  SELECT source, lang, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(generate_series(1, greatest(length(norm), 1)),
+        |             j -> CAST(ascii(substr(norm, CAST(j AS INT), 1)) AS BIGINT))),
+        |           (a, c) -> (a * 31 + c) % 9007199254740881) AS h
+        |  FROM r),
+        |rh AS (SELECT source, lang, h % 256 AS idx, LEAST(COALESCE(
+        |         list_filter(generate_series(1, 46),
+        |           b -> (((h // 256) // (CAST(1 AS BIGINT) << (b - 1))) % 2) = 1)[1],
+        |         46), 40) AS rho FROM h),
+        |reg AS (SELECT source, lang, idx, MAX(rho) AS rho FROM rh GROUP BY 1, 2, 3),
+        |s AS (SELECT source, lang,
+        |        SUM(CAST(1 AS BIGINT) << (40 - rho)) AS s_obs,
+        |        COUNT(*) AS n_obs FROM reg GROUP BY 1, 2),
+        |e AS (SELECT source, lang,
+        |        round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 1099511627776.0
+        |          / CAST(s_obs + (256 - n_obs) * 1099511627776 AS DOUBLE), 3) AS est
+        |      FROM s)
+        |SELECT agg.source, agg.lang, n_docs, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  est AS distinct_est, total_tokens, med_tokens,
+        |  round(CAST(qsum AS DOUBLE) / (n_docs * 10000.0), 6) AS avg_quality
+        |FROM agg JOIN e USING (source, lang)
+        |ORDER BY source, lang""".stripMargin),
     "s_knn" ->
       """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
