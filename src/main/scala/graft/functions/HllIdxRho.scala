@@ -52,23 +52,13 @@ case class HllIdxRhoExpr(child: Expression, p: Int, maxRho: Int)
 
 object HllIdxRhoExpr {
 
-  private val P = 9007199254740881L // shared with Dedup.polyStringHash, < 2^53
-
   def hllIdxRho(value: Column, p: Int, maxRho: Int): Column =
     GraftSqlBridge.column(HllIdxRhoExpr(GraftSqlBridge.expression(value), p, maxRho))
 
   def compute(u: UTF8String, p: Int, maxRho: Int): InternalRow = {
-    val s = u.toString
-    // fold per code point: acc < P < 2^53, so acc*31 + cp stays well under
-    // 2^63; empty string folds nothing -> 0, matching ascii('') = 0 over
-    // the composed path's 1-element sequence
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 31L + cp) % P
-      i += Character.charCount(cp)
-    }
+    // shared fused 53-bit polynomial fold (empty string -> 0, matching
+    // ascii('') = 0 over the composed path's 1-element sequence)
+    val acc = PolyHashExpr.compute(u)
     val m = 1L << p
     val idx = acc % m // acc >= 0, so % == pmod
     val rest = acc / m

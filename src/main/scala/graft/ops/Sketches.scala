@@ -136,6 +136,23 @@ object Sketches {
   def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 3,
                 width: Int = 512): DataFrame = {
     require(depth >= 1 && depth <= cmsA.size, s"depth in [1,${cmsA.size}]: $depth")
+    // fused one-pass key hash (functions.PolyHashExpr, bit-identical to
+    // Dedup.polyStringHash — fenced in SketchesSuite), projected once so
+    // the row-hash arithmetic below reuses it per depth row
+    val h = graft.functions.PolyHashExpr.polyHash(col(keyCol).cast("string"))
+    df.select(h.as("__h"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsIdx(col("__h"), r, width).as("idx"))): _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.idx").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Composed-HOF twin of [[cmsSketch]] — the fence reference and the
+    * oracle-readable spec of the hash arithmetic.
+    */
+  private[graft] def cmsSketchComposed(df: DataFrame, keyCol: String, depth: Int = 3,
+                width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= cmsA.size, s"depth in [1,${cmsA.size}]: $depth")
     val h = Dedup.polyStringHash(col(keyCol).cast("string"))
     val cells = explode(array((0 until depth).map(r =>
       struct(lit(r).as("r"), cmsIdx(h, r, width).as("idx"))): _*)).as("cell")
@@ -152,11 +169,11 @@ object Sketches {
     */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                   depth: Int = 3, width: Int = 512): DataFrame = {
-    val h = Dedup.polyStringHash(col(keyCol).cast("string"))
-    val withIdx = keys.select(
-      col(keyCol),
-      explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), cmsIdx(h, r, width).as("idx"))): _*)).as("cell"))
+    val h = graft.functions.PolyHashExpr.polyHash(col(keyCol).cast("string"))
+    val withIdx = keys.select(col(keyCol), h.as("__h"))
+      .select(col(keyCol),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsIdx(col("__h"), r, width).as("idx"))): _*)).as("cell"))
       .select(col(keyCol), col("cell.r").as("r"), col("cell.idx").as("idx"))
     withIdx.join(broadcast(sketch), Seq("r", "idx"), "left")
       .groupBy(keyCol)

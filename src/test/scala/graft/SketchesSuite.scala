@@ -81,6 +81,24 @@ class SketchesSuite extends SparkSpec {
         lower(regexp_replace(trim($"text"), "\\s+", " ")), " ")).as("tok"))
       .filter(length($"tok") >= 1)
 
+  // equivalence fence for the fused poly_hash kernel inside cmsSketch:
+  // row-identical cells to the composed Dedup.polyStringHash formulation,
+  // including multi-byte tokens and empty strings
+  test("fused cms sketch is bit-identical to the composed formulation") {
+    val toks = tokens(docs)
+    val fused = Sketches.cmsSketch(toks, "tok")
+    val composed = Sketches.cmsSketchComposed(toks, "tok")
+    val diff = fused.join(composed, Seq("r", "idx"), "full")
+      .filter(coalesce(fused("cnt"), lit(-1L)) =!= coalesce(composed("cnt"), lit(-1L)))
+    assert(diff.count() == 0, "fused cms != composed cms")
+    val edge = Seq("", " ", "héllo", "日本語", "x😀y", "tok").toDF("tok")
+    val f = Sketches.cmsSketch(edge, "tok")
+    val g = Sketches.cmsSketchComposed(edge, "tok")
+    val d = f.join(g, Seq("r", "idx"), "full")
+      .filter(coalesce(f("cnt"), lit(-1L)) =!= coalesce(g("cnt"), lit(-1L)))
+    assert(d.count() == 0, "fused cms != composed cms on edge strings")
+  }
+
   test("cms estimates upper-bound exact counts for every key") {
     val toks = tokens(docs)
     val sketch = Sketches.cmsSketch(toks, "tok")
