@@ -35,8 +35,14 @@ object GraphRank {
   def pageRank(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 0 && scale > 0, "pageRank: iters >= 0, scale > 0")
+    // persist the slim (src, dst) projection: the edge list feeds nodes,
+    // degrees, and every iteration's contribution join — without this an
+    // expensive upstream (e.g. the LSH candidate pipeline) re-executes
+    // per consumer, and its array-payload shuffles re-materialize each
+    // time (measured at 100x: ~5 recomputes filled the local disk).
+    // Released after the last round, whose result is checkpointed.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -55,6 +61,9 @@ object GraphRank {
         .localCheckpoint(eager = true)
       it += 1
     }
+    // after >=1 round the result is a checkpoint leaf — the edge cache
+    // can go; with iters = 0 the returned frame still reads e lazily
+    if (iters > 0) e.unpersist()
     pr
   }
 

@@ -21,26 +21,24 @@ object ProbeSweep {
     // reason d_minhash exists; see Dedup.ngramJaccardPairs scaladoc.
     // d_clusters/d_cluster_dedup excluded: their oracle entries consume the
     // exact ngram pair list (same envelope); the scale path is cc_minhash.
+    // d_embed_exact EXCLUDED (r8): the planes=0 all-pairs exact twin is
+    // out-of-envelope by design at 100x (40B pairs) — in the r8 sweep its
+    // task death took the whole SparkContext with it and voided every
+    // later cell. The production path is d_embed_neardup (LSH-bucketed).
+    // d_semdedup's ENTRY pins k=8 for the oracle; its scale path is the
+    // auto-k default, timed at the END as d_semdedup_auto (the pinned-k
+    // cell is the known-quadratic shape: ProbeSemK 512 s vs 44 s at 100x).
+    // g_pagerank's ENTRY consumes the exact d_ngram pair list — the same
+    // out-of-envelope family (its task death killed the whole local
+    // SparkContext in both r8 sweep attempts). Its scale path is PageRank
+    // over the LSH pair list, timed at the END as g_pagerank_lsh.
     val names = Seq(
-      "d_simhash", "d_chunks",
-      "d_incremental", "d_embed_exact", "d_semdedup",
+      "d_simhash", "d_chunks", "d_incremental",
       "t_pack", "t_curate", "t_curate_incr", "t_bm25", "t_tfidf",
-      "c_kmeans", "g_pagerank", "t_bpe", "t_subword", "t_nb_score",
+      "c_kmeans", "t_bpe", "t_subword", "t_nb_score",
       "t_lm_score", "t_mixture", "t_weighted", "t_winnow_poly",
-      "e_asof", "e_range", "e_sessions", "q_hll", "t_cms", "q_histq")
-    // scale path for cluster formation: label propagation over the LSH
-    // pair list (24.7M edges on this corpus)
-    try {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val t0 = System.nanoTime()
-      val pairs = graft.ops.Dedup.minhashNearDuplicates(docs, threshold = 0.7, bands = 8, rows = 4)
-      graft.ops.Dedup.connectedComponents(pairs)
-        .write.format("noop").mode("overwrite").save()
-      println(f"SWEEP cc_minhash: ${(System.nanoTime() - t0) / 1e9}%.2f s (rounds=${graft.ops.Dedup.lastCcRounds})")
-    } catch { case e: Throwable =>
-      println(s"SWEEP cc_minhash FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n',' ')}")
-    }
-    spark.catalog.clearCache()
+      "e_asof", "e_range", "e_sessions", "q_hll", "q_hll_est", "t_cms",
+      "q_histq", "t_dashboard")
     for (name <- names) {
       graft.SparkEntry.queries.get(name).foreach { fn =>
         try {
@@ -54,6 +52,44 @@ object ProbeSweep {
         }
         spark.catalog.clearCache()
       }
+    }
+    // The two heavy graph/cluster cells run LAST: their persisted edge
+    // lists, localCheckpoint label blocks, and minutes of all-core load
+    // contaminate any cell that follows them in the same JVM (r8 measured:
+    // d_chunks 7.9 s fresh vs 18.8 s after them; t_bm25 4.7 vs 16.0).
+    // scale path for cluster formation: label propagation over the LSH
+    // pair list (24.7M edges on this corpus)
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.minhashNearDuplicates(docs, threshold = 0.7, bands = 8, rows = 4)
+      graft.ops.Dedup.connectedComponents(pairs)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SWEEP cc_minhash: ${(System.nanoTime() - t0) / 1e9}%.2f s (rounds=${graft.ops.Dedup.lastCcRounds})")
+    } catch { case e: Throwable =>
+      println(s"SWEEP cc_minhash FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n',' ')}")
+    }
+    spark.catalog.clearCache()
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.minhashNearDuplicates(docs, threshold = 0.7, bands = 8, rows = 4)
+      graft.ops.GraphRank.pageRankUndirected(pairs, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SWEEP g_pagerank_lsh: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    } catch { case e: Throwable =>
+      println(s"SWEEP g_pagerank_lsh FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n',' ')}")
+    }
+    spark.catalog.clearCache()
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.semanticDedup(e, minCosine = 0.3)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SWEEP d_semdedup_auto: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    } catch { case e: Throwable =>
+      println(s"SWEEP d_semdedup_auto FAILED: ${String.valueOf(e.getMessage).take(140).replace('\n',' ')}")
     }
     spark.stop()
   }

@@ -269,4 +269,205 @@ class FuzzSuite extends SparkSpec {
       i += 1
     }
   }
+
+  // ------------------- axis 2: expression dims + CURRENT in SET values
+
+  /** A query dimension: SQL text, its select alias, and a row evaluator.
+    * Expression dims exercise the norm-text dimMatches path; CURRENT is
+    * restricted to the simple dims (the engine's CURRENT(expr-dim)
+    * interaction is pinned by its own suites, not fuzzed here).
+    */
+  case class QDim(sql: String, alias: String, ev: R => Any, simple: Boolean)
+
+  // Expression dims must be FUNCTION-CALL-shaped: the AT grammar's
+  // expression_or_identifier (reference measures.rs:1042-1047 and the
+  // engine's mirror) parses `<ident>(...)` or a bare identifier — an infix
+  // expression like `db % 2` parses as ALL db with `% 2` dropped, so such
+  // a dim is simply not addressable from an AT clause (fuzzer finding).
+  private val dimPool: Seq[QDim] = Seq(
+    QDim("da", "da", _.da, simple = true),
+    QDim("db", "db", _.db, simple = true),
+    QDim("dc", "dc", _.dc, simple = true),
+    QDim("upper(da)", "e_ud", _.da.toUpperCase, simple = false),
+    QDim("pmod(db, 2)", "e_dbp", _.db % 2, simple = false))
+
+  /** WHERE predicates that additionally record which simple dims they pin
+    * to a constant via a top-level equality conjunct (the engine's
+    * pinnedConstant analysis) — CURRENT over an ungrouped pinned dim
+    * resolves to that constant.
+    */
+  case class PredP(sql: String, p: R => Boolean, pins: Map[String, Any])
+  private val predPool: Seq[PredP] = Seq(
+    PredP("da = 'A'", _.da == "A", Map("da" -> "A")),
+    PredP("db = 2", _.db == 2, Map("db" -> 2)),
+    PredP("db = 2 AND x > 30", r => r.db == 2 && r.x > 30, Map("db" -> 2)),
+    PredP("x > 50", _.x > 50, Map.empty),
+    PredP("dc = 'X'", _.dc == "X", Map("dc" -> "X")))
+
+  sealed trait ModE
+  case object EAllGlobal extends ModE
+  case class EAllDim(d: QDim) extends ModE
+  case class EVisible() extends ModE
+  case class EWhere(pr: PredP) extends ModE
+  /** SET d = <literal> or SET d = CURRENT d. */
+  case class ESet(d: QDim, valueSql: String, isCurrent: Boolean, lit: Any) extends ModE
+
+  private def normSql(s: String): String = s.toLowerCase.replaceAll("\\s+", "")
+
+  private def renderModE(m: ModE): String = m match {
+    case EAllGlobal => "ALL"
+    case EAllDim(d) => s"ALL ${d.sql}"
+    case EVisible() => "VISIBLE"
+    case EWhere(pr) => s"WHERE ${pr.sql}"
+    case ESet(d, v, _, _) => s"SET ${d.sql} = $v"
+  }
+
+  private def randomModE(rnd: Random, qDims: Seq[QDim]): ModE = rnd.nextInt(6) match {
+    case 0 => EAllGlobal
+    case 1 | 5 =>
+      // bias toward grouped dims but include ungrouped pool dims
+      val d = if (rnd.nextBoolean() && qDims.nonEmpty) qDims(rnd.nextInt(qDims.size))
+              else dimPool(rnd.nextInt(dimPool.size))
+      EAllDim(d)
+    case 2 => EVisible()
+    case 3 => EWhere(predPool(rnd.nextInt(predPool.size)))
+    case _ =>
+      val d = dimPool(rnd.nextInt(dimPool.size))
+      if (d.simple && rnd.nextBoolean())
+        ESet(d, s"CURRENT ${d.sql}", isCurrent = true, lit = null)
+      else d.sql match {
+        case "da" | "upper(da)" =>
+          val v = Seq("'A'", "'B'", "'Z'")(rnd.nextInt(3))
+          ESet(d, v, isCurrent = false, v.stripPrefix("'").stripSuffix("'"))
+        case "dc" =>
+          val v = Seq("'X'", "'Y'")(rnd.nextInt(2))
+          ESet(d, v, isCurrent = false, v.stripPrefix("'").stripSuffix("'"))
+        case "db" =>
+          val v = 1 + rnd.nextInt(4)
+          ESet(d, v.toString, isCurrent = false, v)
+        case _ => // db % 2
+          val v = rnd.nextInt(2)
+          ESet(d, v.toString, isCurrent = false, v)
+      }
+  }
+
+  private def foldRefE(mods: List[ModE], qDims: Seq[QDim]): (Boolean, List[QDim], Boolean, List[ESet], Option[Either[Unit, PredP]]) = {
+    // returns (grand, removed, dropCorr, sets, filter) with the same
+    // path-dependent rules as foldRef, dims compared by normalized text
+    def asRemoved(d: QDim): QDim = d
+    if (mods.isEmpty) return (false, Nil, false, Nil, Some(Left(())))
+    if (mods.length == 1) return mods.head match {
+      case EAllGlobal => (true, Nil, false, Nil, None)
+      case EAllDim(d) => (false, List(d), false, Nil, None)
+      case s: ESet => (false, List(asRemoved(s.d)), false, List(s), None)
+      case EWhere(p) => (false, Nil, true, Nil, Some(Right(p)))
+      case EVisible() => (false, Nil, false, Nil, Some(Left(())))
+    }
+    val allAreAll = mods.forall { case EAllGlobal | EAllDim(_) => true; case _ => false }
+    if (allAreAll) {
+      if (mods.contains(EAllGlobal)) return (true, Nil, false, Nil, None)
+      return (false, mods.collect { case EAllDim(d) => d }, false, Nil, None)
+    }
+    val hasSet = mods.exists(_.isInstanceOf[ESet])
+    var filter: Option[Either[Unit, PredP]] = None
+    var hasAllGlobal = false
+    val sets = scala.collection.mutable.ListBuffer[ESet]()
+    val removed = scala.collection.mutable.ListBuffer[QDim]()
+    for (m <- mods.reverse) m match {
+      case EAllGlobal => hasAllGlobal = true; filter = None; sets.clear()
+      case EAllDim(d) => removed += d
+      case EVisible() => if (!hasSet && !hasAllGlobal) filter = Some(Left(()))
+      case EWhere(p) => if (!hasAllGlobal) filter = Some(Right(p))
+      case s: ESet =>
+        if (!hasAllGlobal && !removed.exists(r => normSql(r.sql) == normSql(s.d.sql))) sets += s
+    }
+    if (hasAllGlobal && sets.isEmpty) (true, Nil, false, Nil, None)
+    else (false, removed.toList, false, sets.toList, filter)
+  }
+
+  private def runExprCase(rnd: Random, caseId: String): Unit = {
+    val data = mkData(rnd, 30 + rnd.nextInt(40))
+    val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW fuzz_base AS " +
+      s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    engine.sql("CREATE OR REPLACE VIEW fuzz_ev AS SELECT da, db, dc, " +
+      "SUM(x) AS MEASURE f_sum, COUNT(*) AS MEASURE f_cnt, AVG(x) AS MEASURE f_avg FROM fuzz_base")
+    val fm = Map(
+      "f_sum" -> ((rs: Seq[R]) => rs.map(_.x).sum: Any),
+      "f_cnt" -> ((rs: Seq[R]) => rs.size.toLong: Any),
+      "f_avg" -> ((rs: Seq[R]) => rs.map(_.x).sum / rs.size: Any))
+    val countLike = Set("f_cnt")
+
+    val qDims = rnd.shuffle(dimPool).take(1 + rnd.nextInt(2))
+      .distinctBy(d => normSql(d.sql)).sortBy(_.alias)
+    val where = if (rnd.nextInt(3) == 0) Some(predPool(rnd.nextInt(predPool.size))) else None
+    val mName = Seq("f_sum", "f_cnt", "f_avg")(rnd.nextInt(3))
+    val mods = List.fill(rnd.nextInt(4))(randomModE(rnd, qDims))
+
+    // block rendering under the same grammar constraints as renderCall
+    val blocks = scala.collection.mutable.ListBuffer[List[ModE]]()
+    var cur = scala.collection.mutable.ListBuffer[ModE]()
+    for (m <- mods) {
+      cur += m
+      val terminal = m match {
+        case EAllGlobal | _: ESet | _: EWhere => true
+        case _ => false
+      }
+      if (terminal || rnd.nextInt(3) == 0) { blocks += cur.toList; cur = scala.collection.mutable.ListBuffer() }
+    }
+    if (cur.nonEmpty) blocks += cur.toList
+    val at = blocks.map(b => s" AT (${b.map(renderModE).mkString(" ")})").mkString
+    val dimItems = qDims.map(d => s"${d.sql} AS ${d.alias}")
+    val sql = s"SELECT ${(dimItems :+ s"AGGREGATE($mName)$at AS c0").mkString(", ")} FROM fuzz_ev" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY ${qDims.map(_.sql).mkString(", ")}"
+
+    val got = rows(engine.sql(sql))
+
+    val (grand, removed, dropCorr, sets, filter) = foldRefE(mods, qDims)
+    val visibleRows = where.fold(data)(p => data.filter(p.p))
+    val groups = visibleRows.map(r => qDims.map(d => d.alias -> d.ev(r)).toMap).distinct
+    def setValue(s: ESet, g: Map[String, Any]): Any =
+      if (!s.isCurrent) s.lit
+      else qDims.find(d => normSql(d.sql) == normSql(s.d.sql)) match {
+        case Some(d) => g(d.alias) // grouped -> the outer dim value
+        case None => where.flatMap(_.pins.get(s.d.sql)).orNull // pinned or NULL
+      }
+    val expected = groups.map { g =>
+      val afterFilter = filter match {
+        case None => data
+        case Some(Left(())) => visibleRows
+        case Some(Right(p)) => data.filter(p.p)
+      }
+      val corr =
+        if (grand || dropCorr) Nil
+        else qDims.filterNot(d => removed.exists(r => normSql(r.sql) == normSql(d.sql)))
+      val ctxRows = afterFilter.filter(r =>
+        corr.forall(d => d.ev(r) == g(d.alias)) &&
+          sets.forall(s => s.d.ev(r) == setValue(s, g)))
+      val scalarFrame = corr.isEmpty && sets.isEmpty
+      val v =
+        if (ctxRows.nonEmpty) fm(mName)(ctxRows)
+        else if (scalarFrame && countLike(mName)) 0L
+        else null
+      qDims.map(d => cell(g(d.alias))) :+ cell(v)
+    }.sortBy(_.mkString(""))
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\nmods: $mods\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 160 expression-dim / CURRENT queries match the evaluator") {
+    val seed = 20260815
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 160) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runExprCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
 }
