@@ -474,8 +474,15 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_id_a",
                           bCol: String = "doc_id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
-      .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+    // both directions from ONE pass over `pairs` (explode, not a union of
+    // two selects): each union branch would re-execute the upstream pair
+    // generator — for the LSH pipeline that is a second full
+    // candidate+verify run before the persist materializes (measured
+    // ~25 s of the 75 s cc_minhash cell at 100×)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("__u"), col(bCol).as("__v")),
+        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
       .persist()
     var labels = edges.groupBy(col("__u").as("id"))
       .agg(min(col("__v")).as("__mn"))

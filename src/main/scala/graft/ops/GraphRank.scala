@@ -67,11 +67,16 @@ object GraphRank {
     pr
   }
 
-  /** Undirected convenience: every pair contributes both directions. */
+  /** Undirected convenience: every pair contributes both directions —
+    * emitted from ONE pass over `pairs` (explode, not a two-select union
+    * that would re-execute an expensive upstream pair generator twice).
+    */
   def pageRankUndirected(pairs: DataFrame, iters: Int = 2, scale: Long = 1000000L,
                          aCol: String = "doc_id_a", bCol: String = "doc_id_b"): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
-    pageRank(fwd.union(rev), iters, scale)
+    val both = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+    pageRank(both, iters, scale)
   }
 }

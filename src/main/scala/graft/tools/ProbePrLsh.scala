@@ -21,9 +21,15 @@ object ProbePrLsh {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
     val pairs = graft.ops.Dedup.minhashNearDuplicates(docs, threshold = 0.7, bands = 8, rows = 4)
-    val pr = graft.ops.GraphRank.pageRankUndirected(pairs, iters = 2)
-    pr.write.format("noop").mode("overwrite").save()
-    println(f"PRLSH: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.contains("cc")) {
+      graft.ops.Dedup.connectedComponents(pairs)
+        .write.format("noop").mode("overwrite").save()
+      println(f"CCLSH: ${(System.nanoTime() - t0) / 1e9}%.2f s (rounds=${graft.ops.Dedup.lastCcRounds})")
+    } else {
+      graft.ops.GraphRank.pageRankUndirected(pairs, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"PRLSH: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
