@@ -470,4 +470,220 @@ class FuzzSuite extends SparkSpec {
       i += 1
     }
   }
+
+  // --------------------------- axis 3: multi-fact joins of measure views
+
+  case class RA(y: Int, r: String, va: Double)
+  case class RB(y: Int, s: String, vb: Double)
+
+  /** Conjunct ownership is NAME-based (tokenOwnedBy: a qualified token is
+    * owned by a view when its last part names one of the view's dims or
+    * base columns, regardless of the alias): `a.y <> 2021` filters BOTH
+    * views' visible frames because both declare dim `y`.
+    */
+  case class MfPred(sql: String, onA: Option[RA => Boolean], onB: Option[RB => Boolean])
+
+  // MAIN-WHERE pool: only columns the views EXPOSE (dims). A base column
+  // like a.va is not a column of the measure view — the single-fact path
+  // happens to be lenient (it rewrites into the base), but in multi-fact
+  // the dedup pushdown correctly fails analysis on it (fuzzer finding;
+  // referencing non-exposed base columns in the outer WHERE is user
+  // error). AT (WHERE ...) runs in the view's BASE context, so the
+  // per-view AT pools below may use base columns.
+  private val mfPreds: Seq[MfPred] = Seq(
+    MfPred("a.r = 'US'", Some(_.r == "US"), None),
+    MfPred("a.y <> 2021", Some(_.y != 2021), Some(_.y != 2021)),
+    MfPred("b.s = 'S1'", None, Some(_.s == "S1")))
+
+  private val mfAtPoolA: Seq[MfPred] = Seq(
+    MfPred("a.r = 'US'", Some(_.r == "US"), None),
+    MfPred("va > 50", Some(_.va > 50), None))
+  private val mfAtPoolB: Seq[MfPred] = Seq(
+    MfPred("b.s = 'S1'", None, Some(_.s == "S1")),
+    MfPred("vb > 30", None, Some(_.vb > 30)))
+
+  sealed trait MfMod
+  case object MfAllGlobal extends MfMod
+  case class MfAllDim(d: String) extends MfMod
+  case class MfSet(d: String, valueSql: String, value: Any) extends MfMod
+  case class MfWhere(p: MfPred) extends MfMod
+  case object MfVisible extends MfMod
+
+  private def renderMfMod(m: MfMod): String = m match {
+    case MfAllGlobal => "ALL"
+    case MfAllDim(d) => s"ALL $d"
+    case MfSet(d, v, _) => s"SET $d = $v"
+    case MfWhere(p) => s"WHERE ${p.sql}"
+    case MfVisible => "VISIBLE"
+  }
+
+  private def foldRefMf(mods: List[MfMod]): (Boolean, List[String], Boolean, List[MfSet], Option[Either[Unit, MfPred]]) = {
+    if (mods.isEmpty) return (false, Nil, false, Nil, Some(Left(())))
+    if (mods.length == 1) return mods.head match {
+      case MfAllGlobal => (true, Nil, false, Nil, None)
+      case MfAllDim(d) => (false, List(d), false, Nil, None)
+      case s: MfSet => (false, List(s.d), false, List(s), None)
+      case MfWhere(p) => (false, Nil, true, Nil, Some(Right(p)))
+      case MfVisible => (false, Nil, false, Nil, Some(Left(())))
+    }
+    val allAreAll = mods.forall { case MfAllGlobal | MfAllDim(_) => true; case _ => false }
+    if (allAreAll) {
+      if (mods.contains(MfAllGlobal)) return (true, Nil, false, Nil, None)
+      return (false, mods.collect { case MfAllDim(d) => d }, false, Nil, None)
+    }
+    val hasSet = mods.exists(_.isInstanceOf[MfSet])
+    var filter: Option[Either[Unit, MfPred]] = None
+    var hasAllGlobal = false
+    val sets = scala.collection.mutable.ListBuffer[MfSet]()
+    val removed = scala.collection.mutable.ListBuffer[String]()
+    for (m <- mods.reverse) m match {
+      case MfAllGlobal => hasAllGlobal = true; filter = None; sets.clear()
+      case MfAllDim(d) => removed += d
+      case MfVisible => if (!hasSet && !hasAllGlobal) filter = Some(Left(()))
+      case MfWhere(p) => if (!hasAllGlobal) filter = Some(Right(p))
+      case s: MfSet =>
+        if (!hasAllGlobal && !removed.exists(_.equalsIgnoreCase(s.d))) sets += s
+    }
+    if (hasAllGlobal && sets.isEmpty) (true, Nil, false, Nil, None)
+    else (false, removed.toList, false, sets.toList, filter)
+  }
+
+  private def runMfCase(rnd: Random, caseId: String): Unit = {
+    val years = Seq(2020, 2021, 2022)
+    val dataA = Seq.fill(25 + rnd.nextInt(25))(RA(
+      years(rnd.nextInt(3)), Seq("US", "EU")(rnd.nextInt(2)), (1 + rnd.nextInt(100)).toDouble))
+    val dataB = Seq.fill(25 + rnd.nextInt(25))(RB(
+      years(rnd.nextInt(3)), Seq("S1", "S2")(rnd.nextInt(2)), (1 + rnd.nextInt(60)).toDouble))
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW mf_base_a AS SELECT y, r, CAST(va AS DOUBLE) AS va FROM VALUES " +
+      dataA.map(x => s"(${x.y}, '${x.r}', ${x.va})").mkString(", ") + " AS t(y, r, va)")
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW mf_base_b AS SELECT y, s, CAST(vb AS DOUBLE) AS vb FROM VALUES " +
+      dataB.map(x => s"(${x.y}, '${x.s}', ${x.vb})").mkString(", ") + " AS t(y, s, vb)")
+    engine.sql("CREATE OR REPLACE VIEW mf_va AS SELECT y, r, SUM(va) AS MEASURE ma, COUNT(*) AS MEASURE ca FROM mf_base_a")
+    engine.sql("CREATE OR REPLACE VIEW mf_vb AS SELECT y, s, SUM(vb) AS MEASURE mb FROM mf_base_b")
+
+    val withR = rnd.nextBoolean()
+    val qDims = if (withR) Seq("y", "r") else Seq("y")
+    val where: List[MfPred] =
+      if (rnd.nextInt(3) == 0) List.fill(1 + rnd.nextInt(2))(mfPreds(rnd.nextInt(mfPreds.size))).distinct
+      else Nil
+
+    def randomMfMod(view: Char): MfMod = rnd.nextInt(5) match {
+      case 0 => MfAllGlobal
+      case 1 =>
+        val d = if (view == 'a') Seq("y", "r")(rnd.nextInt(2)) else "y"
+        MfAllDim(d)
+      case 2 =>
+        if (view == 'a' && rnd.nextBoolean()) {
+          val v = Seq("'US'", "'EU'", "'XX'")(rnd.nextInt(3))
+          MfSet("r", v, v.stripPrefix("'").stripSuffix("'"))
+        } else {
+          val v = 2019 + rnd.nextInt(5)
+          MfSet("y", v.toString, v)
+        }
+      case 3 =>
+        val pool = if (view == 'a') mfAtPoolA else mfAtPoolB
+        MfWhere(pool(rnd.nextInt(pool.size)))
+      case _ => MfVisible
+    }
+    val aMeas = Seq("ma", "ca")(rnd.nextInt(2))
+    val aMods = List.fill(rnd.nextInt(3))(randomMfMod('a'))
+    val bMods = List.fill(rnd.nextInt(3))(randomMfMod('b'))
+
+    def renderAt(mods: List[MfMod]): String = {
+      val blocks = scala.collection.mutable.ListBuffer[List[MfMod]]()
+      var cur = scala.collection.mutable.ListBuffer[MfMod]()
+      for (m <- mods) {
+        cur += m
+        val terminal = m match {
+          case MfAllGlobal | _: MfSet | _: MfWhere => true
+          case _ => false
+        }
+        if (terminal || rnd.nextInt(3) == 0) { blocks += cur.toList; cur = scala.collection.mutable.ListBuffer() }
+      }
+      if (cur.nonEmpty) blocks += cur.toList
+      blocks.map(b => s" AT (${b.map(renderMfMod).mkString(" ")})").mkString
+    }
+    val dimItems = qDims.map(d => s"a.$d AS $d")
+    val sql = s"SELECT ${(dimItems :+ s"AGGREGATE($aMeas)${renderAt(aMods)} AS c0" :+
+        s"AGGREGATE(mb)${renderAt(bMods)} AS c1").mkString(", ")} " +
+      s"FROM mf_va a JOIN mf_vb b ON a.y = b.y" +
+      (if (where.nonEmpty) s" WHERE ${where.map(_.sql).mkString(" AND ")}" else "") +
+      s" GROUP BY ${qDims.map(d => s"a.$d").mkString(", ")}"
+
+    val got = rows(engine.sql(sql))
+
+    // groups: dims of the JOINED, WHERE-filtered row set
+    val visA = dataA.filter(x => where.forall(p => p.onA.forall(_(x))))
+    val visB = dataB.filter(x => where.forall(p => p.onB.forall(_(x))))
+    val bYears = visB.map(_.y).toSet
+    val joined = visA.filter(x => bYears(x.y))
+    val groups = joined.map(x => qDims.map {
+      case "y" => "y" -> (x.y: Any); case "r" => "r" -> (x.r: Any)
+    }.toMap).distinct
+
+    // per-view evaluation: correlate on the query dims the view DECLARES
+    // (name-based dim scoping), visible filter = the name-owned conjuncts
+    def evalA(g: Map[String, Any], ctx: (Boolean, List[String], Boolean, List[MfSet], Option[Either[Unit, MfPred]])): Any = {
+      val (grand, removed, dropCorr, sets, filter) = ctx
+      val afterFilter = filter match {
+        case None => dataA
+        case Some(Left(())) => dataA.filter(x => where.forall(p => p.onA.forall(_(x))))
+        case Some(Right(p)) => dataA.filter(x => p.onA.forall(_(x)))
+      }
+      val owned = qDims.filter(d => d == "y" || d == "r")
+      val corr = if (grand || dropCorr) Nil
+                 else owned.filterNot(d => removed.exists(_.equalsIgnoreCase(d)))
+      val rows = afterFilter.filter { x =>
+        corr.forall(d => (if (d == "y") x.y: Any else x.r: Any) == g(d)) &&
+          sets.forall(s => (if (s.d == "y") x.y: Any else x.r: Any) == s.value)
+      }
+      val scalarFrame = corr.isEmpty && sets.isEmpty
+      if (rows.nonEmpty) { if (aMeas == "ma") rows.map(_.va).sum else rows.size.toLong }
+      else if (scalarFrame && aMeas == "ca") 0L
+      else null
+    }
+    def evalB(g: Map[String, Any], ctx: (Boolean, List[String], Boolean, List[MfSet], Option[Either[Unit, MfPred]])): Any = {
+      val (grand, removed, dropCorr, sets, filter) = ctx
+      val afterFilter = filter match {
+        case None => dataB
+        case Some(Left(())) => dataB.filter(x => where.forall(p => p.onB.forall(_(x))))
+        case Some(Right(p)) => dataB.filter(x => p.onB.forall(_(x)))
+      }
+      // B declares dims y, s — of the query dims only y can correlate
+      val owned = qDims.filter(_ == "y")
+      val corr = if (grand || dropCorr) Nil
+                 else owned.filterNot(d => removed.exists(_.equalsIgnoreCase(d)))
+      // SETs on dims B does not declare (r) cannot pin a B frame
+      val bSets = sets.filter(s => s.d == "y" || s.d == "s")
+      val rows = afterFilter.filter { x =>
+        corr.forall(d => (x.y: Any) == g(d)) &&
+          bSets.forall(s => (if (s.d == "y") x.y: Any else x.s: Any) == s.value)
+      }
+      val scalarFrame = corr.isEmpty && bSets.isEmpty
+      if (rows.nonEmpty) rows.map(_.vb).sum
+      else null
+    }
+    val ctxA = foldRefMf(aMods)
+    val ctxB = foldRefMf(bMods)
+    val expected = groups.map { g =>
+      qDims.map(d => cell(g(d))) :+ cell(evalA(g, ctxA)) :+ cell(evalB(g, ctxB))
+    }.sortBy(_.mkString(""))
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\n" +
+        s"aMeas=$aMeas aMods=$aMods\nbMods=$bMods\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 120 multi-fact join queries match the evaluator") {
+    val seed = 20260816
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 120) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runMfCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
 }
