@@ -1483,6 +1483,23 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
             val repls = refs.flatMap { r =>
               catalog.get(r.name).flatMap { v =>
                 val cols = neededCols(r, v)
+                // guided error instead of an UNRESOLVED_COLUMN plan dump:
+                // a view exposes its dimensions and measures only — an
+                // alias-qualified reference to a non-exposed base column
+                // (e.g. WHERE a.va > 50) cannot resolve against the view,
+                // and the dedup projection below would leak generated SQL
+                // into the analysis error (round-8 fuzzer finding)
+                val exposed = v.dimensionOrder.map(_.toLowerCase).toSet
+                // a star view (SELECT *, ... MEASURE) exposes every base
+                // column — nothing to validate there
+                val unknown =
+                  if (exposed.exists(_.contains("*"))) Nil
+                  else cols.filterNot(exposed.contains)
+                if (unknown.nonEmpty)
+                  throw new GraftException(
+                    s"column(s) ${unknown.mkString(", ")} referenced via ${r.alias} are not exposed by view " +
+                      s"${v.viewName} (its dimensions: ${v.dimensionOrder.mkString(", ")}); base columns of a " +
+                      "measure view are only reachable inside AT (WHERE ...) — or add them to the view's SELECT")
                 vbaseByView.get(v.viewName.toLowerCase) match {
                   case Some(vbase) =>
                     // predicated view: the join side is the DISTINCT set of

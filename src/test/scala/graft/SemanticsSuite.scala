@@ -720,6 +720,33 @@ class SemanticsSuite extends SparkSpec {
         |b	6	10""".stripMargin)
   }
 
+  // round-8 fuzzer finding: in a multi-fact query, a WHERE over a base
+  // column the view does not expose used to die with an
+  // UNRESOLVED_COLUMN dump of the generated SQL
+  test("multi-fact WHERE on a non-exposed base column raises a guided error") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mfe_base_a AS
+        |SELECT * FROM VALUES (2020, 'US', 10.0), (2021, 'EU', 20.0) AS t(y, r, va)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mfe_base_b AS
+        |SELECT * FROM VALUES (2020, 5.0), (2021, 7.0) AS t(y, vb)""".stripMargin)
+    engine.sql("CREATE OR REPLACE VIEW mfe_va AS SELECT y, r, SUM(va) AS MEASURE ma FROM mfe_base_a")
+    engine.sql("CREATE OR REPLACE VIEW mfe_vb AS SELECT y, SUM(vb) AS MEASURE mb FROM mfe_base_b")
+    val e = intercept[GraftException](engine.sql(
+      """SELECT a.y AS y, AGGREGATE(ma) AS c0, AGGREGATE(mb) AS c1
+        |FROM mfe_va a JOIN mfe_vb b ON a.y = b.y
+        |WHERE a.va > 15 GROUP BY a.y""".stripMargin).collect())
+    assert(e.getMessage.contains("not exposed") && e.getMessage.contains("AT (WHERE"), e.getMessage)
+    // and the same base column IS reachable through AT (WHERE ...) — a
+    // single WHERE modifier drops all correlation, so both years see the
+    // same scalar over the va > 15 base rows
+    checkGolden(engine.sql(
+      """SELECT a.y AS y, AGGREGATE(ma) AT (WHERE va > 15) AS c0
+        |FROM mfe_va a JOIN mfe_vb b ON a.y = b.y GROUP BY a.y""".stripMargin),
+      """2020	20
+        |2021	20""".stripMargin)
+  }
+
   test("call-site FILTER raises a guided error, not a generated-SQL parse error") {
     val e = intercept[GraftException](engine.sql(
       "SELECT MONTH(order_date) AS m, AGGREGATE(revenue) FILTER (WHERE amount > 100) AS r " +
