@@ -51,7 +51,10 @@ object WinnowFpExpr {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def compute(u: UTF8String, k: Int, window: Int): ArrayData = {
+  /** trim/\s+-squeeze/lower normalization shared by both hash variants:
+    * returns (utf8 bytes, code-point byte offsets incl. end, code points).
+    */
+  private def normalized(u: UTF8String): (Array[Byte], Array[Int], Int) = {
     val s0 = u.trim().toString
     val n0 = s0.length
     var changed = false
@@ -90,19 +93,16 @@ object WinnowFpExpr {
       cp += 1
     }
     offs(cp) = n
-    if (cp < k) return new GenericArrayData(Array.emptyLongArray)
+    (bytes, offs, cp)
+  }
 
-    val g = cp - k + 1
-    val grams = new Array[Long](g)
-    var p = 0
-    while (p < g) {
-      grams(p) = XXH64.hashUnsafeBytes(bytes,
-        Platform.BYTE_ARRAY_OFFSET + offs(p), offs(p + k) - offs(p), 42L)
-      p += 1
-    }
-
-    // sliding window minimum; positions 0..max(g-window, 0), truncating
-    // slices at the end exactly as slice()+array_min did
+  /** Shared winnowing tail: sliding window minimum over the gram hashes
+    * (positions 0..max(g-window, 0), truncating slices at the end exactly
+    * as slice()+array_min did), then first-occurrence distinct
+    * (array_distinct order).
+    */
+  private def winnowTail(grams: Array[Long], window: Int): ArrayData = {
+    val g = grams.length
     val wCount = math.max(g - window, 0) + 1
     val mins = new Array[Long](wCount)
     var wpos = 0
@@ -114,8 +114,6 @@ object WinnowFpExpr {
       mins(wpos) = m
       wpos += 1
     }
-
-    // first-occurrence distinct (array_distinct order)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var r = 0
     while (r < wCount) { seen.add(mins(r)); r += 1 }
@@ -125,4 +123,88 @@ object WinnowFpExpr {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  def compute(u: UTF8String, k: Int, window: Int): ArrayData = {
+    val (bytes, offs, cp) = normalized(u)
+    if (cp < k) return new GenericArrayData(Array.emptyLongArray)
+    val g = cp - k + 1
+    val grams = new Array[Long](g)
+    var p = 0
+    while (p < g) {
+      grams(p) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + offs(p), offs(p + k) - offs(p), 42L)
+      p += 1
+    }
+    winnowTail(grams, window)
+  }
+
+  private val P = 9007199254740881L
+
+  /** Poly-hash variant: gram hash = the 53-bit polynomial fold over the
+    * gram's CODE POINTS — bit-identical (values AND order) to the
+    * composed `TextAnalysis.winnowFingerprintsPolyComposed` (fenced in
+    * TextStatsSuite) whose per-position `ascii(substr(i,1))` codes are
+    * code points. Backs the cross-engine-replayable oracle twin at fused
+    * speed.
+    */
+  def computePoly(u: UTF8String, k: Int, window: Int): ArrayData = {
+    val (bytes, offs, cp) = normalized(u)
+    if (cp < k) return new GenericArrayData(Array.emptyLongArray)
+    // decode each code point once
+    val cps = new Array[Int](cp)
+    var p = 0
+    while (p < cp) {
+      val i = offs(p)
+      val b0 = bytes(i) & 0xFF
+      cps(p) =
+        if (b0 < 0x80) b0
+        else if (b0 < 0xE0) ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+        else if (b0 < 0xF0)
+          ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+        else
+          ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+            ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)
+      p += 1
+    }
+    val g = cp - k + 1
+    val grams = new Array[Long](g)
+    p = 0
+    while (p < g) {
+      var acc = 0L
+      var q = p
+      val lim = p + k
+      while (q < lim) { acc = (acc * 31L + cps(q)) % P; q += 1 }
+      grams(p) = acc
+      p += 1
+    }
+    winnowTail(grams, window)
+  }
+}
+
+/** Fused twin of the polynomial-hash winnowing formulation — same
+  * normalization, window-min and distinct discipline as [[WinnowFpExpr]],
+  * with the cross-engine-replayable 53-bit polynomial as the gram hash.
+  */
+case class WinnowPolyFpExpr(child: Expression, k: Int, window: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && window >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_poly_fp requires a string argument, k >= 1, window >= 1; got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_poly_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFpExpr.computePoly(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFpExpr.computePoly($c, $k, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPolyFpExpr =
+    copy(child = newChild)
+}
+
+object WinnowPolyFpExpr {
+  def winnowPolyFp(text: Column, k: Int, window: Int): Column =
+    GraftSqlBridge.column(WinnowPolyFpExpr(GraftSqlBridge.expression(text), k, window))
 }

@@ -224,7 +224,14 @@ object TextAnalysis {
     * ALGORITHM (gram windows, min selection, distinct) is oracle-checkable
     * exactly; production dedup keeps xxhash64 (cheaper, better mixing).
     */
-  def winnowFingerprintsPoly(text: Column, k: Int = 8, window: Int = 4): Column = {
+  def winnowFingerprintsPoly(text: Column, k: Int = 8, window: Int = 4): Column =
+    // fused one-pass twin — bit-identical values AND order to
+    // [[winnowFingerprintsPolyComposed]] (fenced in TextStatsSuite); the
+    // composed formulation's per-position slice-fold cost ~190 s on the
+    // 100x corpus where the fused pass costs seconds
+    graft.functions.WinnowPolyFpExpr.winnowPolyFp(text, k, window)
+
+  private[graft] def winnowFingerprintsPolyComposed(text: Column, k: Int = 8, window: Int = 4): Column = {
     val P = 9007199254740881L
     Cols.bindOnce(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
       Cols.bindOnce(transform(

@@ -203,4 +203,22 @@ class TextStatsSuite extends SparkSpec {
         s"row $i: fused=${r.getSeq[Long](0).take(4)} ref=${r.getSeq[Long](1).take(4)}")
     }
   }
+
+  test("winnow_poly_fp: bit-identical (values and order) to the composed poly formulation") {
+    import spark.implicits._
+    val advers = Seq("", "short", "exactly8", "exactly8x", " lead and trail ",
+      "Tabs\tin\tthe\tmiddle of a longer text to winnow over",
+      "😀 emoji 😀 with astral code points spread through the text",
+      "Été İstanbul münchen straße repeated Été İstanbul",
+      ("repeat me " * 30).trim)
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    val out = df.select(
+      graft.ops.TextAnalysis.winnowFingerprintsPoly(col("text")).as("fused"),
+      graft.ops.TextAnalysis.winnowFingerprintsPolyComposed(col("text")).as("ref")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"row $i: fused=${r.getSeq[Long](0).take(4)} ref=${r.getSeq[Long](1).take(4)}")
+    }
+  }
 }
