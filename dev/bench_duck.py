@@ -23,7 +23,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 DEFAULT = ["m_agg_basic", "m_agg_twodim", "m_at_all_pct", "m_at_all_dim",
            "m_at_set_yoy", "m_countdistinct", "m_median", "m_rollup",
            "m_multifact", "q_tpch1", "q_join_agg", "q_window_fn", "q_cube",
-           "d_exact", "d_minhash", "s_knn", "t_tokens", "t_analysis"]
+           "d_exact", "d_minhash", "s_knn", "t_tokens", "t_analysis",
+           # paired-but-not-headline (round-9): temporal cells run their
+           # oracle SQL (native ASOF JOIN / range join / window
+           # sessionization — same work shape); d_simhash runs the banded
+           # twin below
+           "e_asof", "e_range", "e_sessions", "d_simhash"]
 
 # Banded MinHash-LSH twin of Dedup.minhashNearDuplicates (threshold=0.7,
 # bands=8, rows=4, maxBucket=1000, w=3 word shingles). Hash chains differ
@@ -60,6 +65,45 @@ verify AS (
   FROM cand JOIN sh sa ON sa.doc_id = cand.ida JOIN sh sb ON sb.doc_id = cand.idb)
 SELECT ida, idb, round(j, 6) AS jaccard FROM verify WHERE j >= 0.7
 """}
+
+# Banded SimHash twin of Dedup.simhashNearDuplicates (maxHamming=12,
+# 4x16-bit bands, maxBucket=1000, 2-word shingles): same stage structure —
+# shingle -> per-gram hash -> 63-bit majority signature -> 4 band buckets ->
+# capped bucket self-join -> exact-hamming verify. Hash chains differ
+# (hash() vs the engine's fused xxhash64 kernel) so pair sets can differ at
+# the margin; the work shape and shuffle shape are the engine's.
+LSH_TWIN["d_simhash"] = r"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents),
+w1 AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(0, greatest(len(words) - 2, 0)),
+    i -> hash(array_to_string(words[i+1:i+2], ' ')))) AS hh
+  FROM w1),
+sg AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 62),
+    b -> CASE WHEN list_sum(list_transform(hh,
+                h -> CAST((h >> b) & 1 AS BIGINT) * 2 - 1)) >= 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+    AS BIGINT) AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS key
+  FROM sg, generate_series(0, 3) AS g(c)),
+caps AS (SELECT c, key FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
+bucketed AS (SELECT bands.doc_id, bands.sig, bands.c, bands.key
+             FROM bands JOIN caps USING (c, key)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS ida, x.sig AS siga, y.doc_id AS idb, y.sig AS sigb
+  FROM bucketed x JOIN bucketed y USING (c, key)
+  WHERE x.doc_id < y.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       CAST(bit_count(xor(siga, sigb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(siga, sigb)) <= 12
+ORDER BY doc_id_a, doc_id_b
+"""
 
 
 def main():

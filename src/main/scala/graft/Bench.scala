@@ -18,6 +18,15 @@ object Bench {
     "d_exact", "d_minhash", "s_knn", "t_tokens", "t_analysis"
   )
 
+  /** Paired-but-not-headline cells (round-9 verdict tasks 3 and 7): the
+    * temporal operators (DuckDB pairs via its native ASOF JOIN / range
+    * join / window sessionization) and the banded simhash (paired against
+    * a DuckDB banded twin, like d_minhash). Reported per-query and as
+    * their own pair ratios; EXCLUDED from the headline total so the
+    * round-over-round trend stays comparable to rounds 4-8.
+    */
+  val extras: Seq[String] = Seq("e_asof", "e_range", "e_sessions", "d_simhash")
+
   /** Previous clean-window per-query seconds (round-7 paired run,
     * dev/bench_pair_sf01_r7.json). Used only as the contention-tripwire
     * reference, never in reported numbers.
@@ -157,7 +166,8 @@ object Bench {
 
     val failures = scala.collection.mutable.ListBuffer[String]()
     val unstable = scala.collection.mutable.ListBuffer[String]()
-    val results = headline.flatMap { name =>
+    val resampled = scala.collection.mutable.ListBuffer[String]()
+    val results = (headline ++ extras).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         setSplitConf(spark, name, bigInput)
         // Median of 3 runs: the first run absorbs JIT/codegen warmup
@@ -191,6 +201,7 @@ object Bench {
             var best = Double.MaxValue
             var stable = false
             var window = 0
+            var everResampled = false
             while (!stable && window < 5) {
               window += 1
               val samples = Seq.fill(3)(once())
@@ -198,13 +209,16 @@ object Bench {
               best = math.min(best, med)
               stable = med <= 1.25 * samples.min &&
                 (bigInput || priorRound.get(name).forall(p => med <= 2 * p))
-              if (!stable)
+              if (!stable) {
+                everResampled = true
                 System.err.println(
                   f"[bench] $name window $window median $med%.2fs " +
                     f"(min ${samples.min}%.2fs, prior " +
                     f"${priorRound.getOrElse(name, Double.NaN)}%.2fs) — " +
                     "unstable, re-sampling")
+              }
             }
+            if (everResampled) resampled += name
             if (!stable) {
               System.err.println(
                 f"[bench] $name: NO quiet window in 5 attempts; reporting " +
@@ -228,19 +242,29 @@ object Bench {
     // table — and its all-cores-saturating runtime carries 2-4x ambient
     // variance that would make the total noise-dominated (78% of the r6
     // committed 100x total).
-    val excludedNames = Set("d_minhash")
+    val excludedNames = Set("d_minhash") ++ extras
     val total = ok.filterNot(r => excludedNames(r._1)).map(_._2).sum
     val excl = ok.filter(r => excludedNames(r._1))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // contended flag (round-9 verdict task 8): a trend artifact where many
+    // cells needed re-sampling — even if each eventually found a quiet
+    // window — was measured under ambient machine load (r8's +17% uniform
+    // drift, ten re-sample warnings); make that machine-visible instead of
+    // leaving the judge to infer it from stderr
+    val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contended = unstable.nonEmpty || resampled.size >= 4
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"sf":"$sfDir","failed":${failures.length}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"resampled":$resampledJson,"contended":$contended,"sf":"$sfDir","failed":${failures.length}}"""
     // also drop the artifact to a file when asked — belt-and-braces for
     // drivers that scrape a log tail instead of clean stdout
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
     }
-    spark.stop()
+    // stop() is best-effort: if it throws or hangs-then-throws, the
+    // parseable stdout line must still be emitted (driver scrapes it)
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     // printed AFTER spark.stop() so the JSON is the final stdout line
     println(json)
   }

@@ -68,6 +68,13 @@ final class GraftEngine(val spark: SparkSession) {
   //  - a leftover temp view never consumed at all is an error
   //  - a shadowed permanent view is restored unless the batch dropped it
   private val batchTempCreated = scala.collection.mutable.LinkedHashSet[String]()
+  // creation-time shadow per batch temp: what the name was bound to at the
+  // moment the TEMP was created (reference temporary_snapshots,
+  // yardstick_extension.cpp:1596-1631). The PRE-BATCH snapshot is the wrong
+  // restore source for a name whose permanent was dropped earlier in the
+  // same batch — restoring from it resurrects the dropped view (found by
+  // FuzzBatchSuite: DROP VIEW p; CREATE TEMP VIEW p; DROP VIEW p).
+  private val batchShadowed = scala.collection.mutable.HashMap[String, Option[MeasureView]]()
   private val batchConsumedMat = scala.collection.mutable.Set[String]()
   private val batchSelectRefs = scala.collection.mutable.Set[String]()
   private val batchDropped = scala.collection.mutable.Set[String]()
@@ -103,6 +110,7 @@ final class GraftEngine(val spark: SparkSession) {
     batchSnapshot = snap
     inBatch = true
     batchTempCreated.clear()
+    batchShadowed.clear()
     batchConsumedMat.clear()
     batchSelectRefs.clear()
     batchDropped.clear()
@@ -114,7 +122,10 @@ final class GraftEngine(val spark: SparkSession) {
       for (name <- leftovers) {
         catalog.drop(name)
         try spark.catalog.dropTempView(name) catch { case _: Exception => }
-        snap.get(name.toLowerCase) match {
+        // restore what the temp shadowed AT ITS CREATION, not the pre-batch
+        // binding — they differ when the batch dropped/changed the
+        // permanent before creating the temp
+        batchShadowed.getOrElse(name.toLowerCase, snap.get(name.toLowerCase)) match {
           case Some(prev) if !prev.temporary && !batchDropped.contains(name) =>
             catalog.register(prev)
             if (prev.cleanViewSql.nonEmpty) spark.sql(prev.cleanViewSql)
@@ -291,7 +302,8 @@ final class GraftEngine(val spark: SparkSession) {
         // read the permanent again (reference batch semantics), UNLESS the
         // permanent itself was dropped via main.x earlier in this batch
         if (batchTempCreated.remove(lname)) {
-          batchSnapshot.get(lname) match {
+          // reveal what the temp shadowed AT ITS CREATION (see batchShadowed)
+          batchShadowed.getOrElse(lname, batchSnapshot.get(lname)) match {
             case Some(prev) if !prev.temporary && !permDroppedInBatch.contains(lname) =>
               catalog.register(prev)
               if (prev.cleanViewSql.nonEmpty) spark.sql(prev.cleanViewSql)
@@ -463,7 +475,14 @@ final class GraftEngine(val spark: SparkSession) {
       mv = mv.copy(cleanViewSql = cleanSql)
       catalog.register(mv)
       baseColsCache.remove(tempName.toLowerCase)
-      if (p.temporary) batchTempCreated += tempName.toLowerCase
+        if (p.temporary) {
+        val lname = tempName.toLowerCase
+        // first creation wins: a re-CREATE TEMP of the same live name keeps
+        // the original shadow (the reference's snapshot chain nets out the
+        // same way when restored in order)
+        if (!batchTempCreated.contains(lname)) batchShadowed(lname) = prev.get(lname)
+        batchTempCreated += lname
+      }
       res
     } catch {
       case e: Throwable =>

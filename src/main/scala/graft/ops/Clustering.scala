@@ -92,6 +92,80 @@ object Clustering {
       .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
   }
 
+  /** Two-level Lloyd k-means for LARGE k (the SemDeDup k ∝ corpus-size
+    * recipe at 100 TB implies k in the millions, where the flat algorithm's
+    * k-row centroid broadcast per Lloyd round stops being "small"):
+    *
+    *   - level 1 clusters the corpus into `kSuper` coarse cells exactly
+    *     like [[kmeans]] — the per-round broadcast is kSuper rows, small by
+    *     construction (choose kSuper ≈ √k);
+    *   - level 2 runs kInner-means INSIDE each cell, with the
+    *     (kSuper × kInner)-row centroid table JOINED on the cell id
+    *     (shuffle-hash, co-partitioned) instead of broadcast — the step
+    *     that removes the broadcast ceiling. Each row only ever meets its
+    *     own cell's kInner centroids.
+    *
+    * Same quantized-integer discipline as [[kmeans]] (exact integer
+    * accumulation, single-division centroids, (distance, index) argmin
+    * ties), so results are deterministic at any parallelism. Returns
+    * (vec_id, cluster) with cluster = super * kInner + inner; empty inner
+    * cells drop out as in standard Lloyd.
+    */
+  def kmeansTwoLevel(embeddings: DataFrame, kSuper: Int, kInner: Int,
+                     iters: Int = 1, scale: Int = 1000,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kSuper > 0 && kInner > 0 && iters >= 0,
+      "kmeansTwoLevel: kSuper, kInner must be positive and iters >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("q"))
+    var coarse = q.filter(col("vec_id") < kSuper)
+      .select(col("vec_id").cast("int").as("cidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    var it = 0
+    while (it < iters) {
+      coarse = update(assign(q, coarse)).localCheckpoint(eager = true)
+      it += 1
+    }
+    // cells reused by every inner round: cache the slim (id, q, super) frame
+    val cells = assign(q, coarse).withColumnRenamed("cluster", "super").persist()
+    // inner init: the kInner smallest ids per cell (same convention as the
+    // flat initializer, scoped per cell)
+    var inner = cells
+      .withColumn("__rn", row_number().over(Window.partitionBy("super").orderBy("vec_id")))
+      .filter(col("__rn") <= kInner)
+      .select(col("super"), (col("__rn") - 1).cast("int").as("iidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    // the centroid table scales with k: join on the cell id, never broadcast
+    def assignInner(cent: DataFrame): DataFrame =
+      cells.join(cent.hint("shuffle_hash"), Seq("super"))
+        .withColumn("__d", sqDist(col("q"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(first("super").as("super"), first("q").as("q"),
+          min(struct(col("__d"), col("iidx"))).as("__m"))
+        .select(col("vec_id"), col("super"), col("q"), col("__m.iidx").as("iidx"))
+    def updateInner(assigned: DataFrame): DataFrame =
+      assigned.select(col("super"), col("iidx"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("super", "iidx", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("super", "iidx")
+        .agg(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))).as("__c"))
+        .select(col("super"), col("iidx"),
+          transform(col("__c"), x =>
+            x.getField("s").cast("double") / x.getField("n").cast("double")).as("cvec"))
+    var it2 = 0
+    while (it2 < iters) {
+      inner = updateInner(assignInner(inner)).localCheckpoint(eager = true)
+      it2 += 1
+    }
+    val out = assignInner(inner)
+      .select(col("vec_id"),
+        (col("super").cast("long") * kInner + col("iidx")).as("cluster"))
+      .localCheckpoint(eager = true)
+    cells.unpersist()
+    out
+  }
+
   /** Per-cluster inertia (sum of squared distances to the assigned
     * centroid) and sizes — the convergence/quality diagnostic.
     */

@@ -403,8 +403,11 @@ object Dedup {
     * so the whole operator is oracle-replayable (entry d_semdedup).
     *
     * `k <= 0` (the default) AUTO-SCALES the cluster count to
-    * `max(8, ceil(n / targetClusterSize))` from one count() pass
-    * (metadata-only on parquet), which is what actually enforces the
+    * `max(8, ceil(n / targetClusterSize))` from one count() pass over a
+    * cache of the input (so an expensive upstream is computed once, not
+    * once for the count plus once per k-means round; the cache is
+    * released as soon as the slim cluster-edge frame materializes),
+    * which is what actually enforces the
     * "k grows with the corpus" requirement above: with k pinned, cluster
     * populations grow linearly with the corpus and the in-cluster
     * pairwise step grows quadratically (measured: pinned k=8 took 584 s
@@ -416,15 +419,37 @@ object Dedup {
                     idCol: String = "vec_id", k: Int = 0, iters: Int = 1,
                     minCosine: Double = 0.95,
                     maxCluster: Int = 100000,
-                    targetClusterSize: Int = 4096): DataFrame = {
+                    targetClusterSize: Int = 4096,
+                    twoLevelFromK: Int = 65536): DataFrame = {
+    // Auto-k mode caches the input before counting it: the count action
+    // fully materializes the cache, so an expensive un-cached upstream
+    // (an LSH chain, a filter pipeline) is computed ONCE and the k-means
+    // rounds + edge build below read the cached copy. Released as soon as
+    // `e` (the slim persisted projection) is materialized.
+    val src = if (k > 0) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kEff =
       if (k > 0) k
-      else math.max(8L, (df.count() + targetClusterSize - 1) / targetClusterSize).toInt
-    val assigned = Clustering.kmeans(df, k = kEff, iters = iters,
-      idCol = idCol, vecCol = vecCol)
-    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      else math.max(8L, (src.count() + targetClusterSize - 1) / targetClusterSize).toInt
+    // Large-k ceiling (documented recipe: k ∝ n means millions of clusters
+    // at 100 TB): past `twoLevelFromK`, flat Lloyd's k-row broadcast per
+    // round stops being "small" — switch to the two-level variant whose
+    // big centroid table is cell-id-joined, never broadcast. The default
+    // threshold keeps every current caller (and the oracle, which pins
+    // k = 8) on the flat path.
+    val assigned =
+      if (kEff < twoLevelFromK)
+        Clustering.kmeans(src, k = kEff, iters = iters, idCol = idCol, vecCol = vecCol)
+      else {
+        val kSuper = math.ceil(math.sqrt(kEff.toDouble)).toInt
+        val kInner = (kEff + kSuper - 1) / kSuper
+        Clustering.kmeansTwoLevel(src, kSuper = kSuper, kInner = kInner,
+          iters = iters, idCol = idCol, vecCol = vecCol)
+      }
+    val e = src.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .persist()
+    if (k <= 0) { e.count(); src.unpersist() }
     val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
     val capped = e.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
       Seq("cluster"))

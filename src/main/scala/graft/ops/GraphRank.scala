@@ -41,8 +41,11 @@ object GraphRank {
     // per consumer, and its array-payload shuffles re-materialize each
     // time (measured at 100x: ~5 recomputes filled the local disk).
     // Released after the last round, whose result is checkpointed.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+    // with iters = 0 there is no re-read to amortize (nodes is the only
+    // consumer), so skip the cache entirely rather than leak it
+    val eSlim = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = if (iters > 0) eSlim.persist() else eSlim
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -75,7 +75,10 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         val wCols = values.zipWithIndex.map { case ((_, (e, _)), j) => s"$e AS __w$j" }.mkString(", ")
         val guards = values.zipWithIndex.map { case ((col, (_, g)), j) =>
           val name = g.getOrElse("window measure")
-          s"CASE WHEN size(collect_set(__w$j)) > 1 THEN raise_error(concat('Window measure $name is not single-valued in this context: ', cast(size(collect_set(__w$j)) AS STRING), ' distinct values')) ELSE element_at(collect_set(__w$j), 1) END AS $col"
+          // try_element_at, not element_at: an EMPTY context (scalar frame
+          // whose filter matches nothing) must yield NULL like every other
+          // empty-context aggregate, not an ANSI array-index error
+          s"CASE WHEN size(collect_set(__w$j)) > 1 THEN raise_error(concat('Window measure $name is not single-valued in this context: ', cast(size(collect_set(__w$j)) AS STRING), ' distinct values')) ELSE try_element_at(collect_set(__w$j), 1) END AS $col"
         }.mkString(", ")
         if (innerKeys.isEmpty)
           s"SELECT $guards FROM (SELECT $wCols FROM $baseCte$where)"

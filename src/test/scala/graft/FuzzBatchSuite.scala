@@ -1,0 +1,203 @@
+package graft
+
+import scala.util.Random
+
+/** Randomized batch scripts against the snapshot contract (round-9 verdict
+  * task 4, second half; reference invariants at
+  * yardstick_extension.cpp:1498-1754):
+  *
+  *  - TEMPORARY measure views are batch-scoped; a shadowed permanent view
+  *    is restored at batch end unless the batch dropped it (main.-DROP);
+  *  - dropping a batch temp mid-batch reveals the shadowed permanent for
+  *    the REST of the batch;
+  *  - a temp never consumed by a materializing AGGREGATE statement, or one
+  *    read by a plain SELECT, errors at batch end ("TEMPORARY AS MEASURE");
+  *  - any failure rolls the measure catalog back to the pre-batch snapshot.
+  *
+  * The model is an independent state machine over (permanent defs, temp
+  * defs, consumption/select-ref sets) — it shares no code with GraftEngine.
+  * For clean batches it also predicts every CTAS output from the definition
+  * active AT THE CONSUMING STATEMENT (eager mid-batch visibility). After a
+  * failed batch only the measure-catalog key set is asserted: CTAS side
+  * effects before the failing statement are the engine's documented
+  * eager-execution half-state (the reference rewrites the whole batch
+  * before executing anything).
+  */
+class FuzzBatchSuite extends SparkSpec {
+
+  lazy val engine: GraftEngine = GraftEngine(spark)
+
+  private val names = Seq("fzb_p1", "fzb_p2", "fzb_t1")
+
+  // base rows; sums per k are exact integers
+  private val baseRows: Seq[(Int, Int)] = Seq((1, 3), (1, 4), (2, 5), (2, 6), (2, 7))
+  private val sums: Map[Int, Long] = baseRows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum.toLong }
+
+  sealed trait Op
+  case class CreateTemp(name: String, mult: Int) extends Op
+  case class CreatePerm(name: String, mult: Int) extends Op
+  case class DropView(name: String) extends Op
+  case class DropMain(name: String) extends Op
+  case class ConsumeCtas(name: String, table: String) extends Op
+  case class PlainSelect(name: String) extends Op
+  case object FailStmt extends Op
+
+  private def render(op: Op): String = op match {
+    case CreateTemp(n, m) =>
+      s"CREATE TEMPORARY VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src"
+    case CreatePerm(n, m) =>
+      s"CREATE OR REPLACE VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src"
+    case DropView(n) => s"DROP VIEW $n"
+    case DropMain(n) => s"DROP VIEW main.$n"
+    case ConsumeCtas(n, t) => s"CREATE TABLE $t AS SELECT k, AGGREGATE(mv) AS s FROM $n"
+    case PlainSelect(n) => s"SELECT k, AGGREGATE(mv) AS s FROM $n"
+    case FailStmt => "SELECT fz_no_such_col FROM fzbatch_src"
+  }
+
+  /** Model state during a batch (engine-eager visibility). */
+  private case class St(perm: Map[String, Int], temp: Map[String, Int],
+                        created: Set[String], consumed: Set[String],
+                        selectRef: Boolean, permDroppedInBatch: Set[String]) {
+    def active(n: String): Option[Int] = temp.get(n).orElse(perm.get(n))
+  }
+
+  private def runBatchCase(rnd: Random, caseN: Int): Unit = {
+    val caseId = s"batch case=$caseN"
+    // reset universe (each sql() call is its own single-statement batch)
+    for (n <- names) engine.sql(s"DROP VIEW IF EXISTS $n")
+    val preBatch: Map[String, Int] = Map(
+      "fzb_p1" -> (1 + rnd.nextInt(5)), "fzb_p2" -> (1 + rnd.nextInt(5)))
+    for ((n, m) <- preBatch)
+      engine.sql(s"CREATE VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src")
+    val snapshotKeys = engine.catalog.snapshot().keySet
+
+    // ---- generate a batch
+    var st = St(preBatch, Map.empty, Set.empty, Set.empty, selectRef = false, Set.empty)
+    val ops = scala.collection.mutable.ListBuffer[Op]()
+    val ctasExpected = scala.collection.mutable.ListBuffer[(String, Int)]() // (table, mult)
+    var failed = false
+    var tableN = 0
+    val nOps = 3 + rnd.nextInt(4)
+    while (ops.size < nOps && !failed) {
+      val roll = rnd.nextInt(100)
+      val op: Option[Op] =
+        if (roll < 28) {
+          // new temp, or temp shadowing a permanent; never a duplicate temp
+          val cands = names.filterNot(st.temp.contains)
+          if (cands.isEmpty) None
+          else Some(CreateTemp(cands(rnd.nextInt(cands.size)), 1 + rnd.nextInt(9)))
+        } else if (roll < 58) {
+          val cands = names.filter(st.active(_).nonEmpty)
+          if (cands.isEmpty) None
+          else {
+            tableN += 1
+            Some(ConsumeCtas(cands(rnd.nextInt(cands.size)), s"fz_out_${caseN}_$tableN"))
+          }
+        } else if (roll < 72) {
+          val cands = names.filter(n => st.temp.contains(n) || st.perm.contains(n))
+          if (cands.isEmpty) None else Some(DropView(cands(rnd.nextInt(cands.size))))
+        } else if (roll < 82) {
+          val cands = names.filterNot(st.temp.contains)
+          if (cands.isEmpty) None
+          else Some(CreatePerm(cands(rnd.nextInt(cands.size)), 1 + rnd.nextInt(9)))
+        } else if (roll < 90) {
+          // plain SELECT: over a temp it is the "returned directly" error
+          val cands = names.filter(st.active(_).nonEmpty)
+          if (cands.isEmpty) None else Some(PlainSelect(cands(rnd.nextInt(cands.size))))
+        } else if (roll < 95) {
+          // main.-qualified drop of a shadowed permanent
+          val cands = names.filter(n => st.temp.contains(n) && st.perm.contains(n) &&
+            !st.permDroppedInBatch.contains(n))
+          if (cands.isEmpty) None else Some(DropMain(cands(rnd.nextInt(cands.size))))
+        } else Some(FailStmt)
+      op.foreach { o =>
+        ops += o
+        o match {
+          case CreateTemp(n, m) =>
+            st = st.copy(temp = st.temp + (n -> m), created = st.created + n)
+          case CreatePerm(n, m) =>
+            st = st.copy(perm = st.perm + (n -> m),
+              permDroppedInBatch = st.permDroppedInBatch - n)
+          case DropView(n) =>
+            if (st.temp.contains(n)) {
+              // mid-batch reveal: the shadowed permanent serves the rest of
+              // the batch unless main.-dropped earlier
+              st = st.copy(temp = st.temp - n, created = st.created - n,
+                perm = if (st.permDroppedInBatch.contains(n)) st.perm - n else st.perm)
+            } else st = st.copy(perm = st.perm - n)
+          case DropMain(n) =>
+            st = st.copy(perm = st.perm - n, permDroppedInBatch = st.permDroppedInBatch + n)
+          case ConsumeCtas(n, t) =>
+            ctasExpected += ((t, st.active(n).get))
+            if (st.temp.contains(n)) st = st.copy(consumed = st.consumed + n)
+          case PlainSelect(n) =>
+            if (st.temp.contains(n)) st = st.copy(selectRef = true)
+          case FailStmt => failed = true
+        }
+      }
+    }
+    // leftovers = temps still live at batch end that no CTAS ever consumed
+    val unconsumed = (st.created & st.temp.keySet).diff(st.consumed)
+    val expectError = failed || st.selectRef || unconsumed.nonEmpty
+
+    for ((t, _) <- ctasExpected) {
+      engine.sql(s"DROP TABLE IF EXISTS $t")
+      try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Exception => }
+    }
+    val batchSql = ops.map(render).mkString(";\n")
+
+    if (expectError) {
+      val e = intercept[Exception] { engine.executeBatch(batchSql) }
+      if (!failed)
+        assert(e.getMessage.contains("TEMPORARY AS MEASURE"),
+          s"\n[$caseId] expected temp-consumption error\nbatch:\n$batchSql\ngot: ${e.getMessage}")
+      // rollback contract: the measure catalog is exactly the pre-batch set
+      assert(engine.catalog.snapshot().keySet == snapshotKeys,
+        s"\n[$caseId] catalog not restored after failure\nbatch:\n$batchSql")
+      // pre-batch permanent DEFINITIONS answer again (shadow restore path)
+      for ((n, m) <- preBatch) checkView(caseId, batchSql, n, Some(m))
+      return
+    }
+
+    engine.executeBatch(batchSql)
+    // success: temps are gone, permanent mutations applied, shadowed
+    // permanents restored
+    for (n <- names) checkView(caseId, batchSql, n, st.perm.get(n))
+    // CTAS outputs reflect the definition active at the consuming statement
+    for ((t, m) <- ctasExpected) {
+      val got = rows(engine.sql(s"SELECT k, s FROM $t"))
+      val want = sums.toSeq.map { case (k, s) => Seq(k.toString, (s * m).toString) }
+        .sortBy(_.mkString(""))
+      assert(got == want, s"\n[$caseId] CTAS $t mismatch (mult $m)\nbatch:\n$batchSql\n" +
+        s"got: $got\nwant: $want")
+    }
+  }
+
+  private def checkView(caseId: String, batchSql: String, n: String, mult: Option[Int]): Unit =
+    mult match {
+      case Some(m) =>
+        val got = rows(engine.sql(s"SELECT k, AGGREGATE(mv) AS s FROM $n ORDER BY k"))
+        val want = sums.toSeq.map { case (k, s) => Seq(k.toString, (s * m).toString) }
+          .sortBy(_.mkString(""))
+        assert(got == want,
+          s"\n[$caseId] view $n should run def x$m\nbatch:\n$batchSql\ngot: $got\nwant: $want")
+      case None =>
+        val survived = try {
+          engine.sql(s"SELECT k, AGGREGATE(mv) AS s FROM $n").collect(); true
+        } catch { case _: Exception => false }
+        assert(!survived, s"\n[$caseId] view $n should be gone\nbatch:\n$batchSql")
+    }
+
+  test("differential fuzz: 60 randomized batch scripts match the snapshot-contract model") {
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW fzbatch_src AS SELECT * FROM VALUES " +
+      baseRows.map { case (k, v) => s"($k, $v)" }.mkString(", ") + " AS t(k, v)")
+    val seed = 20260818
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 60) {
+      if (i % 15 == 0) rnd.setSeed(seed + i)
+      runBatchCase(rnd, i)
+      i += 1
+    }
+  }
+}

@@ -686,4 +686,118 @@ class FuzzSuite extends SparkSpec {
       i += 1
     }
   }
+
+  // ------------------------ axis 4a: window measures + single-value guard
+  //
+  // Reference semantics (measures.rs:5233-5247, LIMITATIONS.md window
+  // measures): a window measure evaluates PER ROW over the context's
+  // filtered rows (the window partition sees every row passing the frame's
+  // filter — correlation and SET pins select groups AFTER the per-row
+  // values exist), then each frame group (correlation keys + SET dims)
+  // must hold exactly one distinct value; more is an error, an empty
+  // correlated group is NULL (join miss), an empty scalar frame is NULL.
+  // The frame groups are computed eagerly, so a multi-valued group errors
+  // even when no output row would join to it.
+
+  /** Window measure: SQL over the view base, partition dims, aggregator. */
+  case class WMeas(name: String, sql: String, part: Seq[String], agg: Seq[R] => Any)
+
+  private val wMeasures: Seq[WMeas] = Seq(
+    WMeas("w_g", "SUM(x) OVER ()", Nil, rs => rs.map(_.x).sum),
+    WMeas("w_da", "SUM(x) OVER (PARTITION BY da)", Seq("da"), rs => rs.map(_.x).sum),
+    WMeas("w_dadb", "SUM(x) OVER (PARTITION BY da, db)", Seq("da", "db"), rs => rs.map(_.x).sum),
+    WMeas("w_cnt", "COUNT(*) OVER (PARTITION BY db)", Seq("db"), rs => rs.size.toLong),
+    WMeas("w_maxy", "MAX(y) OVER (PARTITION BY dc)", Seq("dc"), rs => rs.map(_.y).max))
+
+  /** Render 0-n modifiers into chained AT blocks under the reference
+    * grammar (SET/WHERE/bare-ALL terminate their block).
+    */
+  private def renderAtBlocks(rnd: Random, mods: List[Mod]): String = {
+    val blocks = scala.collection.mutable.ListBuffer[List[Mod]]()
+    var cur = scala.collection.mutable.ListBuffer[Mod]()
+    for (m <- mods) {
+      cur += m
+      val terminal = m match {
+        case AllGlobal | _: SetMod | _: WhereMod => true
+        case _ => false
+      }
+      if (terminal || rnd.nextInt(3) == 0) { blocks += cur.toList; cur = scala.collection.mutable.ListBuffer() }
+    }
+    if (cur.nonEmpty) blocks += cur.toList
+    blocks.map(b => s" AT (${b.map(renderMod).mkString(" ")})").mkString
+  }
+
+  private def runWinCase(rnd: Random, caseId: String): Unit = {
+    val data = mkData(rnd, 20 + rnd.nextInt(40))
+    val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW fuzzw_base AS " +
+      s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    val defs = wMeasures.map(w => s"${w.sql} AS MEASURE ${w.name}").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE VIEW fuzzw_v AS SELECT da, db, dc, $defs FROM fuzzw_base")
+
+    val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
+    val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val wm = wMeasures(rnd.nextInt(wMeasures.size))
+    val mods = List.fill(rnd.nextInt(3))(randomMod(rnd, qDims))
+    val sql = s"SELECT ${qDims.mkString(", ")}, AGGREGATE(${wm.name})" +
+      renderAtBlocks(rnd, mods) + s" AS c0 FROM fuzzw_v" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY ${qDims.mkString(", ")}"
+
+    // ---- independent evaluation
+    val ctx = foldRef(mods, paperDefault = false)
+    val frameRows = ctx.filter match {
+      case None => data
+      case Some(Left(())) => where.fold(data)(p => data.filter(p.p))
+      case Some(Right(p)) => data.filter(p.p)
+    }
+    def wval(r: R): Any =
+      wm.agg(frameRows.filter(r2 => wm.part.forall(d => dimVal(r2, d) == dimVal(r, d))))
+    val corr =
+      if (ctx.grand || ctx.dropCorr) Nil
+      else qDims.filterNot(d => ctx.removed.exists(_.equalsIgnoreCase(d)))
+    val frameKeyDims = corr ++ ctx.sets.map(_.d)
+    // eager frame groups: every (corr, set-dim) tuple present in the frame
+    val frameGroups: Map[Seq[Any], Seq[R]] =
+      if (frameKeyDims.isEmpty) Map(Seq.empty[Any] -> frameRows)
+      else frameRows.groupBy(r => frameKeyDims.map(d => dimVal(r, d))).toMap
+    val multiValued = frameGroups.values.exists(_.map(r => cell(wval(r))).distinct.size > 1)
+
+    if (multiValued) {
+      val e = intercept[Exception] { engine.sql(sql).collect() }
+      assert(e.getMessage.toLowerCase.contains("not single-valued"),
+        s"\n[$caseId] expected single-value guard error\nsql: $sql\ngot: ${e.getMessage}")
+      return
+    }
+
+    val got = rows(engine.sql(sql))
+    val visibleRows = where.fold(data)(p => data.filter(p.p))
+    val groups = visibleRows.map(r => qDims.map(d => d -> dimVal(r, d)).toMap).distinct
+    val expected = groups.map { g =>
+      val key = corr.map(d => g(d)) ++ ctx.sets.map(_.value(g))
+      val ctxRows = frameGroups.getOrElse(key, Seq.empty)
+        // frame groups keyed on frame-present tuples: a SET pin to an
+        // absent value, or a correlation miss, is an empty group -> NULL
+      val v = ctxRows.headOption.map(wval).orNull
+      qDims.map(d => cell(g(d))) :+ cell(v)
+    }.sortBy(_.mkString(""))
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\n" +
+        s"wm=${wm.name} mods=$mods\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 100 window-measure queries match the evaluator") {
+    val seed = 20260817
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 100) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runWinCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
 }

@@ -72,6 +72,46 @@ class RelevanceClusteringSuite extends SparkSpec {
     assert(i2 <= i0, s"inertia rose: $i0 -> $i2")
   }
 
+  test("kmeansTwoLevel: kSuper=1 degenerates to flat kmeans, bit for bit") {
+    // dense 0-based ids make the two initializers coincide (flat: cidx =
+    // vec_id < k; two-level: iidx = rank-1 over vec_id order) — with one
+    // super-cell the whole algorithm must then replay flat Lloyd exactly
+    val synth = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13)))
+    }.toDF("vec_id", "embedding")
+    val flat = Clustering.kmeans(synth, k = 12, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val two = Clustering.kmeansTwoLevel(synth, kSuper = 1, kInner = 12, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == flat, "kSuper=1 two-level must equal flat kmeans")
+  }
+
+  test("kmeansTwoLevel: total, in-range, splits cells, partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Clustering.kmeansTwoLevel(df, kSuper = 4, kInner = 4, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a1 = run(emb)
+    val a2 = run(emb.repartition(13))
+    assert(a1 == a2, "two-level clustering must not depend on partitioning")
+    assert(a1.size == emb.count())
+    assert(a1.values.forall(c => c >= 0 && c < 16))
+    // the inner level must actually split cells: more clusters in use than
+    // the coarse level alone could produce
+    assert(a1.values.toSet.size > 4, s"only ${a1.values.toSet.size} clusters in use")
+  }
+
+  test("semanticDedup: forced two-level path is total and deterministic") {
+    import graft.ops.Dedup
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      Dedup.semanticDedup(df, k = 16, iters = 1, twoLevelFromK = 16)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val r1 = run(emb)
+    assert(r1.size == emb.count(), "every vector classified exactly once")
+    val r2 = run(emb.repartition(7))
+    assert(r1 == r2, "two-level dedup must not depend on partitioning")
+    assert(r1.values.count(identity) > 0, "degenerate: everything dropped")
+  }
+
   test("pageRank: hand-computed integer ranks on a triangle + pendant") {
     // triangle 1-2-3 plus pendant 4 attached to 3, undirected;
     // expected values replayed by hand (floor arithmetic):
