@@ -987,6 +987,14 @@ object SparkEntry {
     // independent AND oracle-replayable); one update round + final assign
     "c_kmeans" -> ((s, dir) =>
       Clustering.kmeans(emb(s, dir), k = 8, iters = 1).orderBy("vec_id")),
+    // two-level k-means (the large-k SemDeDup escape, round 9): kSuper=2
+    // coarse cells then kInner=4 inner centroids per cell — small enough
+    // that the oracle replays the whole chain (coarse Lloyd round, cell
+    // assignment, per-cell rank init, inner round, final assignment) in
+    // the same exact integer/double arithmetic as c_kmeans
+    "c_kmeans2l" -> ((s, dir) =>
+      Clustering.kmeansTwoLevel(emb(s, dir), kSuper = 2, kInner = 4, iters = 1)
+        .orderBy("vec_id")),
     // gap-based sessionization over the events table: the 30-min gap rule
     // runs on integer MICROSECONDS (eventsWithTus == DuckDB's epoch_us
     // whichever parquet timestamp width the driver generated), ties broken
@@ -1466,6 +1474,63 @@ object SparkEntry {
         |         (a, b) -> a + b),
         |        'c': c1.cidx})).c AS INT) AS cluster
         |FROM q, c1 GROUP BY q.vec_id ORDER BY vec_id""".stripMargin),
+    // replays the TWO-LEVEL chain end-to-end with the same exact
+    // arithmetic: coarse Lloyd round (kSuper=2) -> cell assignment ->
+    // per-cell rank init (ROW_NUMBER over vec_id) -> inner round
+    // (kInner=4) -> final assignment; cluster = super * 4 + inner
+    "c_kmeans2l" ->
+      ("""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cidx, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM q WHERE vec_id < 2),
+        |a0 AS (
+        |  SELECT q.vec_id, any_value(q.q) AS q,
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |           i -> (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c0.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': c0.cidx})).c AS cluster
+        |  FROM q, c0 GROUP BY q.vec_id),
+        |u1 AS (
+        |  SELECT cluster, i, SUM(q[i]) AS s, COUNT(*) AS n
+        |  FROM a0, generate_series(1, 64) t(i) GROUP BY cluster, i),
+        |c1 AS (
+        |  SELECT cluster AS cidx, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cvec
+        |  FROM u1 GROUP BY cluster),
+        |cells AS (
+        |  SELECT q.vec_id, any_value(q.q) AS q,
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.q)),
+        |           i -> (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]) * (CAST(q.q[i] AS DOUBLE) - c1.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': c1.cidx})).c AS super
+        |  FROM q, c1 GROUP BY q.vec_id),
+        |i0 AS (
+        |  SELECT super, CAST(rn - 1 AS INT) AS iidx, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
+        |  FROM (SELECT super, q, ROW_NUMBER() OVER (PARTITION BY super ORDER BY vec_id) AS rn FROM cells)
+        |  WHERE rn <= 4),
+        |b0 AS (
+        |  SELECT cells.vec_id, any_value(cells.super) AS super, any_value(cells.q) AS q,
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cells.q)),
+        |           i -> (CAST(cells.q[i] AS DOUBLE) - i0.cvec[i]) * (CAST(cells.q[i] AS DOUBLE) - i0.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': i0.iidx})).c AS iidx
+        |  FROM cells JOIN i0 USING (super) GROUP BY cells.vec_id),
+        |iu AS (
+        |  SELECT super, iidx, i, SUM(q[i]) AS s, COUNT(*) AS n
+        |  FROM b0, generate_series(1, 64) t(i) GROUP BY super, iidx, i),
+        |i1 AS (
+        |  SELECT super, iidx, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cvec
+        |  FROM iu GROUP BY super, iidx),
+        |b1 AS (
+        |  SELECT cells.vec_id,
+        |    CAST(any_value(cells.super) AS BIGINT) * 4 +
+        |    (min({'d': list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cells.q)),
+        |           i -> (CAST(cells.q[i] AS DOUBLE) - i1.cvec[i]) * (CAST(cells.q[i] AS DOUBLE) - i1.cvec[i]))),
+        |           (a, b) -> a + b),
+        |          'c': i1.iidx})).c AS cluster
+        |  FROM cells JOIN i1 USING (super) GROUP BY cells.vec_id)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM b1 ORDER BY vec_id""".stripMargin),
     // replays SemDeDup end-to-end: the c_kmeans replay above (1 Lloyd
     // round) gives the clusters, then in-cluster pairwise cosine (rounded
     // to 6 before the threshold, same as d_embed_exact) marks every
