@@ -201,7 +201,7 @@ object Bench {
             var best = Double.MaxValue
             var stable = false
             var window = 0
-            var everResampled = false
+            var unstableWindows = 0
             while (!stable && window < 5) {
               window += 1
               val samples = Seq.fill(3)(once())
@@ -210,7 +210,7 @@ object Bench {
               stable = med <= 1.25 * samples.min &&
                 (bigInput || priorRound.get(name).forall(p => med <= 2 * p))
               if (!stable) {
-                everResampled = true
+                unstableWindows += 1
                 System.err.println(
                   f"[bench] $name window $window median $med%.2fs " +
                     f"(min ${samples.min}%.2fs, prior " +
@@ -218,7 +218,10 @@ object Bench {
                     "unstable, re-sampling")
               }
             }
-            if (everResampled) resampled += name
+            // ONE unstable window is the systemic first-window JIT pattern
+            // at sub-second scale (measured: a clean sf0.1 run resamples
+            // ~11 cells exactly once); only >= 2 signals real interference
+            if (unstableWindows >= 2) resampled += name
             if (!stable) {
               System.err.println(
                 f"[bench] $name: NO quiet window in 5 attempts; reporting " +
