@@ -35,7 +35,7 @@ DEFAULT = ["m_agg_basic", "m_agg_twodim", "m_at_all_pct", "m_at_all_dim",
 # (hash() vs xxhash64) so candidate sets can differ at the margin, but the
 # stage structure, shuffle shape, and verify cost are the engine's — a fair
 # performance pair. On the test corpora both report the same pair count.
-LSH_TWIN = {"d_minhash": r"""
+_MINHASH_PREFIX = r"""
 WITH norm AS (
   SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
   FROM documents),
@@ -62,9 +62,39 @@ verify AS (
   SELECT ida, idb,
     CAST(len(list_intersect(sa.fps, sb.fps)) AS DOUBLE)
       / len(list_distinct(list_concat(sa.fps, sb.fps))) AS j
-  FROM cand JOIN sh sa ON sa.doc_id = cand.ida JOIN sh sb ON sb.doc_id = cand.idb)
+  FROM cand JOIN sh sa ON sa.doc_id = cand.ida JOIN sh sb ON sb.doc_id = cand.idb)"""
+
+LSH_TWIN = {"d_minhash": _MINHASH_PREFIX + r"""
 SELECT ida, idb, round(j, 6) AS jaccard FROM verify WHERE j >= 0.7
 """}
+
+# PageRank-over-LSH twin (NOT in DEFAULT — run explicitly): the engine's
+# g_pagerank_lsh scale cell is pageRankUndirected(iters=2) over the
+# minhash near-dup pair list; this replays the identical work — the LSH
+# chain above, both edge directions, then TWO unrolled integer pagerank
+# rounds (scale 1e6, base = scale*15//100, 85% damping, floor division)
+# matching GraphRank's exact integer arithmetic.
+LSH_TWIN["g_pagerank_lsh"] = _MINHASH_PREFIX + r""",
+pairs AS MATERIALIZED (SELECT ida, idb FROM verify WHERE j >= 0.7),
+e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb AS src, ida AS dst FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+c1 AS (SELECT e.dst AS id, SUM(CAST(1000000 AS BIGINT) // d.deg) AS s
+       FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst),
+pr1 AS MATERIALIZED (SELECT n.id, CAST(150000 AS BIGINT) + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+        FROM nodes n LEFT JOIN c1 USING (id)),
+c2 AS (SELECT e.dst AS id, SUM(p.pr // d.deg) AS s
+       FROM e JOIN pr1 p ON e.src = p.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
+pr2 AS (SELECT n.id, CAST(150000 AS BIGINT) + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+        FROM nodes n LEFT JOIN c2 USING (id))
+SELECT id, pr FROM pr2 ORDER BY id
+"""
+# AS MATERIALIZED on the multi-referenced CTEs is load-bearing: without
+# it DuckDB inlines the ENTIRE LSH chain into every reference of
+# e/deg/pr1 and the re-evaluated joins spilled >78 GB of temp at 100x
+# before dying on disk. With it the chain runs once, like the engine's
+# persisted edge projection.
 
 # Banded SimHash twin of Dedup.simhashNearDuplicates (maxHamming=12,
 # 4x16-bit bands, maxBucket=1000, 2-word shingles): same stage structure —
