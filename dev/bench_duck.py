@@ -27,8 +27,13 @@ DEFAULT = ["m_agg_basic", "m_agg_twodim", "m_at_all_pct", "m_at_all_dim",
            # paired-but-not-headline (round-9): temporal cells run their
            # oracle SQL (native ASOF JOIN / range join / window
            # sessionization — same work shape); d_simhash runs the banded
-           # twin below
-           "e_asof", "e_range", "e_sessions", "d_simhash"]
+           # twin below; the pipeline cells run their fused-fence oracles
+           # (exact arithmetic replays of the engine's computation).
+           # t_pack is absent by disposition: its WITH RECURSIVE
+           # sequential first-fit replay exceeds 300 s at 100x (probed).
+           "e_asof", "e_range", "e_sessions", "d_simhash",
+           "q_hll", "t_cms", "t_winnow_poly", "d_chunks", "t_subword",
+           "t_bpe", "t_nb_score", "t_lm_score", "c_kmeans"]
 
 # Banded MinHash-LSH twin of Dedup.minhashNearDuplicates (threshold=0.7,
 # bands=8, rows=4, maxBucket=1000, w=3 word shingles). Hash chains differ

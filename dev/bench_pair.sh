@@ -56,8 +56,12 @@ ratios = {k: round(eq[k] / dq[k], 2)
 # round-over-round trend stays comparable: d_minhash/d_simhash pair
 # against DuckDB banded twins (same work shape, DuckDB's own hash fn);
 # the temporal cells pair against their own oracle SQL (native ASOF
-# JOIN / range join / window sessionization).
-EXTRAS = {"d_minhash", "d_simhash", "e_asof", "e_range", "e_sessions"}
+# JOIN / range join / window sessionization); the pipeline cells pair
+# against their fused-fence oracles (exact arithmetic replays).
+PIPELINE = {"q_hll", "t_cms", "t_winnow_poly", "d_chunks", "t_subword",
+            "t_bpe", "t_nb_score", "t_lm_score", "c_kmeans"}
+EXTRAS = {"d_minhash", "d_simhash", "e_asof", "e_range",
+          "e_sessions"} | PIPELINE
 like = [k for k in ratios if k not in EXTRAS]
 et = round(sum(eq[k] for k in like), 3)
 dt = round(sum(dq[k] for k in like), 3)
@@ -80,6 +84,10 @@ temporal = {k: {"engine": eq[k], "duckdb": dq[k], "ratio": ratios[k]}
             for k in ("e_asof", "e_range", "e_sessions") if k in ratios}
 if temporal:
     out["temporal_pairs"] = temporal
+pipe = {k: {"engine": eq[k], "duckdb": dq[k], "ratio": ratios[k]}
+        for k in sorted(PIPELINE) if k in ratios}
+if pipe:
+    out["pipeline_pairs"] = pipe
 print(json.dumps(out, indent=2))
 PY
 cat "$OUT"

@@ -18,14 +18,23 @@ object Bench {
     "d_exact", "d_minhash", "s_knn", "t_tokens", "t_analysis"
   )
 
-  /** Paired-but-not-headline cells (round-9 verdict tasks 3 and 7): the
-    * temporal operators (DuckDB pairs via its native ASOF JOIN / range
-    * join / window sessionization) and the banded simhash (paired against
-    * a DuckDB banded twin, like d_minhash). Reported per-query and as
-    * their own pair ratios; EXCLUDED from the headline total so the
-    * round-over-round trend stays comparable to rounds 4-8.
+  /** Paired-but-not-headline cells (round-9 verdict tasks 3 and 7, then
+    * the full-inventory extension): the temporal operators (DuckDB pairs
+    * via its native ASOF JOIN / range join / window sessionization), the
+    * banded simhash (paired against a DuckDB banded twin, like d_minhash),
+    * and the heavy pipeline cells whose oracles replay the engine's exact
+    * arithmetic (fused-fence design), making the oracle SQL itself a
+    * like-for-like DuckDB pair. Reported per-query and as their own pair
+    * ratios; EXCLUDED from the headline total so the round-over-round
+    * trend stays comparable to rounds 4-8. t_pack is NOT here: its oracle
+    * is a WITH RECURSIVE sequential first-fit replay that DuckDB cannot
+    * finish at 100x (>300 s, probed) — unpairable by disposition, like
+    * cc_minhash.
     */
-  val extras: Seq[String] = Seq("e_asof", "e_range", "e_sessions", "d_simhash")
+  val extras: Seq[String] = Seq(
+    "e_asof", "e_range", "e_sessions", "d_simhash",
+    "q_hll", "t_cms", "t_winnow_poly", "d_chunks", "t_subword", "t_bpe",
+    "t_nb_score", "t_lm_score", "c_kmeans")
 
   /** Previous clean-window per-query seconds (round-7 paired run,
     * dev/bench_pair_sf01_r7.json). Used only as the contention-tripwire
