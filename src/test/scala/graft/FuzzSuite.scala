@@ -800,4 +800,103 @@ class FuzzSuite extends SparkSpec {
       i += 1
     }
   }
+
+  // ------------- axis 5: ROLLUP / CUBE / GROUPING SETS over measure views
+  //
+  // Pinned semantics (m_rollup / m_groupingsets oracles, corpus): the
+  // measure frame still correlates on the FULL query dim list with
+  // null-safe equality; a subtotal row carries NULL for its rolled-up
+  // dims, the frame (grouped over non-NULL base data) has no NULL keys,
+  // so correlated lookups at subtotal rows are join misses -> NULL —
+  // UNLESS an AT modifier removes the correlation: AT (ALL) / AT (WHERE)
+  // give every row (subtotals included) the scalar value, AT (ALL dim)
+  // drops that dim from correlation, and a SET pin replaces it. A SET
+  // value that references an outer dim (the YoY shift) evaluates to NULL
+  // on rows where that dim is rolled up, matching nothing.
+
+  private def groupingSetsOf(rnd: Random, qDims: Seq[String]): (String, Seq[Seq[String]]) =
+    rnd.nextInt(3) match {
+      case 0 =>
+        val order = rnd.shuffle(qDims)
+        (s"ROLLUP(${order.mkString(", ")})",
+          (0 to order.size).reverse.map(order.take(_)))
+      case 1 =>
+        val order = rnd.shuffle(qDims)
+        (s"CUBE(${order.mkString(", ")})",
+          order.toSet.subsets().map(s => order.filter(s)).toSeq)
+      case _ =>
+        // 2-4 explicit sets, possibly duplicated, possibly (); the union
+        // must cover every selected dim or the SQL itself is invalid
+        val sets = Seq.fill(2 + rnd.nextInt(3))(
+          rnd.shuffle(qDims).take(rnd.nextInt(qDims.size + 1)).sorted) match {
+          case ss if ss.flatten.toSet == qDims.toSet => ss
+          case ss => ss :+ qDims
+        }
+        (s"GROUPING SETS(${sets.map(s => s"(${s.mkString(", ")})").mkString(", ")})",
+          sets)
+    }
+
+  private def runGsCase(rnd: Random, caseId: String): Unit = {
+    val data = mkData(rnd, 30 + rnd.nextInt(50))
+    val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW fuzzg_base AS " +
+      s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    val defs = measures.filterNot(m => derivedNames(m.name))
+      .map(m => s"${m.sql} AS MEASURE ${m.name}")
+      .mkString(", ") + s", ${measures.find(_.name == "f_per").get.sql} AS MEASURE f_per"
+    engine.sql(s"CREATE OR REPLACE VIEW fuzzg_v AS SELECT da, db, dc, $defs FROM fuzzg_base")
+
+    val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(2 + rnd.nextInt(2)).sorted
+    val (wrapperSql, sets) = groupingSetsOf(rnd, qDims)
+    val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    case class Call(m: Meas, mods: List[Mod], alias: String)
+    val calls = (0 until 1 + rnd.nextInt(2)).map { i =>
+      Call(measures(rnd.nextInt(measures.size)),
+        List.fill(rnd.nextInt(3))(randomMod(rnd, qDims)), s"c$i")
+    }
+    val callSql = calls.map(c =>
+      s"AGGREGATE(${c.m.name})${renderAtBlocks(rnd, c.mods)} AS ${c.alias}")
+    val sql = s"SELECT ${(qDims ++ callSql).mkString(", ")} FROM fuzzg_v" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY $wrapperSql"
+
+    val got = rows(engine.sql(sql))
+
+    val visibleRows = where.fold(data)(p => data.filter(p.p))
+    val expected = sets.flatMap { s =>
+      val combos = visibleRows.map(r => s.map(d => d -> dimVal(r, d)).toMap).distinct
+      combos.map { c =>
+        val g: Map[String, Any] = qDims.map(d => d -> c.getOrElse(d, null)).toMap
+        val dimCells = qDims.map(d => cell(g(d)))
+        val valCells = calls.map { cl =>
+          val ctx = foldRef(cl.mods, paperDefault = false)
+          // pins referencing a rolled-up outer dim evaluate to NULL and
+          // match nothing (the YoY `db + 1` shift on a db-subtotal row)
+          val pinNull = ctx.sets.exists(p =>
+            p.valueSql.contains("+") && g("db") == null)
+          if (pinNull) cell(null)
+          else cell(expectedValue(data, where, qDims, g, cl.m, ctx))
+        }
+        dimCells ++ valCells
+      }
+    }.sortBy(_.mkString(""))
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\n" +
+        s"sets: $sets\ncalls: ${calls.map(c => s"${c.m.name} mods=${c.mods}")}\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 120 grouping-set queries match the evaluator") {
+    val seed = 20260819
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 120) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runGsCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
 }
