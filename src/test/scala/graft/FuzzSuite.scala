@@ -889,6 +889,76 @@ class FuzzSuite extends SparkSpec {
         s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
   }
 
+  // ---------------------- axis 6: measure calls in HAVING (corpus
+  // measures.test:3285 pins the base shape; this fuzzes the fold x
+  // HAVING interaction: the HAVING call's context folds exactly like a
+  // select-item call, the comparison filters groups with SQL
+  // three-valued logic — a NULL measure value never passes).
+
+  private def runHavingCase(rnd: Random, caseId: String): Unit = {
+    val data = mkData(rnd, 30 + rnd.nextInt(50))
+    val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW fuzzh_base AS " +
+      s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    val defs = measures.filterNot(m => derivedNames(m.name))
+      .map(m => s"${m.sql} AS MEASURE ${m.name}")
+      .mkString(", ") + s", ${measures.find(_.name == "f_per").get.sql} AS MEASURE f_per"
+    engine.sql(s"CREATE OR REPLACE VIEW fuzzh_v AS SELECT da, db, dc, $defs FROM fuzzh_base")
+
+    val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
+    val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val selM = measures(rnd.nextInt(measures.size))
+    val selMods = List.fill(rnd.nextInt(3))(randomMod(rnd, qDims))
+    val havM = measures(rnd.nextInt(measures.size))
+    val havMods = List.fill(rnd.nextInt(3))(randomMod(rnd, qDims))
+    val gt = rnd.nextBoolean()
+    val t = Seq(2, 10, 50, 150, 400)(rnd.nextInt(5))
+    val op = if (gt) ">" else "<="
+    val sql = s"SELECT ${qDims.mkString(", ")}, " +
+      s"AGGREGATE(${selM.name})${renderAtBlocks(rnd, selMods)} AS c0 FROM fuzzh_v" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY ${qDims.mkString(", ")}" +
+      s" HAVING AGGREGATE(${havM.name})${renderAtBlocks(rnd, havMods)} $op $t"
+
+    val got = rows(engine.sql(sql))
+
+    val visibleRows = where.fold(data)(p => data.filter(p.p))
+    val groups = visibleRows.map(r => qDims.map(d => d -> dimVal(r, d)).toMap).distinct
+    val selCtx = foldRef(selMods, paperDefault = false)
+    val havCtx = foldRef(havMods, paperDefault = false)
+    def num(a: Any): Option[Double] = a match {
+      case null => None
+      case d: Double => Some(d)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+    }
+    val expected = groups.flatMap { g =>
+      val hv = num(expectedValue(data, where, qDims, g, havM, havCtx))
+      val keep = hv.exists(v => if (gt) v > t else v <= t)
+      if (!keep) None
+      else Some(qDims.map(d => cell(g(d))) :+
+        cell(expectedValue(data, where, qDims, g, selM, selCtx)))
+    }.sortBy(_.mkString(""))
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\n" +
+        s"sel=${selM.name} mods=$selMods hav=${havM.name} mods=$havMods\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 100 HAVING-measure queries match the evaluator") {
+    val seed = 20260821
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 100) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runHavingCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
+
   test("differential fuzz: 120 grouping-set queries match the evaluator") {
     val seed = 20260819
     val rnd = new Random(seed)
