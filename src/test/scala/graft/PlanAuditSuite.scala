@@ -103,6 +103,51 @@ class PlanAuditSuite extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
   }
 
+  // ------- paired pipeline cells (round 9): the scale properties their
+  // PERF.md pairing rationale claims
+
+  private def entryPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_hll: fused register fold is one scan, no join, map-side partials") {
+    val p = entryPlan("q_hll")
+    assert(!p.contains("Join"), s"HLL fold must not join:\n$p")
+    assert(p.contains("partial_") || p.contains("Partial"),
+      s"expected map-side partial register merge:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE parquet scan, got $scans:\n$p")
+  }
+
+  test("t_cms: sketch joins are broadcast (512-cell frames), partial counts") {
+    // the entry verifies exact vs estimate, so it joins — but only
+    // sketch-sized frames (the 512-cell register table, the token
+    // estimate lookup), which must broadcast, never sort-merge
+    val p = entryPlan("t_cms")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"sketch frames must broadcast:\n$p")
+    assert(p.contains("partial_") || p.contains("Partial"),
+      s"expected map-side partial bucket counts:\n$p")
+  }
+
+  test("t_winnow_poly: per-row fingerprints, no join") {
+    val p = entryPlan("t_winnow_poly")
+    assert(!p.contains("Join"), s"winnowing twin must not join:\n$p")
+  }
+
+  test("t_subword: tokenizer scan has no sort-merge join or cartesian") {
+    val p = entryPlan("t_subword")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"subword plan regressed to a heavyweight join:\n$p")
+  }
+
+  test("c_kmeans: only broadcast joins of k-row centroid frames") {
+    val p = entryPlan("c_kmeans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"k-means must join centroids by broadcast only:\n$p")
+  }
+
   test("sessionization shuffles ONCE on the user key, window sort reused") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
