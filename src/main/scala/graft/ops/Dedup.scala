@@ -308,6 +308,16 @@ object Dedup {
     * chunks; docs sharing any chunk are candidates (Hamming distance <= 3
     * guarantees a shared chunk by pigeonhole). Verified by exact Hamming
     * distance.
+    *
+    * Scale ceiling (measured, PERF.md §0i): 16-bit band keys give 65,536
+    * buckets per band, so beyond ~1M documents the AVERAGE bucket holds
+    * n/65k docs and candidate volume grows ~n²/65k per band regardless of
+    * duplicate structure (at 5M docs: ≥2B candidate pairs). `maxBucket`
+    * cannot bound this without discarding most of the corpus once the
+    * average bucket exceeds the cap. Past that corpus size, band keys must
+    * widen with log2(n) — a 128-bit signature banded 4×32 bits — or use
+    * [[minhashNearDuplicates]], whose band keys are 64-bit hashes of
+    * minhash tuples and never saturate.
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                             maxHamming: Int = 3, maxBucket: Int = 1000,
