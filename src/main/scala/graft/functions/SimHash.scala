@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * extractions through interpreted higher-order functions with double
   * `pow`/division arithmetic per bit.
   */
-case class SimHashExpr(child: Expression, w: Int) extends UnaryExpression {
+case class SimHashExpr(child: Expression, w: Int, salt: Long = 0L) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && w >= 1) TypeCheckResult.TypeCheckSuccess
@@ -25,10 +25,10 @@ case class SimHashExpr(child: Expression, w: Int) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHashExpr.compute(input.asInstanceOf[UTF8String], w)
+    SimHashExpr.compute(input.asInstanceOf[UTF8String], w, salt)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpr.compute($c, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpr.compute($c, $w, ${salt}L)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
@@ -39,7 +39,27 @@ object SimHashExpr {
   def simhash64(text: Column, w: Int): Column =
     GraftSqlBridge.column(SimHashExpr(GraftSqlBridge.expression(text), w))
 
-  def compute(u: UTF8String, w: Int): Long = {
+  /** Salted signature for the wide-band (128-bit) scale path: each shingle
+    * fingerprint is remixed through the murmur3 64-bit finalizer XORed
+    * with the salt — a bijection of the xxhash64 values, so the salted
+    * vote is an independent-family signature of the SAME shingle set.
+    * salt = 0 bypasses the remix and is bit-identical to [[simhash64]].
+    */
+  def simhash64Salted(text: Column, w: Int, salt: Long): Column =
+    GraftSqlBridge.column(SimHashExpr(GraftSqlBridge.expression(text), w, salt))
+
+  /** murmur3 fmix64 finalizer (public-domain bit mixer). */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  def compute(u: UTF8String, w: Int): Long = compute(u, w, 0L)
+
+  def compute(u: UTF8String, w: Int, salt: Long): Long = {
     // distinct shingle fingerprints — same hashes as xxhash64 over the
     // shingle strings (dedup by hash == dedup by string absent a 64-bit
     // collision, which the composed array_distinct-then-hash tolerated
@@ -49,7 +69,8 @@ object SimHashExpr {
     val counts = new Array[Int](63)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h0 = arr.getLong(i)
+      val h = if (salt == 0L) h0 else fmix64(h0 ^ salt)
       val lo = h & 0xFFFFFFFFL
       val hi = (h >> 32) & 0x7FFFFFFFL
       var b = 0

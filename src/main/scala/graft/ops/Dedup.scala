@@ -354,6 +354,54 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "hamming")
   }
 
+  /** Wide-band (126-bit) SimHash near-dups — the band-space scale path
+    * the 1000× probe demanded (PERF.md §0i): two independent 63-bit
+    * signatures (the base fused simhash and a salted remix of the same
+    * shingle fingerprints) banded as 4 × 31/32-bit keys, so the per-band
+    * key space is ~2^31–2^32 and average bucket size stays n / 2^31 at any
+    * realistic corpus size — where the 4 × 16-bit banding of
+    * [[simhashNearDuplicates]] saturates past ~1M docs. Hamming distance
+    * is over the combined 126 bits; `maxHamming <= 3` keeps the banded
+    * candidate set pigeonhole-complete (3 flipped bits cannot touch all 4
+    * bands). Gate-tested equal to the brute-force 126-bit hamming join
+    * (PipelineGatesSuite) and measured at 5M docs.
+    */
+  def simhashNearDuplicatesWide(df: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id",
+                                maxHamming: Int = 3,
+                                maxBucket: Int = 1000): DataFrame = {
+    val salt = 0x9E3779B97F4A7C15L // 2^64 / golden ratio
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__sa", graft.functions.SimHashExpr.simhash64(col("__text"), 2))
+      .withColumn("__sb",
+        graft.functions.SimHashExpr.simhash64Salted(col("__text"), 2, salt))
+    val banded = docs.select(col("doc_id"), col("__sa"), col("__sb"),
+      explode(array(
+        struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
+        struct(lit(1).as("chunk"), shiftright(col("__sa"), 31).as("key")),
+        struct(lit(2).as("chunk"), col("__sb").bitwiseAND(0x7FFFFFFFL).as("key")),
+        struct(lit(3).as("chunk"), shiftright(col("__sb"), 31).as("key")))).as("__ck"))
+      .select(col("doc_id"), col("__sa"), col("__sb"),
+        col("__ck.chunk"), col("__ck.key"))
+      .persist()
+    val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+    val capped = banded.join(
+      sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+      Seq("chunk", "key"))
+    val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+      col("__sa").as("__sa_a"), col("__sb").as("__sb_a"))
+    val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+      col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("hamming",
+        (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
+          bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates, LSH-bucketed via random hyperplanes.

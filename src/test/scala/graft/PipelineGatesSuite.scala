@@ -55,6 +55,42 @@ class PipelineGatesSuite extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall < 0.8")
   }
 
+  test("wide-band simhash == brute-force 126-bit hamming join") {
+    // pigeonhole completeness at maxHamming = 3 with 4 x 31/32-bit bands:
+    // the banded+capped output must EQUAL the exact all-pairs hamming join
+    // over the combined two-signature distance
+    val salt = 0x9E3779B97F4A7C15L
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHashExpr.simhash64(col("text"), 2).as("sa"),
+      graft.functions.SimHashExpr.simhash64Salted(col("text"), 2, salt).as("sb"))
+    val a = sigs.select(col("doc_id").as("ida"), col("sa").as("saa"), col("sb").as("sba"))
+    val b = sigs.select(col("doc_id").as("idb"), col("sa").as("sab"), col("sb").as("sbb"))
+    val exact = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("h", bit_count(col("saa").bitwiseXOR(col("sab"))) +
+        bit_count(col("sba").bitwiseXOR(col("sbb"))))
+      .filter(col("h") <= 3)
+      .select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(Dedup.simhashNearDuplicatesWide(docs, maxHamming = 3))
+    info(s"wide-band exact pairs=${exact.size}")
+    assert(exact.nonEmpty, "fixture must plant at least one 126-bit near-dup")
+    assert(got == exact,
+      s"missed=${(exact -- got).take(5)} spurious=${(got -- exact).take(5)}")
+    // partition invariance
+    val got7 = pairSet(Dedup.simhashNearDuplicatesWide(docs.repartition(7), maxHamming = 3))
+    assert(got7 == got, "result must not depend on input partitioning")
+  }
+
+  test("salted signature is an independent family, not a copy") {
+    val salt = 0x9E3779B97F4A7C15L
+    val differing = docs.select(
+      (graft.functions.SimHashExpr.simhash64(col("text"), 2) =!=
+        graft.functions.SimHashExpr.simhash64Salted(col("text"), 2, salt)).as("d"))
+      .filter(col("d")).count()
+    assert(differing >= docs.count() * 9 / 10,
+      s"salted signatures should differ for nearly all docs, differing=$differing")
+  }
+
   test("embedding near-dup exact mode == independent brute force") {
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
