@@ -574,6 +574,14 @@ object SparkEntry {
       Dedup.simhashNearDuplicates(docs(s, dir), maxHamming = 3,
           hashFn = Some(Dedup.polyStringHash))
         .orderBy("doc_id_a", "doc_id_b")),
+    // wide-band (126-bit) scale path with two replayable polynomial hash
+    // families (mult 31 / 37): banded+capped output provably equals the
+    // oracle's all-pairs combined-hamming join at maxHamming = 3
+    "d_simhash_wide_poly" -> ((s, dir) =>
+      Dedup.simhashNearDuplicatesWide(docs(s, dir), maxHamming = 3,
+          hashFns = Some((Dedup.polyStringHash(_),
+            Dedup.polyStringHash(_, 37L))))
+        .orderBy("doc_id_a", "doc_id_b")),
     // exact inverted-index n-gram Jaccard — same oracle as d_minhash (both
     // must produce the exact pair set; the ALGORITHMS differ: probabilistic
     // banded LSH vs exact shared-token join)
@@ -2458,6 +2466,47 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin),
+    // wide-band twin: the same shingle grams hashed by TWO polynomial
+    // families (fold multipliers 31 and 37), two 63-bit majority
+    // signatures, hamming summed over the combined 126 bits — the banded
+    // engine output is pigeonhole-complete at <= 3, so it must EQUAL this
+    // all-pairs join
+    "d_simhash_wide_poly" ->
+      ("""WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm FROM documents),
+        |w1 AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(words) - 2, 0)),
+        |    i -> array_to_string(list_slice(words, i + 1, i + 2), ' '))) AS grams
+        |  FROM w1),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(1, greatest(length(g), 1)),
+        |               j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS BIGINT))),
+        |             (a, c) -> (a * 31 + c) % 9007199254740881)) AS ha,
+        |    list_transform(grams,
+        |      g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(generate_series(1, greatest(length(g), 1)),
+        |               j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS BIGINT))),
+        |             (a, c) -> (a * 37 + c) % 9007199254740881)) AS hb
+        |  FROM sh),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 62),
+        |      b -> CASE WHEN list_sum(list_transform(ha, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+        |                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS siga,
+        |    CAST(list_sum(list_transform(generate_series(0, 62),
+        |      b -> CASE WHEN list_sum(list_transform(hb, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+        |                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sigb
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.siga, b.siga)) + bit_count(xor(a.sigb, b.sigb)) AS INT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.siga, b.siga)) + bit_count(xor(a.sigb, b.sigb)) <= 3
         |ORDER BY doc_id_a, doc_id_b""".stripMargin),
     // replays winnowFingerprintsPoly step by step: same normalization, same
     // per-char codepoint list, same fold((acc*31+c) % P) gram hash over

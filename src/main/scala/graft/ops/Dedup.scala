@@ -277,11 +277,17 @@ object Dedup {
     * Weaker mixing than xxhash64 (and bits 53+ are always clear) — exists
     * for the oracle-checkable twin entries, not production hashing.
     */
-  def polyStringHash(s: Column): Column =
+  def polyStringHash(s: Column): Column = polyStringHash(s, 31L)
+
+  /** `mult` selects the hash family (31 = the standard twin; any other
+    * small prime gives an independent replayable family — used by the
+    * wide-band simhash twin's second signature).
+    */
+  def polyStringHash(s: Column, mult: Long): Column =
     aggregate(
       transform(sequence(lit(1), greatest(length(s), lit(1))),
         i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L), (a, c) => (a * 31L + c) % lit(9007199254740881L))
+      lit(0L), (a, c) => (a * mult + c) % lit(9007199254740881L))
 
   def simhash(text: Column, w: Int = 2,
               hashFn: Column => Column = xxhash64(_)): Column = {
@@ -369,12 +375,22 @@ object Dedup {
   def simhashNearDuplicatesWide(df: DataFrame, textCol: String = "text",
                                 idCol: String = "doc_id",
                                 maxHamming: Int = 3,
-                                maxBucket: Int = 1000): DataFrame = {
+                                maxBucket: Int = 1000,
+                                hashFns: Option[(Column => Column, Column => Column)] = None): DataFrame = {
     val salt = 0x9E3779B97F4A7C15L // 2^64 / golden ratio
+    // None = the fused production path (xxhash64 fingerprints + salted
+    // fmix64 remix); Some((fa, fb)) = two composed hash families, for the
+    // oracle-replayable polynomial twin (d_simhash_wide_poly)
+    val (sigA, sigB) = hashFns match {
+      case None =>
+        (graft.functions.SimHashExpr.simhash64(col("__text"), 2),
+          graft.functions.SimHashExpr.simhash64Salted(col("__text"), 2, salt))
+      case Some((fa, fb)) =>
+        (simhash(col("__text"), hashFn = fa), simhash(col("__text"), hashFn = fb))
+    }
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__sa", graft.functions.SimHashExpr.simhash64(col("__text"), 2))
-      .withColumn("__sb",
-        graft.functions.SimHashExpr.simhash64Salted(col("__text"), 2, salt))
+      .withColumn("__sa", sigA)
+      .withColumn("__sb", sigB)
     val banded = docs.select(col("doc_id"), col("__sa"), col("__sb"),
       explode(array(
         struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
