@@ -948,6 +948,77 @@ class FuzzSuite extends SparkSpec {
         s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
   }
 
+  // ------------------- axis 7: measure calls in ORDER BY (ordered compare)
+  //
+  // The ORDER BY call's context folds like a select item; the sort is by
+  // its value. Rows are compared IN ORDER here (not set-compared): the
+  // query sorts by the measure value with the dims as an explicit
+  // deterministic tiebreak, and NULL ordering is pinned (NULLS FIRST).
+
+  private def runOrderCase(rnd: Random, caseId: String): Unit = {
+    val data = mkData(rnd, 30 + rnd.nextInt(50))
+    val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+    engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW fuzzo_base AS " +
+      s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    val defs = measures.filterNot(m => derivedNames(m.name))
+      .map(m => s"${m.sql} AS MEASURE ${m.name}")
+      .mkString(", ") + s", ${measures.find(_.name == "f_per").get.sql} AS MEASURE f_per"
+    engine.sql(s"CREATE OR REPLACE VIEW fuzzo_v AS SELECT da, db, dc, $defs FROM fuzzo_base")
+
+    val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
+    val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val selM = measures(rnd.nextInt(measures.size))
+    val ordM = measures(rnd.nextInt(measures.size))
+    val ordMods = List.fill(rnd.nextInt(3))(randomMod(rnd, qDims))
+    val desc = rnd.nextBoolean()
+    val dir = if (desc) "DESC" else "ASC"
+    val sql = s"SELECT ${qDims.mkString(", ")}, AGGREGATE(${selM.name}) AS c0 FROM fuzzo_v" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY ${qDims.mkString(", ")}" +
+      s" ORDER BY AGGREGATE(${ordM.name})${renderAtBlocks(rnd, ordMods)} $dir NULLS FIRST, " +
+      qDims.mkString(", ")
+
+    val got = engine.sql(sql).collect().toSeq.map(_.toSeq.map(cell))
+
+    val visibleRows = where.fold(data)(p => data.filter(p.p))
+    val groups = visibleRows.map(r => qDims.map(d => d -> dimVal(r, d)).toMap).distinct
+    val selCtx = foldRef(Nil, paperDefault = false) // plain AGGREGATE = VISIBLE
+    val ordCtx = foldRef(ordMods, paperDefault = false)
+    def num(a: Any): Double = a match {
+      case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+    }
+    val expected = groups.map { g =>
+      val ov = expectedValue(data, where, qDims, g, ordM, ordCtx)
+      val row = qDims.map(d => cell(g(d))) :+
+        cell(expectedValue(data, where, qDims, g, selM, selCtx))
+      (ov, g, row)
+    }.sortBy { case (ov, g, _) =>
+      // NULLS FIRST in both directions, then value (negated for DESC),
+      // then the dim tiebreak
+      val key = if (ov == null) Double.NegativeInfinity * (if (desc) -1 else 1)
+                else num(ov)
+      (if (desc) -key else key, qDims.map(d => cell(g(d))).mkString(" "))
+    }.map(_._3)
+
+    assert(got == expected,
+      s"\n[$caseId] DIVERGENCE\nsql: $sql\nwhere: ${where.map(_.sql)}\n" +
+        s"sel=${selM.name} ord=${ordM.name} mods=$ordMods desc=$desc\n" +
+        s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+        s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}")
+  }
+
+  test("differential fuzz: 100 ORDER-BY-measure queries match the evaluator") {
+    val seed = 20260823
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 100) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runOrderCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
+
   test("differential fuzz: 100 HAVING-measure queries match the evaluator") {
     val seed = 20260821
     val rnd = new Random(seed)
