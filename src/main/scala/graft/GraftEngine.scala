@@ -78,6 +78,11 @@ final class GraftEngine(val spark: SparkSession) {
   private val batchConsumedMat = scala.collection.mutable.Set[String]()
   private val batchSelectRefs = scala.collection.mutable.Set[String]()
   private val batchDropped = scala.collection.mutable.Set[String]()
+  // temps whose name a later PERMANENT re-create took over mid-batch: no
+  // longer live temps (no reveal, no unconsumed-temp error — same as a
+  // dropped temp), but the failure path still must restore their pre-batch
+  // Spark binding
+  private val batchTempReplaced = scala.collection.mutable.Set[String]()
   // permanent views dropped via main.-qualified DROP in this batch: a later
   // main.x read must error, and a later bare DROP of the temp shadow must
   // NOT resurrect the permanent
@@ -114,6 +119,7 @@ final class GraftEngine(val spark: SparkSession) {
     batchConsumedMat.clear()
     batchSelectRefs.clear()
     batchDropped.clear()
+    batchTempReplaced.clear()
     permDroppedInBatch.clear()
     try {
       var last: DataFrame = spark.emptyDataFrame
@@ -144,7 +150,7 @@ final class GraftEngine(val spark: SparkSession) {
         // catalog rolls back, batch-created temp views are gone — but a
         // shadowed permanent view must get its Spark temp view back, or the
         // restored catalog would claim a view that no longer resolves
-        for (name <- batchTempCreated) {
+        for (name <- batchTempCreated ++ batchTempReplaced) {
           try spark.catalog.dropTempView(name) catch { case _: Exception => }
           snap.get(name.toLowerCase) match {
             case Some(prev) if !prev.temporary && prev.cleanViewSql.nonEmpty =>
@@ -260,7 +266,23 @@ final class GraftEngine(val spark: SparkSession) {
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+([\\w.]+)".r
       .findFirstMatchIn(stmt) match {
       case Some(cm) if cm.group(1) == null =>
-        permDroppedInBatch -= Scan.lastPart(cm.group(2)).toLowerCase
+        val lname = Scan.lastPart(cm.group(2)).toLowerCase
+        permDroppedInBatch -= lname
+        // a PERMANENT re-create on a temp-shadowed name REPLACES the
+        // permanent and ends the temp's life (as a bare DROP would): the
+        // creation-time shadow must not survive, or a later DROP VIEW
+        // resurrects the replaced definition and silently discards the new
+        // one (r9 ADVICE: CREATE TEMP p over perm P1; CREATE OR REPLACE
+        // VIEW p = P2; DROP VIEW p revived P1). The reference leaves this
+        // interleaving in a mixed state (measure metadata P1, catalog body
+        // P2 — yardstick_extension.cpp:1630-1637 pushes the pre-create
+        // state to the batch-rollback list, while the temp snapshot from
+        // :1596 still restores at drop); nothing in its corpus exercises
+        // it, so we pin the consistent reading: last create wins.
+        if (batchTempCreated.remove(lname)) {
+          batchShadowed.remove(lname)
+          batchTempReplaced += lname
+        }
       case _ =>
     }
 

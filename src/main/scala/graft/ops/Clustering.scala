@@ -116,6 +116,12 @@ object Clustering {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(kSuper > 0 && kInner > 0 && iters >= 0,
       "kmeansTwoLevel: kSuper, kInner must be positive and iters >= 0")
+    // cluster ids are INT to match the flat path (r9 ADVICE: a LONG here
+    // made semanticDedup's output schema flip when kEff crossed
+    // twoLevelFromK); the id space is kSuper * kInner, which therefore
+    // must fit an INT — ~2^31 clusters, far past the k ∝ n recipe at 100 TB
+    require(kSuper.toLong * kInner <= Int.MaxValue,
+      "kmeansTwoLevel: kSuper * kInner must fit in an INT cluster id")
     import org.apache.spark.sql.expressions.Window
     val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("q"))
@@ -160,7 +166,7 @@ object Clustering {
     }
     val out = assignInner(inner)
       .select(col("vec_id"),
-        (col("super").cast("long") * kInner + col("iidx")).as("cluster"))
+        (col("super").cast("long") * kInner + col("iidx")).cast("int").as("cluster"))
       .localCheckpoint(eager = true)
     cells.unpersist()
     out

@@ -324,10 +324,30 @@ object Dedup {
     * widen with log2(n) — a 128-bit signature banded 4×32 bits — or use
     * [[minhashNearDuplicates]], whose band keys are 64-bit hashes of
     * minhash tuples and never saturate.
+    *
+    * The DEFAULT entry point therefore auto-switches to
+    * [[simhashNearDuplicatesWide]] past `wideFromDocs` documents (probed
+    * with a bounded limit+count, round-10 gate test in
+    * PipelineGatesSuite). NOTE the wide path's `hamming` column is over the
+    * combined 126-bit signature, so its scale differs from the 64-bit one;
+    * pass `wideFromDocs = 0` to pin the 16-bit banding at any size.
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                             maxHamming: Int = 3, maxBucket: Int = 1000,
-                            hashFn: Option[Column => Column] = None): DataFrame = {
+                            hashFn: Option[Column => Column] = None,
+                            wideFromDocs: Long = 1000000L): DataFrame = {
+    // Auto-scale escape (round 10, mirroring the semanticDedup auto-k
+    // discipline): past ~1M docs the 4 x 16-bit band space SATURATES —
+    // candidate volume grows ~n²/65k regardless of duplicate structure
+    // (measured, PERF.md §0i: the default path OOMs at 5M docs) — so the
+    // DEFAULT entry point hands off to [[simhashNearDuplicatesWide]] when a
+    // bounded limit+count probe (stops scanning at wideFromDocs + 1 rows,
+    // cost independent of corpus size) crosses the documented threshold.
+    // Explicit hashFn callers (the oracle-replayable polynomial twins) and
+    // wideFromDocs = 0 keep the 16-bit path unconditionally.
+    if (hashFn.isEmpty && wideFromDocs > 0 &&
+        df.limit((wideFromDocs + 1).toInt).count() > wideFromDocs)
+      return simhashNearDuplicatesWide(df, textCol, idCol, maxHamming, maxBucket)
     // default (None = xxhash64) path: the fused one-pass SimHashExpr,
     // bit-identical to the composed simhash() fold (fenced in
     // PipelineGatesSuite); an explicit hashFn (e.g. the oracle-replayable
@@ -352,12 +372,18 @@ object Dedup {
       Seq("chunk", "key"))
     val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"), col("__sim").as("__sim_a"))
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"), col("__sim").as("__sim_b"))
-    a.join(b, Seq("chunk", "key"))
+    // materialize the (small, post-verify) pair set eagerly so the banded
+    // cache can be released before returning — without this every call
+    // leaked its cached band partitions for the session (r9 ADVICE)
+    val out = a.join(b, Seq("chunk", "key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
       .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id_a", "doc_id_b", "hamming")
+      .localCheckpoint(eager = true)
+    banded.unpersist()
+    out
   }
 
   /** Wide-band (126-bit) SimHash near-dups — the band-space scale path
@@ -371,6 +397,14 @@ object Dedup {
     * candidate set pigeonhole-complete (3 flipped bits cannot touch all 4
     * bands). Gate-tested equal to the brute-force 126-bit hamming join
     * (PipelineGatesSuite) and measured at 5M docs.
+    *
+    * RECALL ABOVE maxHamming = 3 IS PARTIAL: with 4 bands, >= 4 flipped
+    * bits can touch every band, so a pair at Hamming distance d > 3 is
+    * found only if some band happens to stay clean — the same intentional
+    * trade the 16-bit path makes when d_simhash runs it at maxHamming = 12
+    * (more bits flipped => less similar => a miss is acceptable). Callers
+    * needing guaranteed recall at larger d must raise the band count, not
+    * this parameter.
     */
   def simhashNearDuplicatesWide(df: DataFrame, textCol: String = "text",
                                 idCol: String = "doc_id",
@@ -408,7 +442,9 @@ object Dedup {
       col("__sa").as("__sa_a"), col("__sb").as("__sb_a"))
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
       col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
-    a.join(b, Seq("chunk", "key"))
+    // same cache discipline as the 16-bit path: eager-materialize the small
+    // verified pair set, then release the banded cache before returning
+    val out = a.join(b, Seq("chunk", "key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
       .withColumn("hamming",
@@ -416,6 +452,9 @@ object Dedup {
           bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id_a", "doc_id_b", "hamming")
+      .localCheckpoint(eager = true)
+    banded.unpersist()
+    out
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -499,42 +538,56 @@ object Dedup {
     // fully materializes the cache, so an expensive un-cached upstream
     // (an LSH chain, a filter pipeline) is computed ONCE and the k-means
     // rounds + edge build below read the cached copy. Released as soon as
-    // `e` (the slim persisted projection) is materialized.
-    val src = if (k > 0) df
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kEff =
-      if (k > 0) k
-      else math.max(8L, (src.count() + targetClusterSize - 1) / targetClusterSize).toInt
-    // Large-k ceiling (documented recipe: k ∝ n means millions of clusters
-    // at 100 TB): past `twoLevelFromK`, flat Lloyd's k-row broadcast per
-    // round stops being "small" — switch to the two-level variant whose
-    // big centroid table is cell-id-joined, never broadcast. The default
-    // threshold keeps every current caller (and the oracle, which pins
-    // k = 8) on the flat path.
-    val assigned =
-      if (kEff < twoLevelFromK)
-        Clustering.kmeans(src, k = kEff, iters = iters, idCol = idCol, vecCol = vecCol)
-      else {
-        val kSuper = math.ceil(math.sqrt(kEff.toDouble)).toInt
-        val kInner = (kEff + kSuper - 1) / kSuper
-        Clustering.kmeansTwoLevel(src, kSuper = kSuper, kInner = kInner,
-          iters = iters, idCol = idCol, vecCol = vecCol)
-      }
-    val e = src.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
-      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-      .persist()
-    if (k <= 0) { e.count(); src.unpersist() }
-    val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
-    val capped = e.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
-      Seq("cluster"))
-    val a = capped.select(col("cluster"), col("vec_id").as("id_a"), col("__v").as("__va"))
-    val b = capped.select(col("cluster"), col("vec_id").as("id_b"), col("__v").as("__vb"))
-    val dups = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= minCosine)
-      .select(col("id_b").as("vec_id")).distinct()
-    e.join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+    // `e` (the slim persisted projection) is materialized — and on ANY
+    // exception in between (r9 ADVICE: a k-means failure used to leave the
+    // input pinned in MEMORY_AND_DISK for the session). An input the
+    // caller already persisted is used as-is (no double-persist warning,
+    // and its cache stays the caller's to manage).
+    val srcPinned = k <= 0 &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (srcPinned)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+    try {
+      val kEff =
+        if (k > 0) k
+        else math.max(8L, (src.count() + targetClusterSize - 1) / targetClusterSize).toInt
+      // Large-k ceiling (documented recipe: k ∝ n means millions of clusters
+      // at 100 TB): past `twoLevelFromK`, flat Lloyd's k-row broadcast per
+      // round stops being "small" — switch to the two-level variant whose
+      // big centroid table is cell-id-joined, never broadcast. The default
+      // threshold keeps every current caller (and the oracle, which pins
+      // k = 8) on the flat path. NOTE the two-level effective k rounds UP
+      // to kSuper * kInner >= kEff (cluster ids then span that larger
+      // range); empty inner cells drop out as in standard Lloyd.
+      val assigned =
+        if (kEff < twoLevelFromK)
+          Clustering.kmeans(src, k = kEff, iters = iters, idCol = idCol, vecCol = vecCol)
+        else {
+          val kSuper = math.ceil(math.sqrt(kEff.toDouble)).toInt
+          val kInner = (kEff + kSuper - 1) / kSuper
+          Clustering.kmeansTwoLevel(src, kSuper = kSuper, kInner = kInner,
+            iters = iters, idCol = idCol, vecCol = vecCol)
+        }
+      val e = src.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+        .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        .persist()
+      if (srcPinned) { e.count(); src.unpersist() }
+      val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
+      val capped = e.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
+        Seq("cluster"))
+      val a = capped.select(col("cluster"), col("vec_id").as("id_a"), col("__v").as("__va"))
+      val b = capped.select(col("cluster"), col("vec_id").as("id_b"), col("__v").as("__vb"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= minCosine)
+        .select(col("id_b").as("vec_id")).distinct()
+      e.join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("kept"))
+    } catch {
+      case t: Throwable =>
+        if (srcPinned) src.unpersist()
+        throw t
+    }
   }
 
   // ------------------------------------------------------------- clusters

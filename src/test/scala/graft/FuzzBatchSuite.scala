@@ -97,9 +97,11 @@ class FuzzBatchSuite extends SparkSpec {
           val cands = names.filter(n => st.temp.contains(n) || st.perm.contains(n))
           if (cands.isEmpty) None else Some(DropView(cands(rnd.nextInt(cands.size))))
         } else if (roll < 82) {
-          val cands = names.filterNot(st.temp.contains)
-          if (cands.isEmpty) None
-          else Some(CreatePerm(cands(rnd.nextInt(cands.size)), 1 + rnd.nextInt(9)))
+          // any name, INCLUDING temp-shadowed ones (r9 ADVICE: the
+          // perm-re-create-over-temp interleaving was ungenerated): a
+          // permanent re-create on a shadowed name ends the temp's life and
+          // replaces the permanent — last create wins, nothing to reveal
+          Some(CreatePerm(names(rnd.nextInt(names.size)), 1 + rnd.nextInt(9)))
         } else if (roll < 90) {
           // plain SELECT: over a temp it is the "returned directly" error
           val cands = names.filter(st.active(_).nonEmpty)
@@ -116,7 +118,12 @@ class FuzzBatchSuite extends SparkSpec {
           case CreateTemp(n, m) =>
             st = st.copy(temp = st.temp + (n -> m), created = st.created + n)
           case CreatePerm(n, m) =>
+            // on a temp-shadowed name the perm re-create consumes the temp's
+            // slot: the temp is gone (no reveal at drop/batch-end, no
+            // unconsumed-temp error — same life-end as a bare DROP) and the
+            // new permanent is what any later DROP VIEW drops
             st = st.copy(perm = st.perm + (n -> m),
+              temp = st.temp - n, created = st.created - n,
               permDroppedInBatch = st.permDroppedInBatch - n)
           case DropView(n) =>
             if (st.temp.contains(n)) {

@@ -81,6 +81,20 @@ class PipelineGatesSuite extends SparkSpec {
     assert(got7 == got, "result must not depend on input partitioning")
   }
 
+  test("simhash auto-switch: default path hands off to wide banding past wideFromDocs") {
+    // round-10 gate (verdict task 4): the DEFAULT entry point must select
+    // the wide path once the bounded probe crosses the threshold — pinned
+    // here with a tiny threshold instead of the production 1M
+    val wide = pairSet(Dedup.simhashNearDuplicatesWide(docs, maxHamming = 3))
+    val auto = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3, wideFromDocs = 10))
+    assert(auto == wide, "above the threshold the default must equal the wide path")
+    // below the threshold (and with wideFromDocs = 0) the 16-bit path is pinned
+    val narrow = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3, wideFromDocs = 0))
+    val under = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3,
+      wideFromDocs = 1000000))
+    assert(under == narrow, "below the threshold the default must stay 16-bit")
+  }
+
   test("salted signature is an independent family, not a copy") {
     val salt = 0x9E3779B97F4A7C15L
     val differing = docs.select(

@@ -80,16 +80,18 @@ class RelevanceClusteringSuite extends SparkSpec {
       (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13)))
     }.toDF("vec_id", "embedding")
     val flat = Clustering.kmeans(synth, k = 12, iters = 2)
-      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // same INT schema on both paths (r9 ADVICE: a LONG here flipped
+    // semanticDedup's output schema at the twoLevelFromK threshold)
     val two = Clustering.kmeansTwoLevel(synth, kSuper = 1, kInner = 12, iters = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(two == flat, "kSuper=1 two-level must equal flat kmeans")
   }
 
   test("kmeansTwoLevel: total, in-range, splits cells, partition-invariant") {
-    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       Clustering.kmeansTwoLevel(df, kSuper = 4, kInner = 4, iters = 1)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val a1 = run(emb)
     val a2 = run(emb.repartition(13))
     assert(a1 == a2, "two-level clustering must not depend on partitioning")
