@@ -17,19 +17,49 @@ import org.apache.spark.sql.functions._
   * explode fan-out is bounded by `ceil(span / binWidth) + 1`, so pick
   * `binWidth` near the typical interval span (fan-out ~2).
   *
+  * Small-interval fast path (round-10 A/B, PERF.md "e_range"): when the
+  * interval side is genuinely small, a broadcast hash join on the
+  * equi-keys plus the containment filter needs NO shuffle and NO explode.
+  * `smallIntervalRows > 0` arms a planner-side size gate: a bounded
+  * `limit(n+1).count()` probe (stops scanning as soon as it has seen n+1
+  * interval rows, so its cost does not grow with the interval side)
+  * decides per call. The gate is sized for the broadcast, not estimated
+  * from stats, so an optimizer mis-estimate can never flip a corpus-sized
+  * interval table to broadcast. DEFAULT OFF — the A/B at 100x measured the
+  * probe at 0.1-0.6 s/call while the broadcast path only TIES the bin path
+  * even at a 50k-row interval side (the downstream aggregate re-shuffles
+  * the matches either way), so the gate pays only for callers who run
+  * many point-lookups against known-small interval tables and opt in.
+  *
   * Both inputs must have disjoint column names apart from `keys`.
   */
 object RangeJoin {
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       xCol: String, loCol: String, hiCol: String,
-                      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                      binWidth: Long, keys: Seq[String] = Nil,
+                      smallIntervalRows: Long = 0L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("__bin", floor(col(xCol) / binWidth))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
-    p.join(i, keys :+ "__bin")
-      .filter(col(xCol) >= col(loCol) && col(xCol) <= col(hiCol))
-      .drop("__bin")
+    if (smallIntervalRows > 0 &&
+        intervals.limit((smallIntervalRows + 1).toInt).count() <= smallIntervalRows) {
+      // small side measured, not estimated: broadcast it whole. With keys
+      // this is a BroadcastHashJoin on the keys + containment filter; with
+      // no keys a nested-loop over a small broadcast side — both fine at
+      // this size, and the points side is never shuffled at all.
+      val joined =
+        if (keys.nonEmpty) points.join(broadcast(intervals), keys)
+        else points.crossJoin(broadcast(intervals))
+      joined.filter(col(xCol) >= col(loCol) && col(xCol) <= col(hiCol))
+    } else {
+      val p = points.withColumn("__bin", floor(col(xCol) / binWidth))
+      val i = intervals.withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+      // shuffle_hash: both sides are data-proportional, so the sort phase of
+      // a sort-merge join is wasted work (A/B at 100x in PERF.md), and a
+      // stats mis-estimate must never elect to broadcast a corpus-sized side
+      p.join(i.hint("shuffle_hash"), keys :+ "__bin")
+        .filter(col(xCol) >= col(loCol) && col(xCol) <= col(hiCol))
+        .drop("__bin")
+    }
   }
 }

@@ -13,7 +13,11 @@ object ProbeTime {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.sql.shuffle.partitions", "64")
+      // default 64 keeps continuity with the r8/r9 sweep tables; at 1000x
+      // set SPARK_GRAFT_SHUFFLE (Bench sizes ~8 MB of input per partition,
+      // cap 256 — the fixed width was the suspected cause of the
+      // superlinear temporal cells in PERF.md §0i)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
