@@ -110,10 +110,19 @@ object Clustering {
     * ties), so results are deterministic at any parallelism. Returns
     * (vec_id, cluster) with cluster = super * kInner + inner; empty inner
     * cells drop out as in standard Lloyd.
+    *
+    * With `softCandidates = true` the output gains a `cluster2` column:
+    * the vector's best cluster within its SECOND-nearest coarse cell (null
+    * when kSuper = 1 or that cell attracted no members). This is the
+    * standard hierarchical-quantizer recall mitigation — a duplicate group
+    * split across a coarse boundary is reunited in the candidate phase by
+    * letting each vector shop in two cells. `cluster` (the primary) is
+    * bit-identical to the softCandidates = false output.
     */
   def kmeansTwoLevel(embeddings: DataFrame, kSuper: Int, kInner: Int,
                      iters: Int = 1, scale: Int = 1000,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     softCandidates: Boolean = false): DataFrame = {
     require(kSuper > 0 && kInner > 0 && iters >= 0,
       "kmeansTwoLevel: kSuper, kInner must be positive and iters >= 0")
     // cluster ids are INT to match the flat path (r9 ADVICE: a LONG here
@@ -164,10 +173,43 @@ object Clustering {
       inner = updateInner(assignInner(inner)).localCheckpoint(eager = true)
       it2 += 1
     }
-    val out = assignInner(inner)
+    val primary = assignInner(inner)
       .select(col("vec_id"),
         (col("super").cast("long") * kInner + col("iidx")).cast("int").as("cluster"))
-      .localCheckpoint(eager = true)
+    val out = (if (!softCandidates) primary else {
+      // candidate-phase soft assignment: per vector, the 2nd-nearest coarse
+      // cell (the sorted (distance, index) list is kSuper ≈ √k structs per
+      // vector — bounded), then the nearest inner centroid WITHIN that
+      // cell. Ties break identically to the primary path; a missing 2nd
+      // cell (kSuper = 1) or an empty one (no inner centroids) yields null.
+      val second = q.crossJoin(broadcast(coarse))
+        .withColumn("__d", sqDist(col("q"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(first("q").as("q"),
+          // try_element_at: 1-based, null past the end (ANSI-safe at
+          // kSuper = 1, where the sorted list has a single element)
+          min(struct(col("__d"), col("cidx"))).as("__m1"),
+          try_element_at(sort_array(collect_list(struct(col("__d"), col("cidx")))),
+            lit(2)).as("__m2"))
+        // margin gate: only BOUNDARY vectors shop in the second cell. A
+        // duplicate group is split by a coarse boundary only when its
+        // members sit nearly equidistant from two centroids (that is what
+        // straddling means), so d2 <= 4 * d1 (2x in radius, on squared
+        // distances) captures the straddlers while keeping the soft
+        // membership — and with it the quadratic in-cluster verify cost —
+        // proportional to the boundary population, not the corpus
+        // (measured in PERF.md: ungated soft was ~4x the hard wall time)
+        .filter(col("__m2").isNotNull &&
+          col("__m2.__d") <= lit(1.05) * col("__m1.__d"))
+        .select(col("vec_id"), col("q"), col("__m2.cidx").as("super"))
+      val secondary = second.join(inner.hint("shuffle_hash"), Seq("super"))
+        .withColumn("__d", sqDist(col("q"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(first("super").as("super"), min(struct(col("__d"), col("iidx"))).as("__m"))
+        .select(col("vec_id"),
+          (col("super").cast("long") * kInner + col("__m.iidx")).cast("int").as("cluster2"))
+      primary.join(secondary, Seq("vec_id"), "left")
+    }).localCheckpoint(eager = true)
     cells.unpersist()
     out
   }

@@ -533,7 +533,8 @@ object Dedup {
                     minCosine: Double = 0.95,
                     maxCluster: Int = 100000,
                     targetClusterSize: Int = 4096,
-                    twoLevelFromK: Int = 65536): DataFrame = {
+                    twoLevelFromK: Int = 65536,
+                    twoLevelSoft: Boolean = true): DataFrame = {
     // Auto-k mode caches the input before counting it: the count action
     // fully materializes the cache, so an expensive un-cached upstream
     // (an LSH chain, a filter pipeline) is computed ONCE and the k-means
@@ -559,21 +560,39 @@ object Dedup {
       // k = 8) on the flat path. NOTE the two-level effective k rounds UP
       // to kSuper * kInner >= kEff (cluster ids then span that larger
       // range); empty inner cells drop out as in standard Lloyd.
+      val twoLevel = kEff >= twoLevelFromK
       val assigned =
-        if (kEff < twoLevelFromK)
+        if (!twoLevel)
           Clustering.kmeans(src, k = kEff, iters = iters, idCol = idCol, vecCol = vecCol)
         else {
           val kSuper = math.ceil(math.sqrt(kEff.toDouble)).toInt
           val kInner = (kEff + kSuper - 1) / kSuper
+          // softCandidates: the round-10 recall mitigation for the
+          // documented +7% two-level kept-count drift — each vector also
+          // shops in its 2nd-nearest coarse cell DURING CANDIDATE
+          // GENERATION (the output cluster stays the primary), so a
+          // duplicate group split across a coarse boundary still meets in
+          // one bucket. Measured at 100x / k=512 in PERF.md.
           Clustering.kmeansTwoLevel(src, kSuper = kSuper, kInner = kInner,
-            iters = iters, idCol = idCol, vecCol = vecCol)
+            iters = iters, idCol = idCol, vecCol = vecCol,
+            softCandidates = twoLevelSoft)
         }
       val e = src.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
         .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
         .persist()
       if (srcPinned) { e.count(); src.unpersist() }
-      val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
-      val capped = e.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
+      // candidate membership: primary cluster, plus the soft second cell on
+      // the two-level path (≤ 2 rows per vector; the pairwise step below
+      // dedups ids, so a pair sharing both cells is still counted once)
+      val member =
+        if (twoLevel && twoLevelSoft)
+          e.select(col("vec_id"), col("__v"))
+            .join(assigned.select(col("vec_id"),
+              explode(array_distinct(array(col("cluster"),
+                coalesce(col("cluster2"), col("cluster"))))).as("cluster")), Seq("vec_id"))
+        else e
+      val sizes = member.groupBy("cluster").agg(count(lit(1)).as("__csz"))
+      val capped = member.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
         Seq("cluster"))
       val a = capped.select(col("cluster"), col("vec_id").as("id_a"), col("__v").as("__va"))
       val b = capped.select(col("cluster"), col("vec_id").as("id_b"), col("__v").as("__vb"))

@@ -33,8 +33,13 @@ object ProbeSem2L {
       println(f"[sem2l] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s, kept = $kept")
     }
     // two-level first (fresh JVM bias favors the incumbent if flat goes first)
-    time(s"two-level (kSuper=${math.ceil(math.sqrt(k)).toInt})") {
+    time(s"two-level soft (kSuper=${math.ceil(math.sqrt(k)).toInt})") {
       graft.ops.Dedup.semanticDedup(emb, k = k, iters = 1, twoLevelFromK = k)
+        .filter("kept").count()
+    }
+    time("two-level hard (r9 shape)") {
+      graft.ops.Dedup.semanticDedup(emb, k = k, iters = 1, twoLevelFromK = k,
+          twoLevelSoft = false)
         .filter("kept").count()
     }
     time("flat") {

@@ -38,6 +38,13 @@ object ProbeWide {
     val pairs = graft.ops.Dedup.simhashNearDuplicatesWide(docs).count()
     println(f"WIDE d_simhash_wide docs=${docs.count()} pairs=$pairs " +
       f"time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // round-10 gate (verdict task 4): the same corpus through the DEFAULT
+    // entry point — the auto-switch must route it to the wide path and
+    // return the same pair count where the pinned 16-bit banding dies
+    val t1 = System.nanoTime()
+    val auto = graft.ops.Dedup.simhashNearDuplicates(docs, maxHamming = 3).count()
+    println(f"WIDE default-entry auto-switch pairs=$auto " +
+      f"time=${(System.nanoTime() - t1) / 1e9}%.1f s match=${auto == pairs}")
     spark.stop()
   }
 }

@@ -114,6 +114,46 @@ class RelevanceClusteringSuite extends SparkSpec {
     assert(r1.values.count(identity) > 0, "degenerate: everything dropped")
   }
 
+  test("semanticDedup: soft candidate assignment only ever finds MORE duplicates") {
+    import graft.ops.Dedup
+    // soft = each vector also shops in its 2nd-nearest coarse cell during
+    // candidate generation — a strict superset of the hard candidate set,
+    // so kept(soft) <= kept(hard), with output totality unchanged
+    def kept(soft: Boolean): (Long, Long) = {
+      val out = Dedup.semanticDedup(emb, k = 16, iters = 1, twoLevelFromK = 16,
+        twoLevelSoft = soft)
+      (out.count(), out.filter("kept").count())
+    }
+    val (nSoft, keptSoft) = kept(soft = true)
+    val (nHard, keptHard) = kept(soft = false)
+    assert(nSoft == nHard && nSoft == emb.count(), "totality must not change")
+    assert(keptSoft <= keptHard,
+      s"soft candidates are a superset, so kept must not rise: $keptSoft > $keptHard")
+  }
+
+  test("kmeansTwoLevel: softCandidates leaves the primary assignment bit-identical") {
+    val hard = Clustering.kmeansTwoLevel(emb, kSuper = 4, kInner = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val soft = Clustering.kmeansTwoLevel(emb, kSuper = 4, kInner = 4, iters = 1,
+        softCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(soft.map(t => t._1 -> t._2).toMap == hard,
+      "soft mode must not move the primary assignment")
+    // the secondary lives in a DIFFERENT coarse cell by construction
+    val kInner = 4
+    assert(soft.forall(t => t._3 == -1 || t._3 / kInner != t._2 / kInner),
+      "cluster2 must come from a different coarse cell")
+    // kSuper = 1: no second cell exists — cluster2 is null everywhere
+    val synth = (0L until 50L).map { i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 0.31 + j)))
+    }.toDF("vec_id", "embedding")
+    val one = Clustering.kmeansTwoLevel(synth, kSuper = 1, kInner = 4, iters = 1,
+      softCandidates = true)
+    assert(one.filter(col("cluster2").isNotNull).count() == 0,
+      "kSuper=1 has no second coarse cell")
+  }
+
   test("pageRank: hand-computed integer ranks on a triangle + pendant") {
     // triangle 1-2-3 plus pendant 4 attached to 3, undirected;
     // expected values replayed by hand (floor arithmetic):
