@@ -918,7 +918,7 @@ object SparkEntry {
       val est = graft.ops.Sketches.hllEstimate(
         graft.ops.Sketches.hllRegisters(dashBase(s, dir).select("source", "lang", "__norm"),
           "__norm", p = 8, groupCols = Seq("source", "lang")),
-        p = 8, groupCols = Seq("source", "lang"))
+        p = 8, groupCols = Seq("source", "lang"), scaledRound = true)
       agg.join(est, Seq("source", "lang")).join(dashMedian(s, dir), Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_distinct"),
           // round(…, 6) finals decomposed into integer-scaled arithmetic
@@ -1220,8 +1220,12 @@ object SparkEntry {
       |       + least(stop_hits / greatest(w, 1.0) * 3.0, 1.0)) / 5.0, 4) * 10000) AS BIGINT) AS qi
       |  FROM t)""".stripMargin
 
-  /** The grouped q_hll_est register/estimate chain over r.norm (p=8). */
-  private val dashHllCtes: String =
+  /** The grouped q_hll_est register chain over r.norm (p=8), sans the
+    * final estimate CTE — two variants of that follow (the ORIGINAL
+    * round(…, 3) for the t_dash_est bisect twin, the integer-scaled one
+    * for the hardened t_dashboard).
+    */
+  private val dashHllCommon: String =
     """h AS (
       |  SELECT source, lang, list_reduce(list_prepend(CAST(0 AS BIGINT),
       |           list_transform(generate_series(1, greatest(length(norm), 1)),
@@ -1235,10 +1239,19 @@ object SparkEntry {
       |reg AS (SELECT source, lang, idx, MAX(rho) AS rho FROM rh GROUP BY 1, 2, 3),
       |s AS (SELECT source, lang,
       |        SUM(CAST(1 AS BIGINT) << (40 - rho)) AS s_obs,
-      |        COUNT(*) AS n_obs FROM reg GROUP BY 1, 2),
-      |e AS (SELECT source, lang,
+      |        COUNT(*) AS n_obs FROM reg GROUP BY 1, 2)""".stripMargin
+
+  private val dashHllCtes: String = dashHllCommon + ",\n" +
+    """e AS (SELECT source, lang,
       |        round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 1099511627776.0
       |          / CAST(s_obs + (256 - n_obs) * 1099511627776 AS DOUBLE), 3) AS est
+      |      FROM s)""".stripMargin
+
+  private val dashHllCtesScaled: String = dashHllCommon + ",\n" +
+    """e AS (SELECT source, lang,
+      |        CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 1099511627776.0
+      |          / CAST(s_obs + (256 - n_obs) * 1099511627776 AS DOUBLE) * 1000) AS BIGINT)
+      |          / 1000.0 AS est
       |      FROM s)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -2740,7 +2753,7 @@ object SparkEntry {
         |         MIN(CASE WHEN cum >= (n + 1) // 2 THEN ntok END) AS mlo,
         |         MIN(CASE WHEN cum >= n // 2 + 1 THEN ntok END) AS mhi
         |       FROM rkm GROUP BY 1, 2),
-        |$dashHllCtes
+        |$dashHllCtesScaled
         |SELECT agg.source, agg.lang, n_docs, n_distinct,
         |  CAST(round((n_docs - n_distinct) * 1000000.0 / n_docs) AS BIGINT) / 1000000.0 AS dup_rate,
         |  est AS distinct_est, total_tokens,

@@ -99,21 +99,30 @@ object Sketches {
     * gated in SketchesSuite).
     */
   def hllEstimate(registers: DataFrame, p: Int = 8,
-                  groupCols: Seq[String] = Nil, maxRho: Int = 40): DataFrame = {
+                  groupCols: Seq[String] = Nil, maxRho: Int = 40,
+                  scaledRound: Boolean = false): DataFrame = {
     val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     val scale = 1L << maxRho
     val grouped =
       if (groupCols.isEmpty) registers.groupBy()
       else registers.groupBy(groupCols.map(col): _*)
+    val raw = lit(alpha * m * m * scale.toDouble) /
+      (col("s_obs") + (lit(m.toLong) - col("n_obs")) * lit(scale)).cast("double")
+    // scaledRound: decompose round(raw, 3) into one multiply + round-to-
+    // integer + divide, the q_histq version-hardening discipline — both
+    // engines then derive the final double from the same exact BIGINT
+    // instead of each applying their own fractional-precision rounding
+    // (implementation-defined at representation-boundary halfway points).
+    // Default keeps the r5-era round(…, 3) that every green entry pins.
+    val estCol =
+      if (scaledRound) (round(raw * 1000).cast("long") / lit(1000.0)).as("est")
+      else round(raw, 3).as("est")
     grouped
       .agg(sum(pow(lit(2.0), lit(maxRho) - col("rho")).cast("long"))
           .cast("long").as("s_obs"),
         count(lit(1)).as("n_obs"))
-      .select((groupCols.map(col) :+
-        round(lit(alpha * m * m * scale.toDouble) /
-          (col("s_obs") + (lit(m.toLong) - col("n_obs")) * lit(scale))
-            .cast("double"), 3).as("est")): _*)
+      .select((groupCols.map(col) :+ estCol): _*)
   }
 
   /** Pairwise-independent-ish row hash for count-min: row r maps key hash
