@@ -177,7 +177,11 @@ object SparkEntry {
     * median() in t_dashboard after the r9 driver artifact disproved the
     * integer-median hypothesis (fix landed both sides, row stayed red).
     */
-  private def dashMedian(s: SparkSession, dir: String): DataFrame = {
+  /** The two 1-based rank picks behind the explicit median: integer
+    * columns __mlo / __mhi, exposed separately so the all-integer bisect
+    * entry (t_dash_ints) can pin them without any doubles in sight.
+    */
+  private def dashMedianParts(s: SparkSession, dir: String): DataFrame = {
     val cnt = dashBase(s, dir).groupBy("source", "lang", "__ntok")
       .agg(count(lit(1)).as("__c"))
     val grp = org.apache.spark.sql.expressions.Window.partitionBy("source", "lang")
@@ -187,9 +191,12 @@ object SparkEntry {
       .groupBy("source", "lang").agg(
         min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__ntok"))).as("__mlo"),
         min(when(col("__cum") >= expr("__n div 2 + 1"), col("__ntok"))).as("__mhi"))
+  }
+
+  private def dashMedian(s: SparkSession, dir: String): DataFrame =
+    dashMedianParts(s, dir)
       .select(col("source"), col("lang"),
         ((col("__mlo") + col("__mhi")) / lit(2.0)).as("med_tokens"))
-  }
 
   /** events with an integer-microsecond `tus` column, robust to how the
     * driver generated the parquet: TIMESTAMP(NANOS) arrives as a long under
@@ -973,6 +980,29 @@ object SparkEntry {
         .select(col("source"), col("lang"),
           round(col("__qsum").cast("double") / (col("n_docs") * lit(10000.0)), 6).as("avg_quality"))
         .orderBy("source", "lang")),
+    // the ORTHOGONAL bisect axis: every exact BIGINT intermediate behind
+    // the dashboard's computed columns, with NO doubles anywhere — the
+    // integer quality sum, both median rank picks, and the HLL register
+    // sum/count. Green here + red float columns isolates the drift to the
+    // final double rounding; red here means the integer chain itself
+    // differs in the driver's environment (which t_analysis's green per-doc
+    // rows would make very strange indeed).
+    "t_dash_ints" -> ((s, dir) => {
+      val agg = dashBase(s, dir).groupBy("source", "lang").agg(
+        sum("__qi").as("qsum"))
+      val reg = graft.ops.Sketches.hllRegisters(
+          dashBase(s, dir).select("source", "lang", "__norm"),
+          "__norm", p = 8, groupCols = Seq("source", "lang"))
+        .groupBy("source", "lang")
+        .agg(sum(expr("CAST(pow(2.0, 40 - rho) AS LONG)")).as("s_obs"),
+          count(lit(1)).as("n_obs"))
+      agg.join(dashMedianParts(s, dir), Seq("source", "lang"))
+        .join(reg, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("qsum"),
+          col("__mlo").as("mlo"), col("__mhi").as("mhi"),
+          col("s_obs"), col("n_obs"))
+        .orderBy("source", "lang")
+    }),
     // the xxhash64 fingerprint column has no DuckDB equivalent — rows-only;
     // lang_pred accuracy vs the dataset's lang label is gated in
     // PipelineGatesSuite, and the language-ID half is oracle-checked via
@@ -2791,6 +2821,22 @@ object SparkEntry {
         |SELECT source, lang,
         |  round(CAST(qsum AS DOUBLE) / (n_docs * 10000.0), 6) AS avg_quality
         |FROM agg ORDER BY source, lang""".stripMargin),
+    "t_dash_ints" ->
+      (s"""WITH $dashSignalCtes,
+        |agg AS (SELECT source, lang, SUM(qi) AS qsum FROM r GROUP BY 1, 2),
+        |cntm AS (SELECT source, lang, ntok, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
+        |rkm AS (SELECT source, lang, ntok,
+        |          SUM(c) OVER (PARTITION BY source, lang ORDER BY ntok) AS cum,
+        |          SUM(c) OVER (PARTITION BY source, lang) AS n
+        |        FROM cntm),
+        |md AS (SELECT source, lang,
+        |         MIN(CASE WHEN cum >= (n + 1) // 2 THEN ntok END) AS mlo,
+        |         MIN(CASE WHEN cum >= n // 2 + 1 THEN ntok END) AS mhi
+        |       FROM rkm GROUP BY 1, 2),
+        |$dashHllCommon
+        |SELECT agg.source, agg.lang, qsum, mlo, mhi, s_obs, n_obs
+        |FROM agg JOIN md USING (source, lang) JOIN s USING (source, lang)
+        |ORDER BY source, lang""".stripMargin),
     "s_knn" ->
       """SELECT query_id, neighbor_id, cosine, rnk AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
