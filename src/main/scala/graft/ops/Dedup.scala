@@ -591,7 +591,11 @@ object Dedup {
               explode(array_distinct(array(col("cluster"),
                 coalesce(col("cluster2"), col("cluster"))))).as("cluster")), Seq("vec_id"))
         else e
-      val sizes = member.groupBy("cluster").agg(count(lit(1)).as("__csz"))
+      // cap on PRIMARY sizes (e, not member): soft members must not push a
+      // borderline cluster over maxCluster and knock it out of candidate
+      // generation entirely — cap semantics stay identical to hard mode,
+      // and soft can at most double the work inside an admitted cluster
+      val sizes = e.groupBy("cluster").agg(count(lit(1)).as("__csz"))
       val capped = member.join(sizes.filter(col("__csz") <= maxCluster).hint("shuffle_hash"),
         Seq("cluster"))
       val a = capped.select(col("cluster"), col("vec_id").as("id_a"), col("__v").as("__va"))
