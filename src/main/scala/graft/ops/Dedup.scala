@@ -344,7 +344,12 @@ object Dedup {
     // bounded limit+count probe (stops scanning at wideFromDocs + 1 rows,
     // cost independent of corpus size) crosses the documented threshold.
     // Explicit hashFn callers (the oracle-replayable polynomial twins) and
-    // wideFromDocs = 0 keep the 16-bit path unconditionally.
+    // wideFromDocs = 0 keep the 16-bit path unconditionally. Memory note
+    // (PERF.md §0i envelope): past the threshold the wide path's
+    // bucket-size frame is corpus-order (~mostly-singleton buckets), so its
+    // shuffle-hash build wants the cluster-scale per-executor budget — on
+    // a single small JVM BOTH paths die there (wide on the build, 16-bit
+    // on its ~n²/65k candidates), so the switch never makes things worse.
     if (hashFn.isEmpty && wideFromDocs > 0 &&
         df.limit((wideFromDocs + 1).toInt).count() > wideFromDocs)
       return simhashNearDuplicatesWide(df, textCol, idCol, maxHamming, maxBucket)
