@@ -911,11 +911,14 @@ object SparkEntry {
     // (source, lang): volume, exact distinct + HLL-sketched distinct,
     // dup rate, token volume and median, and an integer-exact quality
     // aggregate. Composes TextStats + the exact-dedup normalization +
-    // the grouped HLL sketch: two map-side-combined scans (signal scan
-    // + register scan) joined on the tiny group space — at 100 TB this
-    // shuffles per-group scalars and 256-row register tables, never
-    // documents. The streaming twin of this rollup is the corpus-quality
-    // monitor in streaming/ (convergence-gated in StreamingSuite).
+    // the grouped HLL sketch: three map-side-combined scans (stat scan,
+    // register scan, and — since the round-10 hardening replaced
+    // median() with rank interpolation — a (group, ntok)-count scan)
+    // joined on the tiny group space — at 100 TB this shuffles per-group
+    // scalars, 256-row register tables, and per-group token-count
+    // distributions, never documents. The streaming twin of this rollup
+    // is the corpus-quality monitor in streaming/ (convergence-gated in
+    // StreamingSuite).
     "t_dashboard" -> ((s, dir) => {
       val agg = dashBase(s, dir).groupBy("source", "lang").agg(
         count(lit(1)).as("n_docs"),
