@@ -1271,7 +1271,7 @@ object SparkEntry {
       |         46), 40) AS rho FROM h),
       |reg AS (SELECT source, lang, idx, MAX(rho) AS rho FROM rh GROUP BY 1, 2, 3),
       |s AS (SELECT source, lang,
-      |        SUM(CAST(1 AS BIGINT) << (40 - rho)) AS s_obs,
+      |        CAST(SUM(CAST(1 AS BIGINT) << (40 - rho)) AS BIGINT) AS s_obs,
       |        COUNT(*) AS n_obs FROM reg GROUP BY 1, 2)""".stripMargin
 
   private val dashHllCtes: String = dashHllCommon + ",\n" +
@@ -1701,7 +1701,7 @@ object SparkEntry {
         |           (a, b) -> a + b),
         |          'c': i1.iidx})).c AS cluster
         |  FROM cells JOIN i1 USING (super) GROUP BY cells.vec_id)
-        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM b1 ORDER BY vec_id""".stripMargin),
+        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM b1 ORDER BY vec_id""".stripMargin),
     // replays SemDeDup end-to-end: the c_kmeans replay above (1 Lloyd
     // round) gives the clusters, then in-cluster pairwise cosine (rounded
     // to 6 before the threshold, same as d_embed_exact) marks every
@@ -2774,8 +2774,8 @@ object SparkEntry {
         |agg AS (
         |  SELECT source, lang, COUNT(*) AS n_docs,
         |    COUNT(DISTINCT norm) AS n_distinct,
-        |    SUM(ntok) AS total_tokens,
-        |    SUM(qi) AS qsum
+        |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(qi) AS BIGINT) AS qsum
         |  FROM r GROUP BY 1, 2),
         |cntm AS (SELECT source, lang, ntok, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
         |rkm AS (SELECT source, lang, ntok,
@@ -2810,7 +2810,7 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
     "t_dash_tok" ->
       (s"""WITH $dashSignalCtes
-        |SELECT source, lang, SUM(ntok) AS total_tokens
+        |SELECT source, lang, CAST(SUM(ntok) AS BIGINT) AS total_tokens
         |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
     "t_dash_est" ->
       (s"""WITH $dashSignalCtes,
@@ -2826,7 +2826,7 @@ object SparkEntry {
         |FROM agg ORDER BY source, lang""".stripMargin),
     "t_dash_ints" ->
       (s"""WITH $dashSignalCtes,
-        |agg AS (SELECT source, lang, SUM(qi) AS qsum FROM r GROUP BY 1, 2),
+        |agg AS (SELECT source, lang, CAST(SUM(qi) AS BIGINT) AS qsum FROM r GROUP BY 1, 2),
         |cntm AS (SELECT source, lang, ntok, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
         |rkm AS (SELECT source, lang, ntok,
         |          SUM(c) OVER (PARTITION BY source, lang ORDER BY ntok) AS cum,

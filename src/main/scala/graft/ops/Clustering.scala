@@ -194,10 +194,11 @@ object Clustering {
         // margin gate: only BOUNDARY vectors shop in the second cell. A
         // duplicate group is split by a coarse boundary only when its
         // members sit nearly equidistant from two centroids (that is what
-        // straddling means), so d2 <= 4 * d1 (2x in radius, on squared
-        // distances) captures the straddlers while keeping the soft
-        // membership — and with it the quadratic in-cluster verify cost —
-        // proportional to the boundary population, not the corpus
+        // straddling means), so d2 <= 1.05 * d1 (on squared distances — the
+        // tightest margin in the ProbeSoftMargin sweep that still recovered
+        // flat recall, PERF.md) captures the straddlers while keeping the
+        // soft membership — and with it the quadratic in-cluster verify
+        // cost — proportional to the boundary population, not the corpus
         // (measured in PERF.md: ungated soft was ~4x the hard wall time)
         .filter(col("__m2").isNotNull &&
           col("__m2.__d") <= lit(1.05) * col("__m1.__d"))

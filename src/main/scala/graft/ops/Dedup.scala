@@ -327,10 +327,12 @@ object Dedup {
     *
     * The DEFAULT entry point therefore auto-switches to
     * [[simhashNearDuplicatesWide]] past `wideFromDocs` documents (probed
-    * with a bounded limit+count, round-10 gate test in
+    * with a bounded, id-column-pruned limit+count, round-10/11 gate test in
     * PipelineGatesSuite). NOTE the wide path's `hamming` column is over the
     * combined 126-bit signature, so its scale differs from the 64-bit one;
-    * pass `wideFromDocs = 0` to pin the 16-bit banding at any size.
+    * at the handoff `maxHamming` is rescaled by ceil(126/64) so the
+    * caller's threshold keeps its proportional selectivity. Pass
+    * `wideFromDocs = 0` to pin the 16-bit banding at any size.
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                             maxHamming: Int = 3, maxBucket: Int = 1000,
@@ -350,9 +352,26 @@ object Dedup {
     // shuffle-hash build wants the cluster-scale per-executor budget — on
     // a single small JVM BOTH paths die there (wide on the build, 16-bit
     // on its ~n²/65k candidates), so the switch never makes things worse.
-    if (hashFn.isEmpty && wideFromDocs > 0 &&
-        df.limit((wideFromDocs + 1).toInt).count() > wideFromDocs)
-      return simhashNearDuplicatesWide(df, textCol, idCol, maxHamming, maxBucket)
+    if (hashFn.isEmpty && wideFromDocs > 0) {
+      // Probe only the id column so parquet-backed frames prune the text
+      // bytes out of the probe scan (the r10 probe ran limit() over the
+      // FULL row and re-read the corpus once per call — a measured +30%
+      // at sf0.1); clamp the limit so thresholds >= Int.MaxValue cannot
+      // overflow into a negative limit() (r10 ADVICE).
+      val probeLimit = math.min(wideFromDocs, Int.MaxValue - 1L).toInt + 1
+      if (df.select(col(idCol)).limit(probeLimit).count() > wideFromDocs) {
+        // The wide path's `hamming` is over the combined 126-bit signature,
+        // so the caller's 64-bit-scale threshold is rescaled proportionally
+        // (ceil(maxHamming * 126 / 64)) to preserve its selectivity MEANING
+        // across the auto-switch (r10 ADVICE: passing it through unchanged
+        // silently tightened d_simhash's maxHamming = 12 to a 126-bit 12).
+        // The RETURNED hamming column is still 126-bit scale — pin
+        // wideFromDocs = 0 to keep 64-bit semantics at any size, or call
+        // simhashNearDuplicatesWide directly to control the threshold.
+        val wideHamming = (maxHamming * 126 + 63) / 64
+        return simhashNearDuplicatesWide(df, textCol, idCol, wideHamming, maxBucket)
+      }
+    }
     // default (None = xxhash64) path: the fused one-pass SimHashExpr,
     // bit-identical to the composed simhash() fold (fenced in
     // PipelineGatesSuite); an explicit hashFn (e.g. the oracle-replayable
@@ -379,16 +398,17 @@ object Dedup {
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"), col("__sim").as("__sim_b"))
     // materialize the (small, post-verify) pair set eagerly so the banded
     // cache can be released before returning — without this every call
-    // leaked its cached band partitions for the session (r9 ADVICE)
-    val out = a.join(b, Seq("chunk", "key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-      .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_id_a", "doc_id_b", "hamming")
-      .localCheckpoint(eager = true)
-    banded.unpersist()
-    out
+    // leaked its cached band partitions for the session (r9 ADVICE);
+    // try/finally so a failed join/checkpoint cannot leak it either
+    try {
+      a.join(b, Seq("chunk", "key"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .dropDuplicates("doc_id_a", "doc_id_b")
+        .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+        .localCheckpoint(eager = true)
+    } finally banded.unpersist()
   }
 
   /** Wide-band (126-bit) SimHash near-dups — the band-space scale path
@@ -448,18 +468,19 @@ object Dedup {
     val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
       col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
     // same cache discipline as the 16-bit path: eager-materialize the small
-    // verified pair set, then release the banded cache before returning
-    val out = a.join(b, Seq("chunk", "key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-      .withColumn("hamming",
-        (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
-          bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_id_a", "doc_id_b", "hamming")
-      .localCheckpoint(eager = true)
-    banded.unpersist()
-    out
+    // verified pair set, then release the banded cache before returning —
+    // exception-safe so a failed join/checkpoint cannot leak it
+    try {
+      a.join(b, Seq("chunk", "key"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .dropDuplicates("doc_id_a", "doc_id_b")
+        .withColumn("hamming",
+          (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
+            bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+        .localCheckpoint(eager = true)
+    } finally banded.unpersist()
   }
 
   // ------------------------------------------------- embedding near-dup

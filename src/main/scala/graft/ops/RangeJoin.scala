@@ -40,8 +40,11 @@ object RangeJoin {
                       binWidth: Long, keys: Seq[String] = Nil,
                       smallIntervalRows: Long = 0L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // clamp: thresholds >= Int.MaxValue must not overflow into a negative
+    // limit() (r10 ADVICE — plausible at the 100TB scale this knob targets)
     if (smallIntervalRows > 0 &&
-        intervals.limit((smallIntervalRows + 1).toInt).count() <= smallIntervalRows) {
+        intervals.limit(math.min(smallIntervalRows, Int.MaxValue - 1L).toInt + 1)
+          .count() <= smallIntervalRows) {
       // small side measured, not estimated: broadcast it whole. With keys
       // this is a BroadcastHashJoin on the keys + containment filter; with
       // no keys a nested-loop over a small broadcast side — both fine at

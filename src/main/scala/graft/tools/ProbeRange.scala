@@ -68,10 +68,16 @@ object ProbeRange {
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "v0_smj" -> (() => aggTop(binJoin(hinted = false))),
       "v1_shj" -> (() => aggTop(binJoin(hinted = true))),
+      // smallIntervalRows passed EXPLICITLY: the shipped default is 0
+      // (gate opt-in), so without it v2 runs no probe and v3 takes the
+      // bin path — the probe would no longer reproduce the PERF.md §0j
+      // rows it documents (r10 ADVICE)
       "v2_gate" -> (() => aggTop(graft.ops.RangeJoin.pointInInterval(
-        pts(), ivs(), "tus", "lo", "hi", binWidth = W, keys = Seq("user_id")))),
+        pts(), ivs(), "tus", "lo", "hi", binWidth = W, keys = Seq("user_id"),
+        smallIntervalRows = 1000000L))),
       "v3_small_bcast" -> (() => aggTop(graft.ops.RangeJoin.pointInInterval(
-        pts(), ivsSmall(), "tus", "lo", "hi", binWidth = W, keys = Seq("user_id")))),
+        pts(), ivsSmall(), "tus", "lo", "hi", binWidth = W, keys = Seq("user_id"),
+        smallIntervalRows = 1000000L))),
       "v4_small_bins" -> (() => aggTop(graft.ops.RangeJoin.pointInInterval(
         pts(), ivsSmall(), "tus", "lo", "hi", binWidth = W, keys = Seq("user_id"),
         smallIntervalRows = 0))))

@@ -84,10 +84,13 @@ class PipelineGatesSuite extends SparkSpec {
   test("simhash auto-switch: default path hands off to wide banding past wideFromDocs") {
     // round-10 gate (verdict task 4): the DEFAULT entry point must select
     // the wide path once the bounded probe crosses the threshold — pinned
-    // here with a tiny threshold instead of the production 1M
-    val wide = pairSet(Dedup.simhashNearDuplicatesWide(docs, maxHamming = 3))
+    // here with a tiny threshold instead of the production 1M. The handoff
+    // RESCALES the caller's 64-bit threshold to the wide path's 126-bit
+    // hamming scale: ceil(3 * 126 / 64) = 6 (r10 ADVICE — an unchanged
+    // pass-through silently tightened the threshold's meaning).
+    val wide = pairSet(Dedup.simhashNearDuplicatesWide(docs, maxHamming = 6))
     val auto = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3, wideFromDocs = 10))
-    assert(auto == wide, "above the threshold the default must equal the wide path")
+    assert(auto == wide, "above the threshold the default must equal the wide path at the rescaled threshold")
     // below the threshold (and with wideFromDocs = 0) the 16-bit path is pinned
     val narrow = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3, wideFromDocs = 0))
     val under = pairSet(Dedup.simhashNearDuplicates(docs, maxHamming = 3,
