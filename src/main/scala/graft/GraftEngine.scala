@@ -470,26 +470,49 @@ final class GraftEngine(val spark: SparkSession) {
       df.schema.head.dataType.sql
     }
 
-    val cleanItems = p.items.map {
-      case Left(dim) => dim
-      case Right(m) => m.kind match {
-        case MeasureKind.NonDecomposable | MeasureKind.Window =>
-          s"${m.expression} AS ${m.name}"
-        case _ =>
-          val dt = try probeType(m.expression) catch { case _: Exception => "DOUBLE" }
-          s"CAST(NULL AS $dt) AS ${m.name}"
-      }
+    def cleanItem(m: graft.catalog.ViewMeasure): String = m.kind match {
+      case MeasureKind.NonDecomposable | MeasureKind.Window =>
+        s"${m.expression} AS ${m.name}"
+      case _ =>
+        val dt = try probeType(m.expression) catch { case _: Exception => "DOUBLE" }
+        s"CAST(NULL AS $dt) AS ${m.name}"
     }
 
-    val needsGroupByAll = p.clauses.groupBy.isEmpty &&
-      p.measures.exists(_.kind == MeasureKind.NonDecomposable)
-    val groupSql = p.clauses.groupBy.map(g => s" GROUP BY $g")
-      .getOrElse(if (needsGroupByAll) " GROUP BY ALL" else "")
-    val whereSql = p.clauses.where.map(w => s" WHERE $w").getOrElse("")
-    val fromSql = p.clauses.from.map(f => s" FROM $f").getOrElse("")
     val ctePfx = if (p.ctePrefix.isEmpty) "" else p.ctePrefix + " "
     val cleanSql =
-      s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS ${ctePfx}SELECT ${cleanItems.mkString(", ")}$fromSql$whereSql$groupSql"
+      if (p.setOpBranches.nonEmpty) {
+        // set-op body: render branch-by-branch, replacing each branch's
+        // measure slots in place (every declaring branch, not just the
+        // first — reference replaces all AS MEASURE occurrences). GROUP BY
+        // ALL is appended PER BRANCH that materializes a non-decomposable
+        // slot (the reference appends once at the end of the whole clean
+        // query, which lands on the last branch only).
+        val rendered = p.setOpBranches.map { br =>
+          val bItems = br.items.map {
+            case Left(dim) => dim
+            case Right(m) => cleanItem(m)
+          }
+          val needsAll = br.clauses.groupBy.isEmpty && br.items.exists {
+            case Right(m) => m.kind == MeasureKind.NonDecomposable
+            case _ => false
+          }
+          val sel = graft.syntax.MeasureDdl.renderBranch(br.clauses, bItems, groupByAll = needsAll)
+          if (br.op.isEmpty) sel else s"${br.op} $sel"
+        }.mkString(" ")
+        s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS $ctePfx$rendered"
+      } else {
+        val cleanItems = p.items.map {
+          case Left(dim) => dim
+          case Right(m) => cleanItem(m)
+        }
+        val needsGroupByAll = p.clauses.groupBy.isEmpty &&
+          p.measures.exists(_.kind == MeasureKind.NonDecomposable)
+        val groupSql = p.clauses.groupBy.map(g => s" GROUP BY $g")
+          .getOrElse(if (needsGroupByAll) " GROUP BY ALL" else "")
+        val whereSql = p.clauses.where.map(w => s" WHERE $w").getOrElse("")
+        val fromSql = p.clauses.from.map(f => s" FROM $f").getOrElse("")
+        s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS ${ctePfx}SELECT ${cleanItems.mkString(", ")}$fromSql$whereSql$groupSql"
+      }
 
     val prev = catalog.snapshot()
     try {

@@ -22,10 +22,23 @@ final case class ParsedMeasureView(
     groupByCols: Seq[String],
     // leading `WITH ctes` prefix of the view body ("" when none) — prepended
     // to both the clean view and the base relation
-    ctePrefix: String = ""
+    ctePrefix: String = "",
+    // non-empty when the view body is a top-level set operation: one entry
+    // per branch, in order. The clean view is then rendered branch-by-branch
+    // (GraftEngine), and `items` holds the FIRST branch's items plus any
+    // later-branch measures with new names (first declaration wins).
+    setOpBranches: Seq[SetOpBranch] = Nil
 ) {
   def measures: Seq[ViewMeasure] = items.collect { case Right(m) => m }
 }
+
+/** One branch of a set-operation measure-view body. `op` is "" for the
+  * first branch, else the operator text with its ALL/DISTINCT modifier.
+  */
+final case class SetOpBranch(
+    op: String,
+    clauses: SelectClauses,
+    items: Seq[Either[String, ViewMeasure]])
 
 object MeasureDdl {
 
@@ -141,6 +154,14 @@ object MeasureDdl {
         body = mainBody
         val clauses = SqlClauses.parse(body).getOrElse(return None)
 
+        // set-operation bodies take a branch-aware path: the reference
+        // wraps the whole (cleaned) set-op query as the base relation
+        // (measures.rs:2645-2650) and replaces AS MEASURE slots wherever
+        // they appear (measures.rs:4482-4546)
+        if (clauses.hasSetOp)
+          return parseSetOpView(viewName, orRepl != null, temp != null,
+            clauses, body, ctePrefix)
+
         // collect measure names first (two-pass, for derived classification)
         val rawItems = clauses.selectItems.map(parseMeasureItem)
         val measureNames = rawItems.collect { case Some((_, name)) => name.toLowerCase }.toSet
@@ -154,15 +175,13 @@ object MeasureDdl {
           }
 
         // base relation: SELECT * FROM <from> [WHERE <where>]
-        // set-op bodies get wrapped whole (measures.rs:2645-2650)
+        // (set-op bodies returned above on the branch-aware path)
         val pfx = if (ctePrefix.isEmpty) "" else ctePrefix + " "
-        val baseRelationSql =
-          if (clauses.hasSetOp) s"${pfx}SELECT * FROM ( $body ) __setop"
-          else {
-            val f = clauses.from.getOrElse(return None)
-            val w = clauses.where.map(w => s" WHERE $w").getOrElse("")
-            s"${pfx}SELECT * FROM $f$w"
-          }
+        val baseRelationSql = {
+          val f = clauses.from.getOrElse(return None)
+          val w = clauses.where.map(w => s" WHERE $w").getOrElse("")
+          s"${pfx}SELECT * FROM $f$w"
+        }
 
         // dimension exprs: every non-measure select item alias -> expr
         val dimPairs = items.collect { case Left(item) =>
@@ -206,6 +225,138 @@ object MeasureDdl {
         ))
       case _ => None
     }
+  }
+
+  /** Parse a measure view whose body is a top-level set operation.
+    *
+    * Reference semantics (measures.rs:2645-2650): the base relation is the
+    * WHOLE set-op query wrapped — i.e. the measure context rows are the
+    * set-op OUTPUT rows, not any branch's raw FROM. Consequences here:
+    *  - dimension exprs are IDENTITY on the first branch's output aliases
+    *    (the base already carries those columns), unlike the single-SELECT
+    *    path where dims map to their underlying expressions;
+    *  - measure slots render as inert `NULL AS name` in the base relation,
+    *    so the base row multiset is exactly the union output (the reference
+    *    wraps its clean query, whose materialized non-decomposable slots +
+    *    appended GROUP BY ALL would collapse duplicate rows — corpus-
+    *    uncovered corner, resolved here in favor of multiset fidelity);
+    *  - measures may be declared in ANY branch (the reference replaces
+    *    every ` AS MEASURE ` occurrence); the first declaration of a name
+    *    wins for the catalog, and every declaring slot is replaced.
+    */
+  private def parseSetOpView(viewName: String, orReplace: Boolean,
+                             temporary: Boolean, wholeClauses: SelectClauses,
+                             body: String, ctePrefix: String): Option[ParsedMeasureView] = {
+    val raw = SqlClauses.splitSetOpBranches(body)
+    if (raw.isEmpty) return None
+    // parenthesized branches keep their internal structure opaque to the
+    // clause scanner — out of scope, same guard as QueryExpander's set-op
+    // splitter (the statement then falls through to plain Spark SQL, which
+    // rejects AS MEASURE loudly)
+    if (raw.exists(_._2.startsWith("("))) return None
+    val parsed = raw.map { case (op, b) =>
+      (op, SqlClauses.parse(b).getOrElse(return None))
+    }
+    val branchRaw = parsed.map { case (op, c) => (op, c, c.selectItems.map(parseMeasureItem)) }
+    val allNames = branchRaw
+      .flatMap(_._3.collect { case Some((_, n)) => n.toLowerCase }).toSet
+    if (allNames.isEmpty) return None
+    val branches = branchRaw.map { case (op, c, rawItems) =>
+      val items: Seq[Either[String, ViewMeasure]] =
+        c.selectItems.zip(rawItems).map {
+          case (_, Some((expr, name))) =>
+            Right(ViewMeasure(name, expr.trim, classify(expr, allNames - name.toLowerCase)))
+          case (item, None) => Left(item)
+        }
+      SetOpBranch(op, c, items)
+    }
+
+    // catalog items: the first branch in full, plus later-branch measures
+    // with names not already declared (first declaration wins)
+    val seen = scala.collection.mutable.Set[String]()
+    branches.head.items.foreach { case Right(m) => seen += m.name.toLowerCase; case _ => () }
+    val items: Seq[Either[String, ViewMeasure]] = branches.head.items ++
+      branches.tail.flatMap(_.items.collect {
+        case Right(m) if seen.add(m.name.toLowerCase) => Right(m)
+      })
+
+    // dims: first branch's non-measure aliases, identity-mapped. A slot
+    // whose name is declared AS MEASURE in a LATER branch (e.g. first
+    // branch carries `NULL AS m`) is a measure slot, not a dimension.
+    val dimNames = branches.head.items.collect { case Left(item) =>
+      val (expr, aliasOpt) = SqlClauses.splitAlias(item)
+      val name = aliasOpt.orElse(SqlClauses.plainColumnName(expr)).getOrElse(expr)
+      if (aliasOpt.exists(a => !a.forall(Scan.isIdentChar)))
+        throw new graft.planner.GraftException(
+          s"dimension alias '${aliasOpt.get}' is not a plain identifier; quoted dimension " +
+            "aliases with spaces or punctuation are not supported in measure views — use " +
+            "an identifier (e.g. return_flag)")
+      name
+    }.filterNot(n => allNames.contains(n.toLowerCase))
+    val dimensionExprs = dimNames.map(n => n.toLowerCase -> n).toMap
+
+    val baseBody = branches.map { br =>
+      val slotItems = br.items.map {
+        case Left(d) => d
+        // TYPED null slots, deliberately: an untyped NULL column is
+        // NullType (void) in Spark, and EXCEPT/INTERSECT over table-backed
+        // plans fail to match rows across void columns (observed on
+        // 4.1.2: A EXCEPT B keeps a row present in both when the
+        // projection carries bare-NULL slots; typing the slot fixes it).
+        // The slot value is inert — measure expressions read the raw
+        // columns, never the slot — so any consistent type works.
+        case Right(m) => s"CAST(NULL AS INT) AS ${m.name}"
+      }
+      val sel = renderBranch(br.clauses, slotItems, groupByAll = false)
+      if (br.op.isEmpty) sel else s"${br.op} $sel"
+    }.mkString(" ")
+    val pfx = if (ctePrefix.isEmpty) "" else ctePrefix + " "
+    val baseRelationSql = s"${pfx}SELECT * FROM ( $baseBody ) __setop"
+
+    val groupByCols = branches.head.clauses.groupBy
+      .map { g =>
+        val mask = Scan.buildMask(g)
+        Scan.splitTopLevel(g, mask, ',', 0, g.length)
+          .map { case (s, e) => g.substring(s, e).trim }
+          .filter(c => c.nonEmpty && !allNames.contains(c.toLowerCase))
+      }
+      .getOrElse(Nil)
+
+    Some(ParsedMeasureView(
+      viewName = viewName,
+      orReplace = orReplace,
+      temporary = temporary,
+      clauses = wholeClauses,
+      items = items,
+      baseRelationSql = baseRelationSql,
+      dimensionExprs = dimensionExprs,
+      dimensionOrder = dimNames,
+      groupByCols = groupByCols,
+      ctePrefix = ctePrefix,
+      setOpBranches = branches
+    ))
+  }
+
+  /** Re-render one parsed SELECT with a replaced select list; clause order
+    * and texts are otherwise preserved. `groupByAll` appends GROUP BY ALL
+    * when the branch has no GROUP BY (materialized non-decomposable slots
+    * need an aggregate query to be a valid view).
+    */
+  def renderBranch(c: SelectClauses, selectItems: Seq[String],
+                   groupByAll: Boolean): String = {
+    val dist = if (c.distinct) "DISTINCT " else ""
+    val sb = new StringBuilder(s"SELECT $dist${selectItems.mkString(", ")}")
+    c.from.foreach(f => sb.append(s" FROM $f"))
+    c.where.foreach(w => sb.append(s" WHERE $w"))
+    c.groupBy match {
+      case Some(g) => sb.append(s" GROUP BY $g")
+      case None => if (groupByAll) sb.append(" GROUP BY ALL")
+    }
+    c.having.foreach(h => sb.append(s" HAVING $h"))
+    c.qualify.foreach(q => sb.append(s" QUALIFY $q"))
+    c.orderBy.foreach(o => sb.append(s" ORDER BY $o"))
+    c.limitText.foreach(l => sb.append(s" $l"))
+    sb.toString
   }
 
   /** Split a leading `WITH name [cols] AS (...) [, ...]` CTE list off a view

@@ -105,6 +105,43 @@ object SqlClauses {
     ))
   }
 
+  /** Split a statement at its top-level set operators. Returns (opText,
+    * branchSql) pairs — opText is "" for the first branch, else the
+    * operator with its optional ALL/DISTINCT modifier (original casing).
+    * Nil when no top-level set operator exists. A whole-statement trailing
+    * ORDER BY / LIMIT stays attached to the last branch (callers that
+    * reassemble branches in place preserve it).
+    */
+  def splitSetOpBranches(stmt: String): List[(String, String)] = {
+    val mask = Scan.buildMask(stmt)
+    case class Op(start: Int, end: Int, text: String)
+    val ops = scala.collection.mutable.ListBuffer[Op]()
+    for (kw <- Seq("UNION", "INTERSECT", "EXCEPT")) {
+      var from = 0
+      var p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
+      while (p >= 0) {
+        var e = p + kw.length
+        var j = e
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        for (mod <- Seq("ALL", "DISTINCT"))
+          if (stmt.regionMatches(true, j, mod, 0, mod.length) &&
+              (j + mod.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + mod.length))))
+            e = j + mod.length
+        ops += Op(p, e, stmt.substring(p, e))
+        from = e
+        p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
+      }
+    }
+    if (ops.isEmpty) return Nil
+    val sorted = ops.sortBy(_.start).toList
+    val starts = 0 :: sorted.map(_.end)
+    val ends = sorted.map(_.start) :+ stmt.length
+    val texts = "" :: sorted.map(_.text)
+    texts.lazyZip(starts).lazyZip(ends).map { (t, s, e) =>
+      (t, stmt.substring(s, e).trim)
+    }.toList
+  }
+
   /** Split "a AS b" / "a b" select item into (expr, aliasOpt).
     * Only a trailing bare-identifier alias is recognized.
     */

@@ -1186,4 +1186,122 @@ class FuzzSuite extends SparkSpec {
       i += 1
     }
   }
+
+  // ------- axis 9: measure VIEWS over set-operation BASES (round-11
+  // verdict task 5). The view body is `branchA <op> branchB`; per
+  // measures.rs:2645-2650 the base relation is the whole set-op OUTPUT, so
+  // the evaluator models the union/intersect/except row multiset in Scala
+  // and feeds it to the same row-level fold evaluator as axis 1. Branch
+  // projections must carry the raw columns (x, y) — measures aggregate
+  // over the set-op output, not any branch's FROM.
+
+  private def runSetOpBaseCase(rnd: Random, caseId: String): Unit = {
+    val dataA = mkData(rnd, 20 + rnd.nextInt(30))
+    val dataB = mkData(rnd, 20 + rnd.nextInt(30))
+    def reg(name: String, data: Seq[R]): Unit = {
+      val values = data.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")
+      engine.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+        s"SELECT da, db, dc, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+        s"FROM VALUES $values AS t(da, db, dc, x, y)")
+    }
+    reg("fuzz9_a", dataA); reg("fuzz9_b", dataB)
+
+    val predA = if (rnd.nextInt(2) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val predB = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val op = Seq("UNION ALL", "UNION ALL", "UNION", "INTERSECT", "EXCEPT")(rnd.nextInt(5))
+
+    val nonDerived = measures.filterNot(m => derivedNames(m.name))
+    val declList = nonDerived.map(m => (m.name, s"${m.sql} AS MEASURE ${m.name}")) :+
+      ("f_per", (s"${measures.find(_.name == "f_per").get.sql} AS MEASURE f_per"))
+    // occasionally declare the measures in the SECOND branch (the reference
+    // replaces AS MEASURE slots in every branch; first decl of a name wins)
+    val declInSecond = rnd.nextInt(5) == 0
+    val (itemsA, itemsB) =
+      if (declInSecond) (declList.map { case (n, _) => s"NULL AS $n" }, declList.map(_._2))
+      else (declList.map(_._2), declList.map(_ => "NULL"))
+    val bA = s"SELECT da, db, dc, x, y, ${itemsA.mkString(", ")} FROM fuzz9_a" +
+      predA.fold("")(p => s" WHERE ${p.sql}")
+    val bB = s"SELECT da, db, dc, x, y, ${itemsB.mkString(", ")} FROM fuzz9_b" +
+      predB.fold("")(p => s" WHERE ${p.sql}")
+    engine.sql(s"CREATE OR REPLACE VIEW fuzz9_v AS $bA $op $bB")
+
+    // model the base multiset with SQL set-op semantics (DISTINCT variants
+    // compare full rows; the NULL measure slots are equal on both sides)
+    val rowsA = predA.fold(dataA)(p => dataA.filter(p.p))
+    val rowsB = predB.fold(dataB)(p => dataB.filter(p.p))
+    val base: Seq[R] = op match {
+      case "UNION ALL" => rowsA ++ rowsB
+      case "UNION" => (rowsA ++ rowsB).distinct
+      case "INTERSECT" => val s = rowsB.toSet; rowsA.distinct.filter(s)
+      case "EXCEPT" => val s = rowsB.toSet; rowsA.distinct.filterNot(s)
+    }
+
+    val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
+    val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
+    val nCalls = 1 + rnd.nextInt(2)
+    case class Call(m: Meas, mods: List[Mod], bare: Boolean, alias: String)
+    val calls = (0 until nCalls).map { i =>
+      val m = measures(rnd.nextInt(measures.size))
+      val bare = rnd.nextInt(6) == 0
+      val mods = if (bare) Nil else List.fill(rnd.nextInt(3))(randomMod(rnd, qDims))
+      Call(m, mods, bare, s"c$i")
+    }
+    def renderCall(c: Call): String =
+      if (c.bare) s"${c.m.name} AS ${c.alias}"
+      else s"AGGREGATE(${c.m.name})${renderAtBlocks(rnd, c.mods)} AS ${c.alias}"
+    val sql = s"SELECT ${(qDims ++ calls.map(renderCall)).mkString(", ")} FROM fuzz9_v" +
+      where.fold("")(p => s" WHERE ${p.sql}") +
+      s" GROUP BY ${qDims.mkString(", ")}"
+    val got = rows(engine.sql(sql))
+
+    val visibleRows = where.fold(base)(p => base.filter(p.p))
+    val groups = visibleRows.map(r => qDims.map(d => d -> dimVal(r, d)).toMap).distinct
+    val expected = groups.map { g =>
+      val dimCells = qDims.map(d => cell(g(d)))
+      val valCells = calls.map { c =>
+        val ctx = foldRef(c.mods, paperDefault = c.bare)
+        cell(expectedValue(base, where, qDims, g, c.m, ctx))
+      }
+      dimCells ++ valCells
+    }.sortBy(_.mkString(""))
+
+    if (got != expected) {
+      val slots = declList.map { case (n, _) => s"NULL AS $n" }.mkString(", ")
+      val bA5 = s"SELECT da, db, dc, x, y, $slots FROM fuzz9_a" + predA.fold("")(p => s" WHERE ${p.sql}")
+      val bB5 = s"SELECT da, db, dc, x, y, $slots FROM fuzz9_b" + predB.fold("")(p => s" WHERE ${p.sql}")
+      val engBase = rows(engine.sql(s"SELECT da, db, dc, x, y FROM ( $bA5 $op $bB5 ) s"))
+      val modelBase = base.map(r => Seq(r.da, r.db.toString, r.dc, cell(r.x), cell(r.y)))
+        .sortBy(_.mkString("\t"))
+      val diffRow = (engBase.toSet -- modelBase.toSet) ++ (modelBase.toSet -- engBase.toSet)
+      val probe = diffRow.headOption.map { r =>
+        val cond = s"da='${r(0)}' AND db=${r(1)} AND dc='${r(2)}' AND x=${r(3)} AND y=${r(4)}"
+        val ca = rows(engine.sql(s"SELECT COUNT(*) FROM fuzz9_a WHERE $cond")).head.head
+        val cb = rows(engine.sql(s"SELECT COUNT(*) FROM fuzz9_b WHERE $cond")).head.head
+        val ma = dataA.count(d => Seq(d.da, d.db.toString, d.dc, cell(d.x), cell(d.y)) == r)
+        val mb = dataB.count(d => Seq(d.da, d.db.toString, d.dc, cell(d.x), cell(d.y)) == r)
+        s"diffRow=$r sqlA=$ca sqlB=$cb modelA=$ma modelB=$mb"
+      }.getOrElse("no row diff") +
+        s"\nvaluesA: ${dataA.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")}" +
+        s"\nvaluesB: ${dataB.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")}"
+      fail(
+        s"\n[$caseId] SETOP-BASE DIVERGENCE\nview: $bA $op $bB\nsql: $sql\nprobe: $probe\n" +
+          s"calls: ${calls.map(c => s"${c.m.name} bare=${c.bare} mods=${c.mods}")}\n" +
+          s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
+          s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}\n" +
+          s"engineBase (${engBase.size}):\n${engBase.map(_.mkString("\t")).mkString("\n")}\n" +
+          s"modelBase (${modelBase.size}):\n${modelBase.map(_.mkString("\t")).mkString("\n")}\n" +
+          s"expanded:\n${engine.expandSql(sql)}")
+    }
+  }
+
+  test("differential fuzz: 100 set-op-base measure views match the evaluator") {
+    val seed = 20260911
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 100) {
+      if (i % 20 == 0) rnd.setSeed(seed + i)
+      runSetOpBaseCase(rnd, s"seed=$seed case=$i")
+      i += 1
+    }
+  }
 }

@@ -649,6 +649,60 @@ class SemanticsSuite extends SparkSpec {
         |2023	20""".stripMargin)
   }
 
+  // round-11: measure VIEWS whose body is a set operation — the base
+  // relation is the set-op OUTPUT wrapped whole (measures.rs:2645-2650)
+  test("measure views over set-operation bases: context rows are the union output") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 10.0), ('y', 20.0), ('x', 10.0) AS t(g, amt)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_b AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 5.0), ('z', 7.0) AS t(g, amt)""".stripMargin)
+    // UNION ALL base: duplicates preserved (x appears 3 times)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_v AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev, COUNT(*) AS MEASURE n FROM so_a
+        |UNION ALL SELECT g, amt, NULL, NULL FROM so_b""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM so_v GROUP BY g ORDER BY g"),
+      """x	25
+        |y	20
+        |z	7""".stripMargin)
+    // AT (ALL) over the union output; WHERE is visible-context only
+    checkGolden(engine.sql(
+      """SELECT g, AGGREGATE(n) AS c, AGGREGATE(rev) AT (ALL) AS total
+        |FROM so_v WHERE amt > 6 GROUP BY g ORDER BY g""".stripMargin),
+      """x	2	52
+        |y	1	52
+        |z	1	52""".stripMargin)
+    // UNION (DISTINCT) base: the duplicate (x, 10) row collapses
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_dv AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a
+        |UNION SELECT g, amt, NULL FROM so_b""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM so_dv GROUP BY g ORDER BY g"),
+      """x	15
+        |y	20
+        |z	7""".stripMargin)
+    // measures declared in a LATER branch are collected too (first decl of
+    // a name wins; every declaring slot is replaced)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_mv AS
+        |SELECT g, amt, NULL AS mx FROM so_a
+        |UNION ALL SELECT g, amt, MAX(amt) AS MEASURE mx FROM so_b""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(mx) AS v FROM so_mv GROUP BY g ORDER BY g"),
+      """x	10
+        |y	20
+        |z	7""".stripMargin)
+    // EXCEPT base: rows of a minus rows of b (by full row)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_ev AS
+        |SELECT g, amt, COUNT(*) AS MEASURE n FROM so_a
+        |EXCEPT SELECT g, amt, NULL FROM so_b""".stripMargin)
+    checkGolden(engine.sql("SELECT AGGREGATE(n) AS c FROM so_ev"), "2")
+    engine.sql("DROP VIEW so_v"); engine.sql("DROP VIEW so_dv")
+    engine.sql("DROP VIEW so_mv"); engine.sql("DROP VIEW so_ev")
+  }
+
   test("set operations: each UNION branch expands; WITH prefixes hoisted; tail re-attached") {
     // branch 1 grouped by month, branch 2 the grand total via AT (ALL)
     checkGolden(engine.sql(
