@@ -1209,6 +1209,15 @@ class FuzzSuite extends SparkSpec {
     val predA = if (rnd.nextInt(2) == 0) Some(preds(rnd.nextInt(preds.size))) else None
     val predB = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
     val op = Seq("UNION ALL", "UNION ALL", "UNION", "INTERSECT", "EXCEPT")(rnd.nextInt(5))
+    // a third branch in ~1/4 of cases — UNION/UNION ALL/EXCEPT only (all
+    // left-associative at equal precedence, so the flat left-to-right model
+    // matches the parser; INTERSECT binds tighter and would need a
+    // precedence-aware model)
+    val op2 = if (rnd.nextInt(4) == 0 && op != "INTERSECT")
+      Some(Seq("UNION ALL", "UNION", "EXCEPT")(rnd.nextInt(3))) else None
+    val dataC = op2.map(_ => mkData(rnd, 10 + rnd.nextInt(20)))
+    dataC.foreach(reg("fuzz9_c", _))
+    val predC = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
 
     val nonDerived = measures.filterNot(m => derivedNames(m.name))
     val declList = nonDerived.map(m => (m.name, s"${m.sql} AS MEASURE ${m.name}")) :+
@@ -1223,17 +1232,27 @@ class FuzzSuite extends SparkSpec {
       predA.fold("")(p => s" WHERE ${p.sql}")
     val bB = s"SELECT da, db, dc, x, y, ${itemsB.mkString(", ")} FROM fuzz9_b" +
       predB.fold("")(p => s" WHERE ${p.sql}")
-    engine.sql(s"CREATE OR REPLACE VIEW fuzz9_v AS $bA $op $bB")
+    val bC = op2.map(o2 =>
+      s" $o2 SELECT da, db, dc, x, y, ${declList.map(_ => "NULL").mkString(", ")} FROM fuzz9_c" +
+        predC.fold("")(p => s" WHERE ${p.sql}")).getOrElse("")
+    engine.sql(s"CREATE OR REPLACE VIEW fuzz9_v AS $bA $op $bB$bC")
 
     // model the base multiset with SQL set-op semantics (DISTINCT variants
-    // compare full rows; the NULL measure slots are equal on both sides)
+    // compare full rows; the NULL measure slots are equal on both sides),
+    // folding branches left-to-right (all ops used are left-associative at
+    // equal precedence)
+    def fold1(acc: Seq[R], o: String, rhs: Seq[R]): Seq[R] = o match {
+      case "UNION ALL" => acc ++ rhs
+      case "UNION" => (acc ++ rhs).distinct
+      case "INTERSECT" => val s = rhs.toSet; acc.distinct.filter(s)
+      case "EXCEPT" => val s = rhs.toSet; acc.distinct.filterNot(s)
+    }
     val rowsA = predA.fold(dataA)(p => dataA.filter(p.p))
     val rowsB = predB.fold(dataB)(p => dataB.filter(p.p))
-    val base: Seq[R] = op match {
-      case "UNION ALL" => rowsA ++ rowsB
-      case "UNION" => (rowsA ++ rowsB).distinct
-      case "INTERSECT" => val s = rowsB.toSet; rowsA.distinct.filter(s)
-      case "EXCEPT" => val s = rowsB.toSet; rowsA.distinct.filterNot(s)
+    val base0 = fold1(rowsA, op, rowsB)
+    val base: Seq[R] = (op2, dataC) match {
+      case (Some(o2), Some(dc)) => fold1(base0, o2, predC.fold(dc)(p => dc.filter(p.p)))
+      case _ => base0
     }
 
     val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
@@ -1269,7 +1288,9 @@ class FuzzSuite extends SparkSpec {
       val slots = declList.map { case (n, _) => s"NULL AS $n" }.mkString(", ")
       val bA5 = s"SELECT da, db, dc, x, y, $slots FROM fuzz9_a" + predA.fold("")(p => s" WHERE ${p.sql}")
       val bB5 = s"SELECT da, db, dc, x, y, $slots FROM fuzz9_b" + predB.fold("")(p => s" WHERE ${p.sql}")
-      val engBase = rows(engine.sql(s"SELECT da, db, dc, x, y FROM ( $bA5 $op $bB5 ) s"))
+      val bC5 = op2.map(o2 => s" $o2 SELECT da, db, dc, x, y, $slots FROM fuzz9_c" +
+        predC.fold("")(p => s" WHERE ${p.sql}")).getOrElse("")
+      val engBase = rows(engine.sql(s"SELECT da, db, dc, x, y FROM ( $bA5 $op $bB5$bC5 ) s"))
       val modelBase = base.map(r => Seq(r.da, r.db.toString, r.dc, cell(r.x), cell(r.y)))
         .sortBy(_.mkString("\t"))
       val diffRow = (engBase.toSet -- modelBase.toSet) ++ (modelBase.toSet -- engBase.toSet)
@@ -1284,7 +1305,7 @@ class FuzzSuite extends SparkSpec {
         s"\nvaluesA: ${dataA.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")}" +
         s"\nvaluesB: ${dataB.map(r => s"('${r.da}', ${r.db}, '${r.dc}', ${r.x}, ${r.y})").mkString(", ")}"
       fail(
-        s"\n[$caseId] SETOP-BASE DIVERGENCE\nview: $bA $op $bB\nsql: $sql\nprobe: $probe\n" +
+        s"\n[$caseId] SETOP-BASE DIVERGENCE\nview: $bA $op $bB$bC\nsql: $sql\nprobe: $probe\n" +
           s"calls: ${calls.map(c => s"${c.m.name} bare=${c.bare} mods=${c.mods}")}\n" +
           s"got:\n${got.map(_.mkString("\t")).mkString("\n")}\n" +
           s"expected:\n${expected.map(_.mkString("\t")).mkString("\n")}\n" +
