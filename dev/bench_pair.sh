@@ -13,6 +13,13 @@
 # query, immediately after in the same window. d_minhash is paired against
 # a DuckDB banded-LSH twin (same work shape) and reported as its own
 # `d_minhash_lsh_pair` field, outside the headline totals.
+#
+# SPARK_GRAFT_BUCKET_AB=1 additionally runs the bucketed-layout A/B
+# (graft.tools.ProbeBucketScan: q_join_agg/q_window_fn/m_countdistinct,
+# plain vs bucketed fact views, interleaved min-of-2) AFTER both timed
+# sides, in the same window, and merges it as a `bucket_ab` field — the
+# committed evidence for the exchange savings behind the bucketed default
+# (the timed cells are untouched; the A/B is its own JVM afterwards).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -44,8 +51,16 @@ fi
 # 3. DuckDB side, same window
 python3 dev/bench_duck.py "$SF_DIR" "$ORACLE" > "$WORK/duck.json"
 
+# 3b. optional bucketed-layout A/B, same window, after the timed sides
+BUCKET_AB_FILE=""
+if [ "${SPARK_GRAFT_BUCKET_AB:-0}" = "1" ]; then
+  sbt -batch "runMain graft.tools.ProbeBucketScan $SF_DIR" \
+    2>>"$WORK/engine.err" | grep -oE '\[bucket-scan\].*' > "$WORK/bucket_ab.txt" || true
+  BUCKET_AB_FILE="$WORK/bucket_ab.txt"
+fi
+
 # 4. merge + ratios
-python3 - "$WORK/engine.json" "$WORK/duck.json" "$SF_DIR" > "$OUT" <<'PY'
+python3 - "$WORK/engine.json" "$WORK/duck.json" "$SF_DIR" "$BUCKET_AB_FILE" > "$OUT" <<'PY'
 import json, sys
 eng = json.load(open(sys.argv[1]))
 duck = json.load(open(sys.argv[2]))
@@ -88,6 +103,20 @@ pipe = {k: {"engine": eq[k], "duckdb": dq[k], "ratio": ratios[k]}
         for k in sorted(PIPELINE) if k in ratios}
 if pipe:
     out["pipeline_pairs"] = pipe
+# bucketed-layout A/B rows (ProbeBucketScan output), when present:
+# [bucket-scan] <query> plain=<p> s  bucketed=<b> s  (b/p=<r>)
+if len(sys.argv) > 4 and sys.argv[4]:
+    import re
+    ab = {}
+    for line in open(sys.argv[4]):
+        m = re.match(r"\[bucket-scan\]\s+(\S+)\s+plain=\s*([\d.]+) s\s+"
+                     r"bucketed=\s*([\d.]+) s", line)
+        if m:
+            p, b = float(m.group(2)), float(m.group(3))
+            ab[m.group(1)] = {"plain": p, "bucketed": b,
+                              "ratio": round(b / p, 2) if p else None}
+    if ab:
+        out["bucket_ab"] = ab
 print(json.dumps(out, indent=2))
 PY
 cat "$OUT"

@@ -105,6 +105,18 @@ object SparkEntry {
           |SELECT l_shipdate, l_returnflag, l_quantity,
           |  SUM(l_extendedprice * (1 - l_discount)) AS MEASURE raw_rev
           |FROM lineitem""".stripMargin)
+      // measure view over a SET-OPERATION base (measures.rs:2645-2650 wraps
+      // the whole set-op query as the base relation): branches OVERLAP on
+      // open orders above 150k, so the UNION ALL multiset genuinely differs
+      // from any single filter — r11, driver-checks the branch-aware path
+      e.sql(
+        """CREATE VIEW so_ord_v AS
+          |SELECT o_orderpriority AS pri, o_totalprice AS price,
+          |  SUM(price) AS MEASURE so_rev,
+          |  COUNT(*) AS MEASURE so_cnt
+          |FROM orders WHERE o_orderstatus = 'O'
+          |UNION ALL SELECT o_orderpriority, o_totalprice, NULL, NULL
+          |FROM orders WHERE o_totalprice > 150000""".stripMargin)
       // statistical / boolean / bitwise aggregate surface (reference fan-out
       // battery: BOOL_AND/BOOL_OR/BIT_XOR/moments, measures.test:2480-2600)
       e.sql(
@@ -249,6 +261,13 @@ object SparkEntry {
       "SELECT l_returnflag, ROUND(AGGREGATE(qty), 2) AS qty FROM li_v WHERE ship_year >= 1998 ORDER BY l_returnflag"),
     "m_agg_count" -> m(
       "SELECT o_orderpriority, AGGREGATE(order_cnt) AS order_cnt FROM ord_v ORDER BY o_orderpriority"),
+    // set-op-base measure view (so_ord_v): per-group over the overlapping
+    // UNION ALL multiset, plus grand total and an uncorrelated AT (WHERE)
+    "m_setop_view" -> m(
+      "SELECT pri, ROUND(AGGREGATE(so_rev), 2) AS rev, AGGREGATE(so_cnt) AS cnt FROM so_ord_v ORDER BY pri"),
+    "m_setop_at" -> m(
+      "SELECT pri, ROUND(AGGREGATE(so_rev) AT (ALL), 2) AS total, " +
+        "ROUND(AGGREGATE(so_rev) AT (WHERE price > 200000), 2) AS big FROM so_ord_v ORDER BY pri"),
     "m_avg" -> m(
       "SELECT l_linestatus, ROUND(AGGREGATE(avg_price), 4) AS avg_price FROM li_v ORDER BY l_linestatus"),
     "m_at_all_pct" -> m(
@@ -1299,6 +1318,21 @@ object SparkEntry {
         "WHERE year(l_shipdate) >= 1998 GROUP BY l_returnflag ORDER BY l_returnflag"),
     "m_agg_count" ->
       "SELECT o_orderpriority, COUNT(*) AS order_cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "m_setop_view" ->
+      ("""WITH u AS (
+        |  SELECT o_orderpriority AS pri, o_totalprice AS price FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 150000)
+        |SELECT pri, round(SUM(price), 2) AS rev, COUNT(*) AS cnt
+        |FROM u GROUP BY pri ORDER BY pri""".stripMargin),
+    "m_setop_at" ->
+      ("""WITH u AS (
+        |  SELECT o_orderpriority AS pri, o_totalprice AS price FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 150000)
+        |SELECT pri, round((SELECT SUM(price) FROM u), 2) AS total,
+        |  round((SELECT SUM(price) FROM u WHERE price > 200000), 2) AS big
+        |FROM (SELECT DISTINCT pri FROM u) d ORDER BY pri""".stripMargin),
     "m_avg" ->
       "SELECT l_linestatus, round(AVG(l_extendedprice), 4) AS avg_price FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
     "m_at_all_pct" ->

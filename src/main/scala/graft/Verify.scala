@@ -51,4 +51,7 @@ object Verify {
 
   private def oracleJson: String = SparkEntry.oracleSql
     .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+
+  /** Same dump for the targeted tools/ gates (ProbeSetopEntry). */
+  private[graft] def oracleJsonForTools: String = oracleJson
 }
