@@ -29,7 +29,14 @@ object SparkEntry {
     // query (measured: q_join_agg 6.56 -> 2.80 s at 100x, ProbeBucketed100x)
     val bucketed = spark.conf.getOption("graft.layout.bucketed")
       .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).exists(_.toBoolean)
-    engines.getOrElseUpdate(System.identityHashCode(spark) + "|" + dir + "|" + bucketed, {
+    val cacheKey = System.identityHashCode(spark) + "|" + dir + "|" + bucketed
+    // Temp-view registration is a SIDE EFFECT on the shared session, but the
+    // engine cache only runs it on first insertion — so toggling the layout
+    // mode BACK to a previously-seen key must repoint the fact views itself,
+    // or the session keeps the other mode's views (this exact staleness made
+    // ProbeBucketScan's interleaved A/B measure plain-vs-plain, ratio 1.0).
+    val cached = engines.contains(cacheKey)
+    val engine = engines.getOrElseUpdate(cacheKey, {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read nanos as long (driver oracle queries avoid the ts column)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -145,6 +152,18 @@ object SparkEntry {
           |FROM lineitem""".stripMargin)
       e
     })
+    if (cached) {
+      // Cache hit after a mode toggle: the block above did not run, so the
+      // session's fact views may still point at the OTHER mode's tables.
+      // Repoint them (cheap — the measure views resolve these names late,
+      // at query time, so nothing else needs re-creation). A cached
+      // bucketed key implies the _bkt tables were ingested on first use.
+      for (t <- Seq("lineitem", "orders")) {
+        if (bucketed) spark.table(t + "_bkt").createOrReplaceTempView(t)
+        else spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+    }
+    engine
   }
 
   private def m(sql: String): (SparkSession, String) => DataFrame =

@@ -60,6 +60,39 @@ class ScaleLayoutSuite extends SparkSpec {
     }
   }
 
+  // engineFor caches per (session, dir, mode) but view registration is a
+  // session side effect: toggling BACK to an already-seen mode must repoint
+  // the fact views, not just return the cached engine. Before the r11 fix
+  // the second `true` below silently kept the plain views (this is what made
+  // ProbeBucketScan's interleaved A/B measure plain-vs-plain, ratio 1.0).
+  test("engineFor repoints fact views when the layout mode toggles back") {
+    val dir = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
+    // assert on WHICH table the scan reads — scale-independent (at sf0.001
+    // the plain join broadcasts, so exchange counts can't discriminate)
+    def readsBucketed(): Boolean =
+      SparkEntry.queries("q_join_agg")(spark, dir)
+        .queryExecution.executedPlan.toString().contains("lineitem_bkt")
+    try {
+      spark.conf.set("graft.layout.bucketed", "true")
+      SparkEntry.engineFor(spark, dir)
+      assert(readsBucketed(), "first bucketed pass should scan lineitem_bkt")
+      spark.conf.set("graft.layout.bucketed", "false")
+      SparkEntry.engineFor(spark, dir)
+      assert(!readsBucketed(), "plain mode should scan the parquet view")
+      spark.conf.set("graft.layout.bucketed", "true")
+      SparkEntry.engineFor(spark, dir) // cache hit — must still repoint
+      assert(readsBucketed(),
+        "toggling back to bucketed must repoint the fact views (stale-view bug)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("graft.layout.bucketed", "false")
+      for (t <- Seq("lineitem", "orders"))
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+  }
+
   test("salted join splits a hot key and preserves results") {
     import spark.implicits._
     // hot key: 10_000 rows on key 1; normal keys 2..5
