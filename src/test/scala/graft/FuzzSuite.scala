@@ -1209,12 +1209,14 @@ class FuzzSuite extends SparkSpec {
     val predA = if (rnd.nextInt(2) == 0) Some(preds(rnd.nextInt(preds.size))) else None
     val predB = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
     val op = Seq("UNION ALL", "UNION ALL", "UNION", "INTERSECT", "EXCEPT")(rnd.nextInt(5))
-    // a third branch in ~1/4 of cases — UNION/UNION ALL/EXCEPT only (all
-    // left-associative at equal precedence, so the flat left-to-right model
-    // matches the parser; INTERSECT binds tighter and would need a
-    // precedence-aware model)
-    val op2 = if (rnd.nextInt(4) == 0 && op != "INTERSECT")
-      Some(Seq("UNION ALL", "UNION", "EXCEPT")(rnd.nextInt(3))) else None
+    // a third branch in ~1/4 of cases, ANY op: the model below is
+    // precedence-aware (SQL binds INTERSECT tighter than UNION/EXCEPT, so
+    // `A op B INTERSECT C` groups as `A op (B INTERSECT C)`; every other
+    // pair is left-associative at equal precedence). The ENGINE needs no
+    // special handling — it wraps the whole body and Spark re-parses the
+    // same precedence — this exercises exactly that invariant.
+    val op2 = if (rnd.nextInt(4) == 0)
+      Some(Seq("UNION ALL", "UNION", "EXCEPT", "INTERSECT")(rnd.nextInt(4))) else None
     val dataC = op2.map(_ => mkData(rnd, 10 + rnd.nextInt(20)))
     dataC.foreach(reg("fuzz9_c", _))
     val predC = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
@@ -1239,8 +1241,9 @@ class FuzzSuite extends SparkSpec {
 
     // model the base multiset with SQL set-op semantics (DISTINCT variants
     // compare full rows; the NULL measure slots are equal on both sides),
-    // folding branches left-to-right (all ops used are left-associative at
-    // equal precedence)
+    // with SQL precedence: a second op of INTERSECT binds tighter, so
+    // `A op (B INTERSECT C)`; otherwise fold left-to-right (a FIRST op of
+    // INTERSECT is leftmost anyway, so left-to-right already groups it)
     def fold1(acc: Seq[R], o: String, rhs: Seq[R]): Seq[R] = o match {
       case "UNION ALL" => acc ++ rhs
       case "UNION" => (acc ++ rhs).distinct
@@ -1249,10 +1252,11 @@ class FuzzSuite extends SparkSpec {
     }
     val rowsA = predA.fold(dataA)(p => dataA.filter(p.p))
     val rowsB = predB.fold(dataB)(p => dataB.filter(p.p))
-    val base0 = fold1(rowsA, op, rowsB)
-    val base: Seq[R] = (op2, dataC) match {
-      case (Some(o2), Some(dc)) => fold1(base0, o2, predC.fold(dc)(p => dc.filter(p.p)))
-      case _ => base0
+    val rowsC = dataC.map(dc => predC.fold(dc)(p => dc.filter(p.p)))
+    val base: Seq[R] = (op2, rowsC) match {
+      case (Some("INTERSECT"), Some(rc)) => fold1(rowsA, op, fold1(rowsB, "INTERSECT", rc))
+      case (Some(o2), Some(rc)) => fold1(fold1(rowsA, op, rowsB), o2, rc)
+      case _ => fold1(rowsA, op, rowsB)
     }
 
     val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
