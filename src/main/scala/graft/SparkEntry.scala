@@ -19,6 +19,11 @@ object SparkEntry {
   // ------------------------------------------------------------ engine setup
 
   private val engines = TrieMap.empty[String, GraftEngine]
+  // which layout mode the session's fact views currently point at, per
+  // (session, dir) — lets a cache hit repoint ONLY on an actual toggle
+  // (repointing on every hit would re-read parquet footers inside Bench's
+  // timed per-query path)
+  private val registeredMode = TrieMap.empty[String, Boolean]
 
   /** Register parquet temp views + measure views once per (session, sfDir). */
   def engineFor(spark: SparkSession, dir: String): GraftEngine = {
@@ -152,9 +157,10 @@ object SparkEntry {
           |FROM lineitem""".stripMargin)
       e
     })
-    if (cached) {
-      // Cache hit after a mode toggle: the block above did not run, so the
-      // session's fact views may still point at the OTHER mode's tables.
+    val modeKey = System.identityHashCode(spark) + "|" + dir
+    if (cached && !registeredMode.get(modeKey).contains(bucketed)) {
+      // Cache hit after a mode TOGGLE: the block above did not run, so the
+      // session's fact views still point at the OTHER mode's tables.
       // Repoint them (cheap — the measure views resolve these names late,
       // at query time, so nothing else needs re-creation). A cached
       // bucketed key implies the _bkt tables were ingested on first use.
@@ -163,6 +169,7 @@ object SparkEntry {
         else spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       }
     }
+    registeredMode.put(modeKey, bucketed)
     engine
   }
 

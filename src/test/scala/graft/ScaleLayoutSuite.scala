@@ -75,12 +75,18 @@ class ScaleLayoutSuite extends SparkSpec {
       SparkEntry.queries("q_join_agg")(spark, dir)
         .queryExecution.executedPlan.toString().contains("lineitem_bkt")
     try {
-      spark.conf.set("graft.layout.bucketed", "true")
-      SparkEntry.engineFor(spark, dir)
-      assert(readsBucketed(), "first bucketed pass should scan lineitem_bkt")
+      // start from a tracked plain registration: the PREVIOUS test restores
+      // plain views manually (outside engineFor), so the mode tracker may
+      // disagree with the session until the next engineFor call re-syncs it
       spark.conf.set("graft.layout.bucketed", "false")
       SparkEntry.engineFor(spark, dir)
       assert(!readsBucketed(), "plain mode should scan the parquet view")
+      spark.conf.set("graft.layout.bucketed", "true")
+      SparkEntry.engineFor(spark, dir)
+      assert(readsBucketed(), "bucketed pass should scan lineitem_bkt")
+      spark.conf.set("graft.layout.bucketed", "false")
+      SparkEntry.engineFor(spark, dir)
+      assert(!readsBucketed(), "toggling to plain must repoint back")
       spark.conf.set("graft.layout.bucketed", "true")
       SparkEntry.engineFor(spark, dir) // cache hit — must still repoint
       assert(readsBucketed(),
