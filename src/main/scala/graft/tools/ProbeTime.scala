@@ -25,8 +25,16 @@ object ProbeTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.engineFor(spark, dir)
+    // scale-path aliases with no driver entry (same shapes ProbeSweep times
+    // at the end of its run)
+    val aliases: Map[String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame] = Map(
+      "d_semdedup_auto" -> (s => graft.ops.Dedup.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<double>")),
+        minCosine = 0.3)))
     for (name <- names) {
-      graft.SparkEntry.queries.get(name) match {
+      graft.SparkEntry.queries.get(name)
+        .orElse(aliases.get(name).map(f => (s: org.apache.spark.sql.SparkSession, _: String) => f(s))) match {
         case None => println(s"TIME $name: no such entry")
         case Some(fn) =>
           try {
