@@ -896,8 +896,15 @@ object SparkEntry {
       val toks = docs(s, dir).select(explode(split(
           lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
         .filter(length(col("tok")) >= 1)
-      val sketch = graft.ops.Sketches.cmsSketch(toks, "tok", depth = 3, width = 512)
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      // sketch from the exact counts this validation query computes anyway
+      // (bit-identical cells to sketching raw occurrences — SketchesSuite
+      // fence): the corpus tokenize runs ONCE, feeding the exact aggregate,
+      // and all three consumers reuse its exchange (the raw-occurrence
+      // cmsSketch remains the one-pass/streaming path where no exact
+      // aggregate exists)
+      val sketch = graft.ops.Sketches.cmsSketchWeighted(exact, "tok", "exact",
+        depth = 3, width = 512)
       exact.join(
           graft.ops.Sketches.cmsEstimate(sketch, exact.select("tok"), "tok",
             depth = 3, width = 512),

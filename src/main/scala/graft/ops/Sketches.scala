@@ -156,6 +156,28 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsSketch]] over PRE-AGGREGATED (key, count) rows: each key adds
+    * `weightCol` to its cell per depth row. Cell values are BIT-IDENTICAL
+    * to sketching the raw occurrences (SUM of per-key counts = COUNT of
+    * occurrences per cell — fenced in SketchesSuite), but the sketch input
+    * is |distinct keys| rows instead of |occurrences|. Use when an exact
+    * per-key aggregate already exists in the plan (e.g. a validation query
+    * computing exact-vs-estimate): the expensive tokenize/explode then runs
+    * ONCE, feeding the exact aggregate, and the sketch reuses its shuffle.
+    * For genuinely one-pass/streaming sketching keep [[cmsSketch]] — the
+    * whole point there is never materializing per-key counts.
+    */
+  def cmsSketchWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                        depth: Int = 3, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= cmsA.size, s"depth in [1,${cmsA.size}]: $depth")
+    val h = graft.functions.PolyHashExpr.polyHash(col(keyCol).cast("string"))
+    df.select(h.as("__h"), col(weightCol).cast("long").as("__w"))
+      .select(col("__w"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsIdx(col("__h"), r, width).as("idx"))): _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.idx").as("idx"))
+      .agg(sum("__w").as("cnt"))
+  }
+
   /** Composed-HOF twin of [[cmsSketch]] — the fence reference and the
     * oracle-readable spec of the hash arithmetic.
     */

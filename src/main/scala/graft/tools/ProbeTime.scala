@@ -31,7 +31,23 @@ object ProbeTime {
       "d_semdedup_auto" -> (s => graft.ops.Dedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet")
           .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<double>")),
-        minCosine = 0.3)))
+        minCosine = 0.3)),
+      // the pre-r11 t_cms shape (occurrence-level sketch, tokenize runs
+      // twice) — kept for the A/B against the shipped weighted-sketch plan
+      "t_cms_occ" -> { s =>
+        import org.apache.spark.sql.functions._
+        val toks = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(
+            lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("tok"))
+          .filter(length(col("tok")) >= 1)
+        val sketch = graft.ops.Sketches.cmsSketch(toks, "tok", depth = 3, width = 512)
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+        exact.join(
+            graft.ops.Sketches.cmsEstimate(sketch, exact.select("tok"), "tok",
+              depth = 3, width = 512),
+            Seq("tok"))
+          .orderBy("tok")
+      })
     for (name <- names) {
       graft.SparkEntry.queries.get(name)
         .orElse(aliases.get(name).map(f => (s: org.apache.spark.sql.SparkSession, _: String) => f(s))) match {

@@ -99,6 +99,27 @@ class SketchesSuite extends SparkSpec {
     assert(d.count() == 0, "fused cms != composed cms on edge strings")
   }
 
+  // fence for the pre-aggregated path (t_cms): sketching (key, count) rows
+  // by summed weight must produce BIT-IDENTICAL cells to sketching the raw
+  // occurrences — SUM of per-key counts per cell = COUNT of occurrences
+  test("weighted cms over exact counts is bit-identical to occurrence cms") {
+    val toks = tokens(docs)
+    val occ = Sketches.cmsSketch(toks, "tok")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val weighted = Sketches.cmsSketchWeighted(exact, "tok", "exact")
+    val diff = occ.join(weighted, Seq("r", "idx"), "full")
+      .filter(coalesce(occ("cnt"), lit(-1L)) =!= coalesce(weighted("cnt"), lit(-1L)))
+    assert(diff.count() == 0, "weighted cms != occurrence cms")
+    // duplicated keys with explicit weights, incl. multi-byte
+    val edge = Seq(("héllo", 3L), ("", 2L), ("日本語", 1L)).toDF("tok", "w")
+    val byWeight = Sketches.cmsSketchWeighted(edge, "tok", "w")
+    val byOcc = Sketches.cmsSketch(
+      edge.select(explode(expr("array_repeat(tok, cast(w as int))")).as("tok")), "tok")
+    val d2 = byOcc.join(byWeight, Seq("r", "idx"), "full")
+      .filter(coalesce(byOcc("cnt"), lit(-1L)) =!= coalesce(byWeight("cnt"), lit(-1L)))
+    assert(d2.count() == 0, "weighted cms != repeated-occurrence cms")
+  }
+
   test("cms estimates upper-bound exact counts for every key") {
     val toks = tokens(docs)
     val sketch = Sketches.cmsSketch(toks, "tok")
