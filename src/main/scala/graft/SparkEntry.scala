@@ -593,6 +593,15 @@ object SparkEntry {
     // sum is exact integer arithmetic, so the single IEEE division at the
     // end replays bit-for-bit in the oracle
     "q_hll_est" -> ((s, dir) => {
+      // NOTE the t_cms discipline (derive the sketch from the exact
+      // aggregate) was A/B'd here and is a measured NEGATIVE at 1000×
+      // (194 s vs 119 s): AQE does not reuse the shared distinct's
+      // exchange across the two consumers, so the pairs shuffle runs
+      // twice, while countDistinct's own partial-dedup expansion shuffles
+      // once and the occurrence-level register fold costs only a scan
+      // with a 256-row map-side-combined shuffle. Registers ARE
+      // duplicate-insensitive (fenced in SketchesSuite) — the sharing is
+      // correct, just not faster on this substrate. PERF.md §0i.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val regs = graft.ops.Sketches.hllRegisters(li, "l_orderkey", p = 8,
         groupCols = Seq("l_returnflag"))

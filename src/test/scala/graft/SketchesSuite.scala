@@ -99,6 +99,19 @@ class SketchesSuite extends SparkSpec {
     assert(d.count() == 0, "fused cms != composed cms on edge strings")
   }
 
+  // fence for the distinct-sharing path (q_hll_est): registers are
+  // duplicate-insensitive — MAX(rho) over distinct keys is row-identical
+  // to MAX(rho) over raw occurrences, so a validation query may derive
+  // registers and the exact count from ONE shared distinct
+  test("hll registers over distinct keys are identical to over occurrences") {
+    val occ = tokens(docs)
+    val fromOcc = Sketches.hllRegisters(occ, "tok")
+    val fromDistinct = Sketches.hllRegisters(occ.distinct(), "tok")
+    val diff = fromOcc.join(fromDistinct, Seq("idx"), "full")
+      .filter(coalesce(fromOcc("rho"), lit(-1)) =!= coalesce(fromDistinct("rho"), lit(-1)))
+    assert(diff.count() == 0, "registers differ between distinct and occurrence inputs")
+  }
+
   // fence for the pre-aggregated path (t_cms): sketching (key, count) rows
   // by summed weight must produce BIT-IDENTICAL cells to sketching the raw
   // occurrences — SUM of per-key counts per cell = COUNT of occurrences
