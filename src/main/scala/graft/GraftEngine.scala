@@ -496,7 +496,8 @@ final class GraftEngine(val spark: SparkSession) {
             case Right(m) => m.kind == MeasureKind.NonDecomposable
             case _ => false
           }
-          val sel = graft.syntax.MeasureDdl.renderBranch(br.clauses, bItems, groupByAll = needsAll)
+          val sel0 = graft.syntax.MeasureDdl.renderBranch(br.clauses, bItems, groupByAll = needsAll)
+          val sel = if (br.parenWrapped) s"($sel0)" else sel0
           if (br.op.isEmpty) sel else s"${br.op} $sel"
         }.mkString(" ")
         s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS $ctePfx$rendered"

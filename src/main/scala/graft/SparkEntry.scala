@@ -48,25 +48,7 @@ object SparkEntry {
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents", "embeddings"))
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-      if (bucketed) {
-        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-        // ONE bucket count for both fact tables — Spark only elides the
-        // exchange on both sides of a join when the bucket counts match.
-        // Sized from the biggest table (~8 MB/bucket), floor 32 to keep all
-        // cores busy, cap 128 so small-file overhead stays bounded locally.
-        val liBytes = {
-          val f = new java.io.File(s"$dir/lineitem.parquet")
-          if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
-        }
-        val buckets = math.min(128L, math.max(32L, liBytes / (8L * 1024 * 1024))).toInt
-        for ((t, key) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")) {
-          val tbl = t + "_bkt"
-          if (!spark.catalog.tableExists(tbl))
-            graft.ops.ScaleLayout.writeBucketed(
-              spark.read.parquet(s"$dir/$t.parquet"), tbl, buckets, key)
-          spark.table(tbl).createOrReplaceTempView(t)
-        }
-      }
+      if (bucketed) ensureBucketedFacts(spark, dir)
       val e = GraftEngine(spark)
       e.sql(
         """CREATE VIEW li_v AS
@@ -162,15 +144,41 @@ object SparkEntry {
       // Cache hit after a mode TOGGLE: the block above did not run, so the
       // session's fact views still point at the OTHER mode's tables.
       // Repoint them (cheap — the measure views resolve these names late,
-      // at query time, so nothing else needs re-creation). A cached
-      // bucketed key implies the _bkt tables were ingested on first use.
-      for (t <- Seq("lineitem", "orders")) {
-        if (bucketed) spark.table(t + "_bkt").createOrReplaceTempView(t)
-        else spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-      }
+      // at query time, so nothing else needs re-creation). Do NOT trust the
+      // cache key that the _bkt tables still exist (r11 ADVICE: an external
+      // DROP or a cleaned warehouse dir would turn the repoint into a bare
+      // TABLE_OR_VIEW_NOT_FOUND from inside engineFor) — the ingest helper
+      // re-creates any missing table.
+      if (bucketed) ensureBucketedFacts(spark, dir)
+      else for (t <- Seq("lineitem", "orders"))
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     registeredMode.put(modeKey, bucketed)
     engine
+  }
+
+  /** Ingest-or-repoint the bucketed fact tables: write any missing
+    * `<fact>_bkt` bucketed table (untimed, like a deployment's write path)
+    * and point the session's fact temp views at them.
+    */
+  private def ensureBucketedFacts(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    // ONE bucket count for both fact tables — Spark only elides the
+    // exchange on both sides of a join when the bucket counts match.
+    // Sized from the biggest table (~8 MB/bucket), floor 32 to keep all
+    // cores busy, cap 128 so small-file overhead stays bounded locally.
+    val liBytes = {
+      val f = new java.io.File(s"$dir/lineitem.parquet")
+      if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+    }
+    val buckets = math.min(128L, math.max(32L, liBytes / (8L * 1024 * 1024))).toInt
+    for ((t, key) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")) {
+      val tbl = t + "_bkt"
+      if (!spark.catalog.tableExists(tbl))
+        graft.ops.ScaleLayout.writeBucketed(
+          spark.read.parquet(s"$dir/$t.parquet"), tbl, buckets, key)
+      spark.table(tbl).createOrReplaceTempView(t)
+    }
   }
 
   private def m(sql: String): (SparkSession, String) => DataFrame =
@@ -1006,44 +1014,18 @@ object SparkEntry {
             .as("avg_quality"))
         .orderBy("source", "lang")
     }),
-    // ---- t_dashboard driver-side bisect (round 10): the entry above has
-    // been red on the DRIVER's hash check for two rounds while every local
-    // replay (two judges, full-precision cell compare) is zero-diff — so
-    // the failure is unlocalizable from outside a 9-column hash. These five
-    // single-purpose twins each carry ONE of the dashboard's computed
-    // columns with the ORIGINAL (r8/r9) constructs, so CORRECTNESS_r10
-    // names the drifting column directly. t_dashboard itself (above) is
-    // hardened in parallel: median() replaced by explicit rank
-    // interpolation, round(…,6) finals by integer-scaled arithmetic.
-    "t_dash_counts" -> ((s, dir) =>
-      dashBase(s, dir).groupBy("source", "lang").agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("__norm")).as("n_distinct"))
-        .select(col("source"), col("lang"), col("n_docs"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6).as("dup_rate"))
-        .orderBy("source", "lang")),
-    "t_dash_med" -> ((s, dir) =>
-      dashBase(s, dir).groupBy("source", "lang").agg(
-          round(expr("median(CAST(__ntok AS DOUBLE))"), 6).as("med_tokens"))
-        .orderBy("source", "lang")),
-    "t_dash_tok" -> ((s, dir) =>
-      dashBase(s, dir).groupBy("source", "lang").agg(
-          sum("__ntok").as("total_tokens"))
-        .orderBy("source", "lang")),
-    "t_dash_est" -> ((s, dir) =>
-      graft.ops.Sketches.hllEstimate(
-          graft.ops.Sketches.hllRegisters(
-            dashBase(s, dir).select("source", "lang", "__norm"),
-            "__norm", p = 8, groupCols = Seq("source", "lang")),
-          p = 8, groupCols = Seq("source", "lang"))
-        .select(col("source"), col("lang"), col("est").as("distinct_est"))
-        .orderBy("source", "lang")),
-    "t_dash_qual" -> ((s, dir) =>
-      dashBase(s, dir).groupBy("source", "lang").agg(
-          count(lit(1)).as("n_docs"), sum("__qi").as("__qsum"))
-        .select(col("source"), col("lang"),
-          round(col("__qsum").cast("double") / (col("n_docs") * lit(10000.0)), 6).as("avg_quality"))
-        .orderBy("source", "lang")),
+    // ---- t_dashboard bisect census (rounds 10-11, twins RETIRED in r12):
+    // the dashboard family was red on the driver's hash check for three
+    // rounds while every local replay was zero-diff. Five single-column
+    // twins (t_dash_counts/med/tok/est/qual) isolated the drift to the
+    // bare-SUM output columns, and the root cause was TYPE, not value:
+    // DuckDB SUM(BIGINT) returns HUGEINT and the driver hash is
+    // type-sensitive — fixed by CAST(… AS BIGINT) on the oracle side
+    // (r11). The float twins are retired now the family is green;
+    // t_dash_ints below stays permanently as the type-sensitivity canary
+    // (it carries every exact BIGINT intermediate with no doubles anywhere,
+    // so any future engine-vs-oracle TYPE drift on integer chains trips it
+    // before a 9-column hash hides the column).
     // the ORTHOGONAL bisect axis: every exact BIGINT intermediate behind
     // the dashboard's computed columns, with NO doubles anywhere — the
     // integer quality sum, both median rank picks, and the HLL register
@@ -1315,9 +1297,8 @@ object SparkEntry {
       |  FROM t)""".stripMargin
 
   /** The grouped q_hll_est register chain over r.norm (p=8), sans the
-    * final estimate CTE — two variants of that follow (the ORIGINAL
-    * round(…, 3) for the t_dash_est bisect twin, the integer-scaled one
-    * for the hardened t_dashboard).
+    * final estimate CTE (the integer-scaled estimate variant below feeds
+    * the hardened t_dashboard; t_dash_ints reads the registers directly).
     */
   private val dashHllCommon: String =
     """h AS (
@@ -1334,12 +1315,6 @@ object SparkEntry {
       |s AS (SELECT source, lang,
       |        CAST(SUM(CAST(1 AS BIGINT) << (40 - rho)) AS BIGINT) AS s_obs,
       |        COUNT(*) AS n_obs FROM reg GROUP BY 1, 2)""".stripMargin
-
-  private val dashHllCtes: String = dashHllCommon + ",\n" +
-    """e AS (SELECT source, lang,
-      |        round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 1099511627776.0
-      |          / CAST(s_obs + (256 - n_obs) * 1099511627776 AS DOUBLE), 3) AS est
-      |      FROM s)""".stripMargin
 
   private val dashHllCtesScaled: String = dashHllCommon + ",\n" +
     """e AS (SELECT source, lang,
@@ -2870,36 +2845,10 @@ object SparkEntry {
         |  CAST(round(qsum * 100.0 / n_docs) AS BIGINT) / 1000000.0 AS avg_quality
         |FROM agg JOIN e USING (source, lang) JOIN md USING (source, lang)
         |ORDER BY source, lang""".stripMargin),
-    // ---- t_dashboard bisect twins: one computed column each, ORIGINAL
-    // r8/r9 constructs, so the driver's r10 artifact names the drifter ----
-    "t_dash_counts" ->
-      (s"""WITH $dashSignalCtes,
-        |agg AS (SELECT source, lang, COUNT(*) AS n_docs,
-        |          COUNT(DISTINCT norm) AS n_distinct FROM r GROUP BY 1, 2)
-        |SELECT source, lang, n_docs, n_distinct,
-        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
-        |FROM agg ORDER BY source, lang""".stripMargin),
-    "t_dash_med" ->
-      (s"""WITH $dashSignalCtes
-        |SELECT source, lang,
-        |  round(median(CAST(ntok AS DOUBLE)), 6) AS med_tokens
-        |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
-    "t_dash_tok" ->
-      (s"""WITH $dashSignalCtes
-        |SELECT source, lang, CAST(SUM(ntok) AS BIGINT) AS total_tokens
-        |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin),
-    "t_dash_est" ->
-      (s"""WITH $dashSignalCtes,
-        |$dashHllCtes
-        |SELECT source, lang, est AS distinct_est
-        |FROM e ORDER BY source, lang""".stripMargin),
-    "t_dash_qual" ->
-      (s"""WITH $dashSignalCtes,
-        |agg AS (SELECT source, lang, COUNT(*) AS n_docs, SUM(qi) AS qsum
-        |        FROM r GROUP BY 1, 2)
-        |SELECT source, lang,
-        |  round(CAST(qsum AS DOUBLE) / (n_docs * 10000.0), 6) AS avg_quality
-        |FROM agg ORDER BY source, lang""".stripMargin),
+    // ---- t_dash_ints: the permanent type-sensitivity canary (the five
+    // float bisect twins retired in r12 once the family's root cause —
+    // DuckDB SUM(BIGINT)=HUGEINT vs the driver's type-sensitive hash —
+    // closed in r11) ----
     "t_dash_ints" ->
       (s"""WITH $dashSignalCtes,
         |agg AS (SELECT source, lang, CAST(SUM(qi) AS BIGINT) AS qsum FROM r GROUP BY 1, 2),

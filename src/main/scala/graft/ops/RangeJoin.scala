@@ -40,10 +40,13 @@ object RangeJoin {
                       binWidth: Long, keys: Seq[String] = Nil,
                       smallIntervalRows: Long = 0L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // clamp: thresholds >= Int.MaxValue must not overflow into a negative
-    // limit() (r10 ADVICE — plausible at the 100TB scale this knob targets)
-    if (smallIntervalRows > 0 &&
-        intervals.limit(math.min(smallIntervalRows, Int.MaxValue - 1L).toInt + 1)
+    // Gate direction (r11 ADVICE): a threshold the bounded limit() probe
+    // cannot reach (>= Int.MaxValue rows — far past any sane broadcast) must
+    // fail toward the scale-out bin path, never silently broadcast. A
+    // Int.MaxValue-clamped probe would cap its count at the clamp and pass
+    // the <= comparison for ANY interval side.
+    if (smallIntervalRows > 0 && smallIntervalRows < Int.MaxValue &&
+        intervals.limit(smallIntervalRows.toInt + 1)
           .count() <= smallIntervalRows) {
       // small side measured, not estimated: broadcast it whole. With keys
       // this is a BroadcastHashJoin on the keys + containment filter; with

@@ -582,28 +582,11 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     */
   private def expandSetOp(stmt: String, cteNames: Set[String]): Option[String] = {
     val mask = Scan.buildMask(stmt)
-    // locate every top-level set operator (with its optional ALL/DISTINCT)
-    case class Op(start: Int, end: Int, text: String)
-    val ops = scala.collection.mutable.ListBuffer[Op]()
-    for (kw <- Seq("UNION", "INTERSECT", "EXCEPT")) {
-      var from = 0
-      var p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
-      while (p >= 0) {
-        var e = p + kw.length
-        var j = e
-        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
-        for (mod <- Seq("ALL", "DISTINCT"))
-          if (stmt.regionMatches(true, j, mod, 0, mod.length) &&
-              (j + mod.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + mod.length))))
-            e = j + mod.length
-        ops += Op(p, e, stmt.substring(p, e))
-        from = e
-        p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
-      }
-    }
-    if (ops.isEmpty) return None
-    val sorted = ops.sortBy(_.start).toList
-    val bounds = (0 :: sorted.map(_.end)) zip (sorted.map(_.start) :+ stmt.length)
+    // locate every top-level set operator (shared scanner: skips Spark's
+    // select-list `* EXCEPT (col)` form, keeps ALL/DISTINCT modifiers)
+    val sorted = graft.syntax.SqlClauses.setOpSpans(stmt, mask)
+    if (sorted.isEmpty) return None
+    val bounds = (0 :: sorted.map(_._2)) zip (sorted.map(_._1) :+ stmt.length)
     val branchesRaw = bounds.map { case (s, e) => stmt.substring(s, e).trim }
 
     // the union tail (ORDER BY/LIMIT/OFFSET) lives syntactically in the
@@ -678,7 +661,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
     val allCtes = parts.flatMap(_._1)
     val bodies = parts.map(_._2.trim)
     val joined = bodies.head + sorted.zip(bodies.tail)
-      .map { case (op, b) => s" ${op.text} $b" }.mkString
+      .map { case (op, b) => s" ${op._3} $b" }.mkString
     val prefix = if (allCtes.isEmpty) "" else s"WITH ${allCtes.mkString(", ")} "
     Some(prefix + joined + unionTail)
   }

@@ -38,7 +38,10 @@ final case class ParsedMeasureView(
 final case class SetOpBranch(
     op: String,
     clauses: SelectClauses,
-    items: Seq[Either[String, ViewMeasure]])
+    items: Seq[Either[String, ViewMeasure]],
+    // true when the branch was written parenthesized — `(SELECT …)`; renders
+    // re-wrap it so operator precedence is preserved verbatim
+    parenWrapped: Boolean = false)
 
 object MeasureDdl {
 
@@ -152,15 +155,22 @@ object MeasureDdl {
         // base relation (reference: CTE-bodied measure views)
         val (ctePrefix, mainBody) = splitWithPrefix(body)
         body = mainBody
-        val clauses = SqlClauses.parse(body).getOrElse(return None)
+        val clausesOpt = SqlClauses.parse(body)
 
         // set-operation bodies take a branch-aware path: the reference
         // wraps the whole (cleaned) set-op query as the base relation
         // (measures.rs:2645-2650) and replaces AS MEASURE slots wherever
-        // they appear (measures.rs:4482-4546)
-        if (clauses.hasSetOp)
+        // they appear (measures.rs:4482-4546). A parenthesized FIRST branch
+        // hides its SELECT from the clause scanner (depth > 0), so also
+        // detect top-level set ops on the raw body text.
+        val bodyHasSetOp = clausesOpt.map(_.hasSetOp).getOrElse {
+          body.startsWith("(") &&
+            SqlClauses.setOpSpans(body, Scan.buildMask(body)).nonEmpty
+        }
+        if (bodyHasSetOp)
           return parseSetOpView(viewName, orRepl != null, temp != null,
-            clauses, body, ctePrefix)
+            clausesOpt, body, ctePrefix)
+        val clauses = clausesOpt.getOrElse(return None)
 
         // collect measure names first (two-pass, for derived classification)
         val rawItems = clauses.selectItems.map(parseMeasureItem)
@@ -245,30 +255,51 @@ object MeasureDdl {
     *    wins for the catalog, and every declaring slot is replaced.
     */
   private def parseSetOpView(viewName: String, orReplace: Boolean,
-                             temporary: Boolean, wholeClauses: SelectClauses,
+                             temporary: Boolean, wholeClausesOpt: Option[SelectClauses],
                              body: String, ctePrefix: String): Option[ParsedMeasureView] = {
     val raw = SqlClauses.splitSetOpBranches(body)
     if (raw.isEmpty) return None
-    // parenthesized branches keep their internal structure opaque to the
-    // clause scanner — out of scope, same guard as QueryExpander's set-op
-    // splitter (the statement then falls through to plain Spark SQL, which
-    // rejects AS MEASURE loudly)
-    if (raw.exists(_._2.startsWith("("))) return None
-    val parsed = raw.map { case (op, b) =>
-      (op, SqlClauses.parse(b).getOrElse(return None))
+    // Parenthesized branches (r11 verdict task 4a): a branch that is one
+    // fully parenthesized SELECT unwraps (the paren carries no precedence
+    // information a single SELECT can lose, and renders re-wrap it). A paren
+    // branch that nests its own set operation, or carries trailing text
+    // after the group, stays unsupported — but with a GUIDED error naming
+    // the limitation instead of Spark's raw AS MEASURE parse failure.
+    val unwrappedRaw = raw.map { case (op, b) =>
+      if (!b.startsWith("(")) (op, b, false)
+      else {
+        val (inner, ok) = unwrapParenBranch(b)
+        if (!ok)
+          throw new graft.planner.GraftException(
+            "a parenthesized branch of a set-operation measure view must wrap exactly one " +
+              "SELECT — trailing text after the closing paren (e.g. a per-branch ORDER BY) " +
+              "is not supported; attach ORDER BY/LIMIT unparenthesized after the last branch " +
+              s"to order the whole set operation. Branch: ${b.take(80)}")
+        val im = Scan.buildMask(inner)
+        if (SqlClauses.setOpSpans(inner, im).nonEmpty)
+          throw new graft.planner.GraftException(
+            "nested set operations inside a parenthesized branch of a measure view body are " +
+              "not supported — flatten the chain (UNION/EXCEPT associate left-to-right and " +
+              "INTERSECT binds tighter, so prefix parens are redundant) or move the inner " +
+              "set operation into a CTE and select from it")
+        (op, inner, true)
+      }
     }
-    val branchRaw = parsed.map { case (op, c) => (op, c, c.selectItems.map(parseMeasureItem)) }
+    val parsed = unwrappedRaw.map { case (op, b, wrapped) =>
+      (op, SqlClauses.parse(b).getOrElse(return None), wrapped)
+    }
+    val branchRaw = parsed.map { case (op, c, w) => (op, c, c.selectItems.map(parseMeasureItem), w) }
     val allNames = branchRaw
       .flatMap(_._3.collect { case Some((_, n)) => n.toLowerCase }).toSet
     if (allNames.isEmpty) return None
-    val branches = branchRaw.map { case (op, c, rawItems) =>
+    val branches = branchRaw.map { case (op, c, rawItems, wrapped) =>
       val items: Seq[Either[String, ViewMeasure]] =
         c.selectItems.zip(rawItems).map {
           case (_, Some((expr, name))) =>
             Right(ViewMeasure(name, expr.trim, classify(expr, allNames - name.toLowerCase)))
           case (item, None) => Left(item)
         }
-      SetOpBranch(op, c, items)
+      SetOpBranch(op, c, items, parenWrapped = wrapped)
     }
 
     // catalog items: the first branch in full, plus later-branch measures
@@ -307,7 +338,8 @@ object MeasureDdl {
         // columns, never the slot — so any consistent type works.
         case Right(m) => s"CAST(NULL AS INT) AS ${m.name}"
       }
-      val sel = renderBranch(br.clauses, slotItems, groupByAll = false)
+      val sel0 = renderBranch(br.clauses, slotItems, groupByAll = false)
+      val sel = if (br.parenWrapped) s"($sel0)" else sel0
       if (br.op.isEmpty) sel else s"${br.op} $sel"
     }.mkString(" ")
     val pfx = if (ctePrefix.isEmpty) "" else ctePrefix + " "
@@ -326,7 +358,10 @@ object MeasureDdl {
       viewName = viewName,
       orReplace = orReplace,
       temporary = temporary,
-      clauses = wholeClauses,
+      // nothing reads .clauses on the set-op path (renders use the
+      // branches); the first branch stands in when the whole-body scan
+      // failed on a parenthesized first branch
+      clauses = wholeClausesOpt.getOrElse(branches.head.clauses),
       items = items,
       baseRelationSql = baseRelationSql,
       dimensionExprs = dimensionExprs,
@@ -335,6 +370,24 @@ object MeasureDdl {
       ctePrefix = ctePrefix,
       setOpBranches = branches
     ))
+  }
+
+  /** Strip the outer paren layer(s) of a fully parenthesized branch.
+    * Returns (inner, true) when every layer's matching close paren is the
+    * branch's last character; (original, false) when trailing text follows
+    * a close paren (not a plain wrapped SELECT).
+    */
+  private def unwrapParenBranch(branch: String): (String, Boolean) = {
+    var b = branch.trim
+    var stripped = false
+    while (b.startsWith("(")) {
+      val m = Scan.buildMask(b)
+      val close = Scan.matchParen(b, m, 0)
+      if (close != b.length - 1) return (branch, false)
+      b = b.substring(1, close).trim
+      stripped = true
+    }
+    (b, stripped)
   }
 
   /** Re-render one parsed SELECT with a replaced select list; clause order

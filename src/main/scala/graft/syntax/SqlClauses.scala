@@ -41,10 +41,7 @@ object SqlClauses {
     if (prefix.exists(c => !c.isWhitespace) &&
         !prefix.trim.equalsIgnoreCase("")) return None
 
-    val hasSetOp =
-      Scan.findTopLevelWord(sql, mask, "UNION", selPos, n) >= 0 ||
-      Scan.findTopLevelWord(sql, mask, "INTERSECT", selPos, n) >= 0 ||
-      Scan.findTopLevelWord(sql, mask, "EXCEPT", selPos, n) >= 0
+    val hasSetOp = setOpSpans(sql, mask).exists(_._1 >= selPos)
 
     var cursor = selPos + "SELECT".length
     // optional DISTINCT
@@ -114,8 +111,27 @@ object SqlClauses {
     */
   def splitSetOpBranches(stmt: String): List[(String, String)] = {
     val mask = Scan.buildMask(stmt)
-    case class Op(start: Int, end: Int, text: String)
-    val ops = scala.collection.mutable.ListBuffer[Op]()
+    val sorted = setOpSpans(stmt, mask)
+    if (sorted.isEmpty) return Nil
+    val starts = 0 :: sorted.map(_._2)
+    val ends = sorted.map(_._1) :+ stmt.length
+    val texts = "" :: sorted.map(_._3)
+    texts.lazyZip(starts).lazyZip(ends).map { (t, s, e) =>
+      (t, stmt.substring(s, e).trim)
+    }.toList
+  }
+
+  /** Top-level set operators of a statement as (start, end, text) spans in
+    * text order; `end` extends over an ALL/DISTINCT modifier. Spark's
+    * select-list exclusion syntax — `SELECT * EXCEPT (col, …)` — is NOT a
+    * set operator: an EXCEPT with no modifier whose next token is a
+    * parenthesized group that does not itself start a query (SELECT / WITH /
+    * VALUES / TABLE / FROM after any nested opening parens) is skipped
+    * (r11 ADVICE: splitting there turned a valid measure view using
+    * `* EXCEPT(c)` into a '('-leading pseudo-branch).
+    */
+  def setOpSpans(stmt: String, mask: Array[Boolean]): List[(Int, Int, String)] = {
+    val ops = scala.collection.mutable.ListBuffer[(Int, Int, String)]()
     for (kw <- Seq("UNION", "INTERSECT", "EXCEPT")) {
       var from = 0
       var p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
@@ -123,23 +139,35 @@ object SqlClauses {
         var e = p + kw.length
         var j = e
         while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        var hasMod = false
         for (mod <- Seq("ALL", "DISTINCT"))
           if (stmt.regionMatches(true, j, mod, 0, mod.length) &&
-              (j + mod.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + mod.length))))
+              (j + mod.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(j + mod.length)))) {
             e = j + mod.length
-        ops += Op(p, e, stmt.substring(p, e))
+            hasMod = true
+          }
+        val selectListForm = kw == "EXCEPT" && !hasMod && isColumnListParen(stmt, e)
+        if (!selectListForm) ops += ((p, e, stmt.substring(p, e)))
         from = e
         p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
       }
     }
-    if (ops.isEmpty) return Nil
-    val sorted = ops.sortBy(_.start).toList
-    val starts = 0 :: sorted.map(_.end)
-    val ends = sorted.map(_.start) :+ stmt.length
-    val texts = "" :: sorted.map(_.text)
-    texts.lazyZip(starts).lazyZip(ends).map { (t, s, e) =>
-      (t, stmt.substring(s, e).trim)
-    }.toList
+    ops.sortBy(_._1).toList
+  }
+
+  /** True when position `from` (after whitespace) opens a parenthesized
+    * group whose content is a column list rather than a query — the next
+    * keyword through any nested opening parens is not a query starter.
+    */
+  private def isColumnListParen(stmt: String, from: Int): Boolean = {
+    var j = from
+    while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+    if (j >= stmt.length || stmt.charAt(j) != '(') return false
+    var k = j + 1
+    while (k < stmt.length && (stmt.charAt(k).isWhitespace || stmt.charAt(k) == '(')) k += 1
+    val starters = Seq("SELECT", "WITH", "VALUES", "TABLE", "FROM")
+    !starters.exists(w => stmt.regionMatches(true, k, w, 0, w.length) &&
+      (k + w.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(k + w.length))))
   }
 
   /** Split "a AS b" / "a b" select item into (expr, aliasOpt).

@@ -54,9 +54,11 @@ class ScaleLayoutSuite extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("graft.layout.bucketed", "false")
-      // restore plain parquet temp views for later suites sharing the session
-      for (t <- Seq("lineitem", "orders"))
-        spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").createOrReplaceTempView(t)
+      // restore plain fact views THROUGH engineFor so the mode tracker stays
+      // in sync with the session (r11 ADVICE: a manual repoint leaves
+      // registeredMode at bucketed=true — the exact staleness the toggle
+      // test below guards against)
+      SparkEntry.engineFor(spark, "/root/testdata/sf0.001")
     }
   }
 
@@ -94,8 +96,8 @@ class ScaleLayoutSuite extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("graft.layout.bucketed", "false")
-      for (t <- Seq("lineitem", "orders"))
-        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      // re-sync tracker + views in one call (see the first test's teardown)
+      SparkEntry.engineFor(spark, dir)
     }
   }
 

@@ -703,6 +703,92 @@ class SemanticsSuite extends SparkSpec {
     engine.sql("DROP VIEW so_mv"); engine.sql("DROP VIEW so_ev")
   }
 
+  // round-12 (r11 verdict task 4): set-op view corners
+  test("set-op measure views: parenthesized branches unwrap; nesting errors guided") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 10.0), ('y', 20.0), ('x', 10.0) AS t(g, amt)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_b AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 5.0), ('z', 7.0) AS t(g, amt)""".stripMargin)
+    // both branches parenthesized — the habitual way users write unions —
+    // including a parenthesized FIRST branch (which hides SELECT from the
+    // whole-body clause scan)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_pv AS
+        |(SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a)
+        |UNION ALL (SELECT g, amt, NULL FROM so_b)""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM so_pv GROUP BY g ORDER BY g"),
+      """x	25
+        |y	20
+        |z	7""".stripMargin)
+    // EXCEPT with a parenthesized right branch must stay a set op (the
+    // select-list `* EXCEPT(col)` skip must not swallow it)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_pe AS
+        |SELECT g, amt, COUNT(*) AS MEASURE n FROM so_a
+        |EXCEPT (SELECT g, amt, NULL FROM so_b)""".stripMargin)
+    checkGolden(engine.sql("SELECT AGGREGATE(n) AS c FROM so_pe"), "2")
+    // nested set op inside a paren branch: guided error, not a raw Spark
+    // AS MEASURE parse failure
+    val ex = intercept[GraftException](engine.sql(
+      """CREATE OR REPLACE VIEW so_nest AS
+        |(SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a
+        | UNION ALL SELECT g, amt, NULL FROM so_b)
+        |EXCEPT SELECT g, amt, NULL FROM so_b""".stripMargin))
+    assert(ex.getMessage.contains("nested set operations"))
+    // paren branch with trailing text after the close: guided error too
+    val ex2 = intercept[GraftException](engine.sql(
+      """CREATE OR REPLACE VIEW so_tail AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a
+        |UNION ALL (SELECT g, amt, NULL FROM so_b) ORDER BY g""".stripMargin))
+    assert(ex2.getMessage.contains("parenthesized branch"))
+    engine.sql("DROP VIEW so_pv"); engine.sql("DROP VIEW so_pe")
+  }
+
+  test("set-op measure views: trailing ORDER BY / LIMIT on the last branch") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 10.0), ('y', 20.0), ('x', 10.0) AS t(g, amt)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_b AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 5.0), ('z', 7.0) AS t(g, amt)""".stripMargin)
+    // the ORDER BY/LIMIT binds to the WHOLE union (standard SQL) and the
+    // base relation is the post-limit output: top-3 rows by (amt, g) are
+    // (20, y), (10, x), (10, x)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_lim AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev, COUNT(*) AS MEASURE n FROM so_a
+        |UNION ALL SELECT g, amt, NULL, NULL FROM so_b
+        |ORDER BY amt DESC, g LIMIT 3""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v, AGGREGATE(n) AS c FROM so_lim GROUP BY g ORDER BY g"),
+      """x	20	2
+        |y	20	1""".stripMargin)
+    engine.sql("DROP VIEW so_lim")
+  }
+
+  test("select-list EXCEPT(col) is not a set operator (views and queries)") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW so_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt, 1 AS junk FROM VALUES ('x', 10.0), ('y', 20.0) AS t(g, amt)""".stripMargin)
+    // measure view whose body uses Spark's * EXCEPT(col) projection: must
+    // take the single-SELECT path (r11 ADVICE: the splitter used to produce
+    // a '('-leading pseudo-branch and a raw AS MEASURE parse error)
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_xv AS
+        |SELECT * EXCEPT (junk), SUM(amt) AS MEASURE rev FROM so_a""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM so_xv GROUP BY g ORDER BY g"),
+      """x	10
+        |y	20""".stripMargin)
+    // and on the query side: * EXCEPT in a measure query is not a branch split
+    checkGolden(engine.sql(
+      """SELECT * EXCEPT (c) FROM
+        |  (SELECT g, AGGREGATE(rev) AS v, COUNT(*) AS c FROM so_xv GROUP BY g) ORDER BY g""".stripMargin),
+      """x	10
+        |y	20""".stripMargin)
+    engine.sql("DROP VIEW so_xv")
+  }
+
   test("set operations: each UNION branch expands; WITH prefixes hoisted; tail re-attached") {
     // branch 1 grouped by month, branch 2 the grand total via AT (ALL)
     checkGolden(engine.sql(
