@@ -500,7 +500,8 @@ final class GraftEngine(val spark: SparkSession) {
           val sel = if (br.parenWrapped) s"($sel0)" else sel0
           if (br.op.isEmpty) sel else s"${br.op} $sel"
         }.mkString(" ")
-        s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS $ctePfx$rendered"
+        val tail = if (p.setOpTail.isEmpty) "" else s" ${p.setOpTail}"
+        s"CREATE OR REPLACE TEMPORARY VIEW $tempName AS $ctePfx$rendered$tail"
       } else {
         val cleanItems = p.items.map {
           case Left(dim) => dim

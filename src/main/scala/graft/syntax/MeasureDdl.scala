@@ -27,7 +27,12 @@ final case class ParsedMeasureView(
     // per branch, in order. The clean view is then rendered branch-by-branch
     // (GraftEngine), and `items` holds the FIRST branch's items plus any
     // later-branch measures with new names (first declaration wins).
-    setOpBranches: Seq[SetOpBranch] = Nil
+    setOpBranches: Seq[SetOpBranch] = Nil,
+    // whole-set-op trailing ORDER BY / LIMIT / OFFSET text (split off the
+    // last branch up front — in an unparenthesized chain it always binds to
+    // the whole set operation); re-appended OUTSIDE the branch renders so a
+    // parenthesized last branch cannot capture it
+    setOpTail: String = ""
 ) {
   def measures: Seq[ViewMeasure] = items.collect { case Right(m) => m }
 }
@@ -257,8 +262,24 @@ object MeasureDdl {
   private def parseSetOpView(viewName: String, orReplace: Boolean,
                              temporary: Boolean, wholeClausesOpt: Option[SelectClauses],
                              body: String, ctePrefix: String): Option[ParsedMeasureView] = {
-    val raw = SqlClauses.splitSetOpBranches(body)
-    if (raw.isEmpty) return None
+    val raw0 = SqlClauses.splitSetOpBranches(body)
+    if (raw0.isEmpty) return None
+    // Whole-set-op tail (r11 verdict task 4b): a top-level ORDER BY / LIMIT
+    // / OFFSET in the LAST branch always binds to the whole set operation
+    // (SQL grammar — a branch cannot own one without parens), so split it
+    // off before branch parsing and re-append it outside the branch renders.
+    val (raw, setOpTail) = {
+      val (lop, lbody) = raw0.last
+      val lm = Scan.buildMask(lbody)
+      val tailPos = Seq("ORDER", "LIMIT", "OFFSET")
+        .map(k => Scan.findTopLevelWord(lbody, lm, k, 0, lbody.length))
+        .filter(_ >= 0).sorted.headOption
+      tailPos match {
+        case Some(tp) =>
+          (raw0.init :+ (lop, lbody.substring(0, tp).trim), lbody.substring(tp).trim)
+        case None => (raw0, "")
+      }
+    }
     // Parenthesized branches (r11 verdict task 4a): a branch that is one
     // fully parenthesized SELECT unwraps (the paren carries no precedence
     // information a single SELECT can lose, and renders re-wrap it). A paren
@@ -272,9 +293,9 @@ object MeasureDdl {
         if (!ok)
           throw new graft.planner.GraftException(
             "a parenthesized branch of a set-operation measure view must wrap exactly one " +
-              "SELECT — trailing text after the closing paren (e.g. a per-branch ORDER BY) " +
-              "is not supported; attach ORDER BY/LIMIT unparenthesized after the last branch " +
-              s"to order the whole set operation. Branch: ${b.take(80)}")
+              "SELECT — text trailing the closing paren, or an ORDER BY/LIMIT nested between " +
+              "paren layers, is not supported; a whole-set-op ORDER BY/LIMIT goes after the " +
+              s"last branch (outside its parens). Branch: ${b.take(80)}")
         val im = Scan.buildMask(inner)
         if (SqlClauses.setOpSpans(inner, im).nonEmpty)
           throw new graft.planner.GraftException(
@@ -343,7 +364,10 @@ object MeasureDdl {
       if (br.op.isEmpty) sel else s"${br.op} $sel"
     }.mkString(" ")
     val pfx = if (ctePrefix.isEmpty) "" else ctePrefix + " "
-    val baseRelationSql = s"${pfx}SELECT * FROM ( $baseBody ) __setop"
+    // the tail stays INSIDE the wrap: base rows are the post-ORDER BY/LIMIT
+    // set-op output (measure contexts recompute over what the view shows)
+    val tailSql = if (setOpTail.isEmpty) "" else s" $setOpTail"
+    val baseRelationSql = s"${pfx}SELECT * FROM ( $baseBody$tailSql ) __setop"
 
     val groupByCols = branches.head.clauses.groupBy
       .map { g =>
@@ -368,7 +392,8 @@ object MeasureDdl {
       dimensionOrder = dimNames,
       groupByCols = groupByCols,
       ctePrefix = ctePrefix,
-      setOpBranches = branches
+      setOpBranches = branches,
+      setOpTail = setOpTail
     ))
   }
 

@@ -34,24 +34,48 @@ class FuzzBatchSuite extends SparkSpec {
   private val sums: Map[Int, Long] = baseRows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum.toLong }
 
   sealed trait Op
-  case class CreateTemp(name: String, mult: Int) extends Op
-  case class CreatePerm(name: String, mult: Int) extends Op
+  case class CreateTemp(name: String, mult: Int, style: Int = 0) extends Op
+  case class CreatePerm(name: String, mult: Int, style: Int = 0) extends Op
   case class DropView(name: String) extends Op
   case class DropMain(name: String) extends Op
   case class ConsumeCtas(name: String, table: String) extends Op
   case class PlainSelect(name: String) extends Op
   case object FailStmt extends Op
+  // axis 10: an invalid set-op CREATE (ORDER BY/LIMIT nested between paren
+  // layers) — fails the batch through the guided GraftException path, so the
+  // snapshot restore is exercised against the branch-aware DDL
+  case object FailSetOpCreate extends Op
+
+  /** View body by style. The set-op styles (1-3) partition fzbatch_src by a
+    * branch predicate so the union OUTPUT multiset equals the source rows —
+    * every style answers AGGREGATE(mv) with the same sums(k) * mult, and the
+    * model needs no per-style value logic; only the DDL path differs
+    * (branch-aware parse, paren unwrap, slot replacement, whole-op tail).
+    */
+  private def body(mult: Int, style: Int): String = style match {
+    case 0 => s"SELECT k, SUM(v * $mult) AS MEASURE mv FROM fzbatch_src"
+    case 1 => s"SELECT k, v, SUM(v * $mult) AS MEASURE mv FROM fzbatch_src WHERE k = 1 " +
+      s"UNION ALL SELECT k, v, NULL FROM fzbatch_src WHERE k <> 1"
+    case 2 => s"(SELECT k, v, SUM(v * $mult) AS MEASURE mv FROM fzbatch_src WHERE k = 1) " +
+      s"UNION ALL (SELECT k, v, NULL FROM fzbatch_src WHERE k <> 1)"
+    // measure declared in the SECOND branch + whole-set-op ORDER BY/LIMIT
+    // tail (LIMIT = full size, a semantic no-op that exercises the wrap)
+    case _ => s"SELECT k, v, NULL AS mv FROM fzbatch_src WHERE k = 1 " +
+      s"UNION ALL SELECT k, v, SUM(v * $mult) AS MEASURE mv FROM fzbatch_src WHERE k <> 1 " +
+      s"ORDER BY k, v LIMIT ${baseRows.size}"
+  }
 
   private def render(op: Op): String = op match {
-    case CreateTemp(n, m) =>
-      s"CREATE TEMPORARY VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src"
-    case CreatePerm(n, m) =>
-      s"CREATE OR REPLACE VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src"
+    case CreateTemp(n, m, st) => s"CREATE TEMPORARY VIEW $n AS ${body(m, st)}"
+    case CreatePerm(n, m, st) => s"CREATE OR REPLACE VIEW $n AS ${body(m, st)}"
     case DropView(n) => s"DROP VIEW $n"
     case DropMain(n) => s"DROP VIEW main.$n"
     case ConsumeCtas(n, t) => s"CREATE TABLE $t AS SELECT k, AGGREGATE(mv) AS s FROM $n"
     case PlainSelect(n) => s"SELECT k, AGGREGATE(mv) AS s FROM $n"
     case FailStmt => "SELECT fz_no_such_col FROM fzbatch_src"
+    case FailSetOpCreate =>
+      "CREATE TEMPORARY VIEW fzb_bad AS ((SELECT k, v, SUM(v) AS MEASURE mv FROM fzbatch_src) " +
+        "LIMIT 2) UNION ALL SELECT k, v, NULL FROM fzbatch_src"
   }
 
   /** Model state during a batch (engine-eager visibility). */
@@ -61,14 +85,17 @@ class FuzzBatchSuite extends SparkSpec {
     def active(n: String): Option[Int] = temp.get(n).orElse(perm.get(n))
   }
 
-  private def runBatchCase(rnd: Random, caseN: Int): Unit = {
-    val caseId = s"batch case=$caseN"
+  private def runBatchCase(rnd: Random, caseN: Int, setOpAxis: Boolean = false): Unit = {
+    val caseId = if (setOpAxis) s"batch-setop case=$caseN" else s"batch case=$caseN"
+    // axis 10 draws set-op bodies for most creates (style 1-3); axis 4 keeps
+    // the plain body so its 100 pinned seeds stay byte-identical
+    def style(): Int = if (setOpAxis && rnd.nextInt(4) > 0) 1 + rnd.nextInt(3) else 0
     // reset universe (each sql() call is its own single-statement batch)
     for (n <- names) engine.sql(s"DROP VIEW IF EXISTS $n")
     val preBatch: Map[String, Int] = Map(
       "fzb_p1" -> (1 + rnd.nextInt(5)), "fzb_p2" -> (1 + rnd.nextInt(5)))
     for ((n, m) <- preBatch)
-      engine.sql(s"CREATE VIEW $n AS SELECT k, SUM(v * $m) AS MEASURE mv FROM fzbatch_src")
+      engine.sql(s"CREATE VIEW $n AS ${body(m, style())}")
     val snapshotKeys = engine.catalog.snapshot().keySet
 
     // ---- generate a batch
@@ -85,7 +112,7 @@ class FuzzBatchSuite extends SparkSpec {
           // new temp, or temp shadowing a permanent; never a duplicate temp
           val cands = names.filterNot(st.temp.contains)
           if (cands.isEmpty) None
-          else Some(CreateTemp(cands(rnd.nextInt(cands.size)), 1 + rnd.nextInt(9)))
+          else Some(CreateTemp(cands(rnd.nextInt(cands.size)), 1 + rnd.nextInt(9), style()))
         } else if (roll < 58) {
           val cands = names.filter(st.active(_).nonEmpty)
           if (cands.isEmpty) None
@@ -101,7 +128,7 @@ class FuzzBatchSuite extends SparkSpec {
           // perm-re-create-over-temp interleaving was ungenerated): a
           // permanent re-create on a shadowed name ends the temp's life and
           // replaces the permanent — last create wins, nothing to reveal
-          Some(CreatePerm(names(rnd.nextInt(names.size)), 1 + rnd.nextInt(9)))
+          Some(CreatePerm(names(rnd.nextInt(names.size)), 1 + rnd.nextInt(9), style()))
         } else if (roll < 90) {
           // plain SELECT: over a temp it is the "returned directly" error
           val cands = names.filter(st.active(_).nonEmpty)
@@ -111,13 +138,14 @@ class FuzzBatchSuite extends SparkSpec {
           val cands = names.filter(n => st.temp.contains(n) && st.perm.contains(n) &&
             !st.permDroppedInBatch.contains(n))
           if (cands.isEmpty) None else Some(DropMain(cands(rnd.nextInt(cands.size))))
-        } else Some(FailStmt)
+        } else Some(
+          if (setOpAxis && rnd.nextInt(2) == 0) FailSetOpCreate else FailStmt)
       op.foreach { o =>
         ops += o
         o match {
-          case CreateTemp(n, m) =>
+          case CreateTemp(n, m, _) =>
             st = st.copy(temp = st.temp + (n -> m), created = st.created + n)
-          case CreatePerm(n, m) =>
+          case CreatePerm(n, m, _) =>
             // on a temp-shadowed name the perm re-create consumes the temp's
             // slot: the temp is gone (no reveal at drop/batch-end, no
             // unconsumed-temp error — same life-end as a bare DROP) and the
@@ -139,7 +167,7 @@ class FuzzBatchSuite extends SparkSpec {
             if (st.temp.contains(n)) st = st.copy(consumed = st.consumed + n)
           case PlainSelect(n) =>
             if (st.temp.contains(n)) st = st.copy(selectRef = true)
-          case FailStmt => failed = true
+          case FailStmt | FailSetOpCreate => failed = true
         }
       }
     }
@@ -206,6 +234,24 @@ class FuzzBatchSuite extends SparkSpec {
     while (i < 100) {
       if (i % 15 == 0) rnd.setSeed(seed + i)
       runBatchCase(rnd, i)
+      i += 1
+    }
+  }
+
+  // axis 10 (r11 verdict task 5): the two newest features against each
+  // other — temp/perm SET-OP measure views created, consumed, dropped and
+  // shadowed mid-batch, plus snapshot restore through the branch-aware
+  // guided-error path (FailSetOpCreate). Same state machine; only the view
+  // BODIES change (the set-op styles are value-equivalent by construction).
+  test("differential fuzz: 60 batch scripts over set-op measure views match the model") {
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW fzbatch_src AS SELECT * FROM VALUES " +
+      baseRows.map { case (k, v) => s"($k, $v)" }.mkString(", ") + " AS t(k, v)")
+    val seed = 20260912
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 60) {
+      if (i % 15 == 0) rnd.setSeed(seed + i)
+      runBatchCase(rnd, i, setOpAxis = true)
       i += 1
     }
   }

@@ -1230,14 +1230,6 @@ class FuzzSuite extends SparkSpec {
     val (itemsA, itemsB) =
       if (declInSecond) (declList.map { case (n, _) => s"NULL AS $n" }, declList.map(_._2))
       else (declList.map(_._2), declList.map(_ => "NULL"))
-    val bA = s"SELECT da, db, dc, x, y, ${itemsA.mkString(", ")} FROM fuzz9_a" +
-      predA.fold("")(p => s" WHERE ${p.sql}")
-    val bB = s"SELECT da, db, dc, x, y, ${itemsB.mkString(", ")} FROM fuzz9_b" +
-      predB.fold("")(p => s" WHERE ${p.sql}")
-    val bC = op2.map(o2 =>
-      s" $o2 SELECT da, db, dc, x, y, ${declList.map(_ => "NULL").mkString(", ")} FROM fuzz9_c" +
-        predC.fold("")(p => s" WHERE ${p.sql}")).getOrElse("")
-    engine.sql(s"CREATE OR REPLACE VIEW fuzz9_v AS $bA $op $bB$bC")
 
     // model the base multiset with SQL set-op semantics (DISTINCT variants
     // compare full rows; the NULL measure slots are equal on both sides),
@@ -1253,11 +1245,32 @@ class FuzzSuite extends SparkSpec {
     val rowsA = predA.fold(dataA)(p => dataA.filter(p.p))
     val rowsB = predB.fold(dataB)(p => dataB.filter(p.p))
     val rowsC = dataC.map(dc => predC.fold(dc)(p => dc.filter(p.p)))
-    val base: Seq[R] = (op2, rowsC) match {
+    val preTail: Seq[R] = (op2, rowsC) match {
       case (Some("INTERSECT"), Some(rc)) => fold1(rowsA, op, fold1(rowsB, "INTERSECT", rc))
       case (Some(o2), Some(rc)) => fold1(fold1(rowsA, op, rowsB), o2, rc)
       case _ => fold1(rowsA, op, rowsB)
     }
+
+    // r12 variants (verdict task 4): branch-level parens (semantics-
+    // preserving — operand parens don't change operator precedence) and a
+    // whole-set-op trailing ORDER BY … LIMIT (binds to the whole chain; the
+    // deterministic full-row sort key makes the cut multiset unique)
+    val parenWrap = rnd.nextInt(3) == 0
+    val tailLim =
+      if (rnd.nextInt(4) == 0 && preTail.nonEmpty) Some(1 + rnd.nextInt(preTail.size)) else None
+    val tailSql = tailLim.fold("")(k => s" ORDER BY da, db, dc, x, y LIMIT $k")
+    val base: Seq[R] =
+      tailLim.fold(preTail)(k => preTail.sortBy(r => (r.da, r.db, r.dc, r.x, r.y)).take(k))
+
+    def wrap(sel: String): String = if (parenWrap) s"($sel)" else sel
+    val bA = wrap(s"SELECT da, db, dc, x, y, ${itemsA.mkString(", ")} FROM fuzz9_a" +
+      predA.fold("")(p => s" WHERE ${p.sql}"))
+    val bB = wrap(s"SELECT da, db, dc, x, y, ${itemsB.mkString(", ")} FROM fuzz9_b" +
+      predB.fold("")(p => s" WHERE ${p.sql}"))
+    val bC = op2.map(o2 =>
+      s" $o2 " + wrap(s"SELECT da, db, dc, x, y, ${declList.map(_ => "NULL").mkString(", ")} FROM fuzz9_c" +
+        predC.fold("")(p => s" WHERE ${p.sql}"))).getOrElse("")
+    engine.sql(s"CREATE OR REPLACE VIEW fuzz9_v AS $bA $op $bB$bC$tailSql")
 
     val qDims = rnd.shuffle(Seq("da", "db", "dc")).take(1 + rnd.nextInt(2)).sorted
     val where = if (rnd.nextInt(3) == 0) Some(preds(rnd.nextInt(preds.size))) else None
@@ -1294,7 +1307,7 @@ class FuzzSuite extends SparkSpec {
       val bB5 = s"SELECT da, db, dc, x, y, $slots FROM fuzz9_b" + predB.fold("")(p => s" WHERE ${p.sql}")
       val bC5 = op2.map(o2 => s" $o2 SELECT da, db, dc, x, y, $slots FROM fuzz9_c" +
         predC.fold("")(p => s" WHERE ${p.sql}")).getOrElse("")
-      val engBase = rows(engine.sql(s"SELECT da, db, dc, x, y FROM ( $bA5 $op $bB5$bC5 ) s"))
+      val engBase = rows(engine.sql(s"SELECT da, db, dc, x, y FROM ( $bA5 $op $bB5$bC5$tailSql ) s"))
       val modelBase = base.map(r => Seq(r.da, r.db.toString, r.dc, cell(r.x), cell(r.y)))
         .sortBy(_.mkString("\t"))
       val diffRow = (engBase.toSet -- modelBase.toSet) ++ (modelBase.toSet -- engBase.toSet)

@@ -737,13 +737,25 @@ class SemanticsSuite extends SparkSpec {
         | UNION ALL SELECT g, amt, NULL FROM so_b)
         |EXCEPT SELECT g, amt, NULL FROM so_b""".stripMargin))
     assert(ex.getMessage.contains("nested set operations"))
-    // paren branch with trailing text after the close: guided error too
+    // whole-union ORDER BY/LIMIT after a PARENTHESIZED last branch: the
+    // tail is split off before unwrap, so this works (base = post-limit
+    // output; top-2 by amt DESC are (20, y), (10, x))
+    engine.sql(
+      """CREATE OR REPLACE VIEW so_ptail AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a
+        |UNION ALL (SELECT g, amt, NULL FROM so_b) ORDER BY amt DESC, g LIMIT 2""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM so_ptail GROUP BY g ORDER BY g"),
+      """x	10
+        |y	20""".stripMargin)
+    // an ORDER BY/LIMIT nested BETWEEN paren layers is not a plain wrapped
+    // SELECT: guided error
     val ex2 = intercept[GraftException](engine.sql(
       """CREATE OR REPLACE VIEW so_tail AS
         |SELECT g, amt, SUM(amt) AS MEASURE rev FROM so_a
-        |UNION ALL (SELECT g, amt, NULL FROM so_b) ORDER BY g""".stripMargin))
+        |UNION ALL ((SELECT g, amt, NULL FROM so_b) LIMIT 1)""".stripMargin))
     assert(ex2.getMessage.contains("parenthesized branch"))
     engine.sql("DROP VIEW so_pv"); engine.sql("DROP VIEW so_pe")
+    engine.sql("DROP VIEW so_ptail")
   }
 
   test("set-op measure views: trailing ORDER BY / LIMIT on the last branch") {
