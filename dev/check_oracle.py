@@ -65,8 +65,16 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --types-only (r11 verdict task 8): compare schema + per-column types
+    # WITHOUT executing either side — the oracle relation's types come from
+    # DuckDB's bind (no fetchall) and the Spark side from a limit(0) parquet
+    # dump. This is the sbt-test-adjacent gate (OracleTypeGateSuite) that
+    # stops a future oracle edit from reintroducing a driver-only type red
+    # (the 3-round t_dashboard family: SUM(BIGINT)->HUGEINT).
+    args = [a for a in sys.argv[1:] if a != "--types-only"]
+    types_only = "--types-only" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -80,7 +88,7 @@ def main():
             rel = con.sql(sql)
             ocols = list(rel.columns)
             otypes = {c: norm_type(t) for c, t in zip(rel.columns, rel.types)}
-            orows = rel.fetchall()
+            orows = [] if types_only else rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -90,7 +98,7 @@ def main():
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = list(rel.columns)
             stypes = {c: norm_type(t) for c, t in zip(rel.columns, rel.types)}
-            srows = rel.fetchall()
+            srows = [] if types_only else rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark dump missing: {e}")
             n_fail += 1
@@ -107,6 +115,8 @@ def main():
         elif type_diffs:
             print(f"FAIL {name}: type mismatch (col, spark, oracle): {type_diffs}")
             n_fail += 1
+        elif types_only:
+            n_pass += 1
         elif len(orws) != len(srws):
             print(f"FAIL {name}: rows {len(srws)} vs oracle {len(orws)}")
             n_fail += 1
