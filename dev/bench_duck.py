@@ -5,9 +5,19 @@ PERF.md engine-vs-DuckDB crossover table.
 Usage: python3 dev/bench_duck.py <sfDir> <oracle_sql.json> [name ...]
 Prints one JSON line {"queries": {name: sec}, "total": sec}.
 Each query runs twice; the faster (steady-state) run is reported.
+
+Env (round-12, for the 1000x window where single DuckDB cells can run for
+many minutes):
+  BENCH_DUCK_RUNS     runs per cell (default 2; min is reported)
+  BENCH_DUCK_TIMEOUT  per-cell seconds; a watchdog calls con.interrupt()
+                      and the cell reports -2.0 ("timeout", excluded from
+                      the total and from pair ratios, listed in
+                      "timeouts")
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -153,23 +163,48 @@ def main():
             if __import__('os').path.isdir(f"{sf_dir}/{t}.parquet") and
                any(f.endswith('.parquet') for f in __import__('os').listdir(f"{sf_dir}/{t}.parquet"))
             else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    runs = max(1, int(os.environ.get("BENCH_DUCK_RUNS", "2")))
+    timeout = float(os.environ.get("BENCH_DUCK_TIMEOUT", "0"))
     out = {}
+    timeouts = []
     for name in names:
         sql = LSH_TWIN.get(name) or oracle.get(name)
         if not sql:
             continue
 
         def once():
+            timer = None
+            if timeout > 0:
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.daemon = True
+                timer.start()
             t0 = time.time()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            finally:
+                if timer:
+                    timer.cancel()
             return time.time() - t0
         try:
-            out[name] = round(min(once(), once()), 3)
+            out[name] = round(min(once() for _ in range(runs)), 3)
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: > {timeout}s", file=sys.stderr)
+            out[name] = -2.0
+            timeouts.append(name)
         except Exception as e:
-            print(f"FAIL {name}: {e}", file=sys.stderr)
-            out[name] = -1.0
+            # an interrupt can also surface as a generic Exception depending
+            # on where it lands; classify by message so a timed-out cell is
+            # never mistaken for a correctness failure
+            if timeout > 0 and "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: > {timeout}s", file=sys.stderr)
+                out[name] = -2.0
+                timeouts.append(name)
+            else:
+                print(f"FAIL {name}: {e}", file=sys.stderr)
+                out[name] = -1.0
     total = round(sum(v for v in out.values() if v >= 0), 3)
-    print(json.dumps({"queries": out, "total": total, "sf": sf_dir}))
+    print(json.dumps({"queries": out, "total": total, "sf": sf_dir,
+                      "timeouts": timeouts}))
 
 
 if __name__ == "__main__":

@@ -87,6 +87,12 @@ out = {
                       "ratio": round(et / dt, 2) if dt else None},
     "ratios": {k: v for k, v in ratios.items() if k not in EXTRAS},
 }
+# r12: surface out-of-envelope skips and DuckDB per-cell timeouts loudly —
+# a cell absent from the totals must be attributable from the artifact alone
+if eng.get("skipped"):
+    out["engine_skipped"] = eng["skipped"]
+if duck.get("timeouts"):
+    out["duck_timeouts"] = duck["timeouts"]
 if "d_minhash" in ratios:
     out["d_minhash_lsh_pair"] = {
         "engine": eq["d_minhash"], "duckdb_lsh_twin": dq["d_minhash"],

@@ -176,7 +176,15 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer[String]()
     val unstable = scala.collection.mutable.ListBuffer[String]()
     val resampled = scala.collection.mutable.ListBuffer[String]()
-    val results = (headline ++ extras).flatMap { name =>
+    // SPARK_GRAFT_SKIP (round-12, for the 1000x window): comma-separated
+    // cells to exclude, reported loudly in "skipped" — for cells that are
+    // OUT OF THE SINGLE-NODE ENVELOPE at the target scale with documented
+    // causes (PERF.md §0i: d_minhash's compounded duplicate families make
+    // the true pair set ~2.5B rows; never a way to hide a slow cell, the
+    // skip list is in the artifact).
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val results = (headline ++ extras).filterNot(skip).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         setSplitConf(spark, name, bigInput)
         // Median of 3 runs: the first run absorbs JIT/codegen warmup
@@ -267,7 +275,9 @@ object Bench {
     val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = unstable.nonEmpty || resampled.size >= 4
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"resampled":$resampledJson,"contended":$contended,"sf":"$sfDir","failed":${failures.length}}"""
+    val skippedJson = (headline ++ extras).filter(skip)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"resampled":$resampledJson,"contended":$contended,"skipped":$skippedJson,"sf":"$sfDir","failed":${failures.length}}"""
     // also drop the artifact to a file when asked — belt-and-braces for
     // drivers that scrape a log tail instead of clean stdout
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
