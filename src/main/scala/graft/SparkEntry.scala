@@ -179,6 +179,29 @@ object SparkEntry {
           spark.read.parquet(s"$dir/$t.parquet"), tbl, buckets, key)
       spark.table(tbl).createOrReplaceTempView(t)
     }
+    // Temporal-family layout (r11 verdict task 2, measured at 100x:
+    // e_range 0.42x / e_asof 0.51x / e_sessions 0.55x — ProbeRangeLayout):
+    // events bucketed by user_id, sorted (user_id, tus), tus precomputed.
+    // The `events` temp view is NOT repointed (the extra tus column would
+    // change SELECT * shapes); eventsWithTus routes to this table when the
+    // bucketed layout is on.
+    if (!spark.catalog.tableExists("events_tbkt")) {
+      val evBytes = {
+        val f = new java.io.File(s"$dir/events.parquet")
+        if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+      }
+      val evBuckets = math.min(128L, math.max(32L, evBytes / (8L * 1024 * 1024))).toInt
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tus = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      raw.withColumn("tus", tus)
+        .repartition(evBuckets, col("user_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(evBuckets, "user_id").sortBy("user_id", "tus")
+        .saveAsTable("events_tbkt")
+    }
   }
 
   private def m(sql: String): (SparkSession, String) => DataFrame =
@@ -252,12 +275,27 @@ object SparkEntry {
     */
   private def eventsWithTus(s: SparkSession, dir: String): DataFrame = {
     engineFor(s, dir)
-    val e = s.table("events")
-    val tus = e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("unix_micros(cast(ts as timestamp))")
+    val bucketed = s.conf.getOption("graft.layout.bucketed")
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).exists(_.toBoolean)
+    if (bucketed && s.catalog.tableExists("events_tbkt")) {
+      // The user_id-bucketed layout pre-partitions every temporal operator's
+      // shuffle key. Join subset-key elision is additionally gated by
+      // requireAllClusterKeysForCoPartition (default TRUE since Spark 3.3 —
+      // generic skew protection): with the layout on, per-user co-location
+      // IS the contract (skewed users take the salting escape hatch in
+      // ScaleLayout), so turn the gate off for this session. Measured at
+      // 100x: e_range 3.17 -> 1.34 s with both (user_id, __bin) exchanges
+      // elided; e_asof 0.51x, e_sessions 0.55x (ProbeRangeLayout).
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s.table("events_tbkt").drop("ts")
+    } else {
+      val e = s.table("events")
+      val tus = e.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      e.withColumn("tus", tus)
     }
-    e.withColumn("tus", tus)
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

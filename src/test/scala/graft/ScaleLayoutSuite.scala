@@ -67,6 +67,37 @@ class ScaleLayoutSuite extends SparkSpec {
   // the fact views, not just return the cached engine. Before the r11 fix
   // the second `true` below silently kept the plain views (this is what made
   // ProbeBucketScan's interleaved A/B measure plain-vs-plain, ratio 1.0).
+  // r12 (r11 verdict task 2): the temporal-family layout — events bucketed
+  // by user_id with tus precomputed. The range join's two sides must arrive
+  // pre-partitioned (both (user_id, __bin) exchanges elided via subset-key
+  // co-partitioning), and the layout must not change any temporal result.
+  test("bucketed events layout elides the range-join exchanges and preserves results") {
+    val dir = "/root/testdata/sf0.001"
+    val prevReq = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    try {
+      spark.conf.set("graft.layout.bucketed", "false")
+      SparkEntry.engineFor(spark, dir)
+      val plainRows = Seq("e_range", "e_asof", "e_sessions")
+        .map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
+
+      spark.conf.set("graft.layout.bucketed", "true")
+      SparkEntry.engineFor(spark, dir)
+      val df = SparkEntry.queries("e_range")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("events_tbkt"), s"bucketed mode should scan events_tbkt:\n$plan")
+      val joinExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+      assert(joinExchanges == 0,
+        s"bucketed range join still shuffles on (user_id, __bin):\n$plan")
+      for (q <- Seq("e_range", "e_asof", "e_sessions"))
+        assert(rows(SparkEntry.queries(q)(spark, dir)) == plainRows(q),
+          s"$q results differ between layouts")
+    } finally {
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevReq)
+      spark.conf.set("graft.layout.bucketed", "false")
+      SparkEntry.engineFor(spark, dir)
+    }
+  }
+
   test("engineFor repoints fact views when the layout mode toggles back") {
     val dir = "/root/testdata/sf0.001"
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
