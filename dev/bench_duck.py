@@ -8,11 +8,16 @@ Each query runs twice; the faster (steady-state) run is reported.
 
 Env (round-12, for the 1000x window where single DuckDB cells can run for
 many minutes):
-  BENCH_DUCK_RUNS     runs per cell (default 2; min is reported)
-  BENCH_DUCK_TIMEOUT  per-cell seconds; a watchdog calls con.interrupt()
-                      and the cell reports -2.0 ("timeout", excluded from
-                      the total and from pair ratios, listed in
-                      "timeouts")
+  BENCH_DUCK_RUNS      runs per cell (default 2; min is reported)
+  BENCH_DUCK_TIMEOUT   per-cell seconds; a watchdog calls con.interrupt()
+                       and the cell reports -2.0 ("timeout", excluded from
+                       the total and from pair ratios, listed in
+                       "timeouts")
+  BENCH_DUCK_MEMLIMIT  duckdb SET memory_limit (e.g. "48GB"). Without it
+                       DuckDB's default (80% of RAM) let a 1000x cell push
+                       process RSS past the box and the OOM killer took
+                       the whole run; a bounded limit trades spill for
+                       survival.
 """
 import json
 import os
@@ -156,7 +161,10 @@ def main():
     names = sys.argv[3:] or DEFAULT
     oracle = json.load(open(oracle_path))
     con = duckdb.connect()
-    con.execute("SET threads TO 32")
+    con.execute("SET threads TO " + os.environ.get("BENCH_DUCK_THREADS", "32"))
+    ml = os.environ.get("BENCH_DUCK_MEMLIMIT")
+    if ml:
+        con.execute(f"SET memory_limit = '{ml}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet/*.parquet', union_by_name=false)"
@@ -185,8 +193,10 @@ def main():
                 if timer:
                     timer.cancel()
             return time.time() - t0
+        print(f"START {name}", file=sys.stderr, flush=True)
         try:
             out[name] = round(min(once() for _ in range(runs)), 3)
+            print(f"DONE {name}: {out[name]}s", file=sys.stderr, flush=True)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: > {timeout}s", file=sys.stderr)
             out[name] = -2.0
