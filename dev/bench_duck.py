@@ -18,6 +18,12 @@ many minutes):
                        process RSS past the box and the OOM killer took
                        the whole run; a bounded limit trades spill for
                        survival.
+  BENCH_DUCK_SKIP      comma-separated cells to skip (reported in
+                       "skipped"). bench_pair.sh defaults it to
+                       SPARK_GRAFT_SKIP so an engine-skipped cell's twin
+                       is never attempted — at 1000x the d_minhash twin
+                       filled the disk and d_simhash's 16-bit banding
+                       OOMed before this guard existed.
 """
 import json
 import os
@@ -173,9 +179,13 @@ def main():
             else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     runs = max(1, int(os.environ.get("BENCH_DUCK_RUNS", "2")))
     timeout = float(os.environ.get("BENCH_DUCK_TIMEOUT", "0"))
+    skip = {s.strip() for s in os.environ.get("BENCH_DUCK_SKIP", "").split(",") if s.strip()}
     out = {}
     timeouts = []
+    skipped = sorted(skip & set(names))
     for name in names:
+        if name in skip:
+            continue
         sql = LSH_TWIN.get(name) or oracle.get(name)
         if not sql:
             continue
@@ -214,7 +224,7 @@ def main():
                 out[name] = -1.0
     total = round(sum(v for v in out.values() if v >= 0), 3)
     print(json.dumps({"queries": out, "total": total, "sf": sf_dir,
-                      "timeouts": timeouts}))
+                      "timeouts": timeouts, "skipped": skipped}))
 
 
 if __name__ == "__main__":

@@ -48,8 +48,10 @@ if [ ! -f "$ORACLE" ]; then
   ORACLE="$WORK/verify/oracle_sql.json"
 fi
 
-# 3. DuckDB side, same window
-python3 dev/bench_duck.py "$SF_DIR" "$ORACLE" > "$WORK/duck.json"
+# 3. DuckDB side, same window. An engine-skipped cell's twin is skipped
+#    too unless the caller overrides BENCH_DUCK_SKIP explicitly.
+BENCH_DUCK_SKIP="${BENCH_DUCK_SKIP:-${SPARK_GRAFT_SKIP:-}}" \
+  python3 dev/bench_duck.py "$SF_DIR" "$ORACLE" > "$WORK/duck.json"
 
 # 3b. optional bucketed-layout A/B, same window, after the timed sides
 BUCKET_AB_FILE=""
