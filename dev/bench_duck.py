@@ -191,17 +191,40 @@ def main():
             continue
 
         def once():
+            # done-flag guards the interrupt (r12 ADVICE): if the query
+            # finishes just before the Timer fires, timer.cancel() can lose
+            # the race and con.interrupt() would land on an idle connection,
+            # leaving a pending interrupt that aborts the NEXT run — which
+            # would then be misclassified as that cell's timeout.
             timer = None
+            done = threading.Event()
+            fired = [False]
+            gate = threading.Lock()
+
+            def fire():
+                with gate:
+                    if not done.is_set():
+                        fired[0] = True
+                        con.interrupt()
             if timeout > 0:
-                timer = threading.Timer(timeout, con.interrupt)
+                timer = threading.Timer(timeout, fire)
                 timer.daemon = True
                 timer.start()
             t0 = time.time()
             try:
                 con.execute(sql).fetchall()
             finally:
+                with gate:
+                    done.set()
                 if timer:
                     timer.cancel()
+                if fired[0]:
+                    # the interrupt may have landed after completion; drain
+                    # any pending flag so it cannot abort the NEXT run
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
             return time.time() - t0
         print(f"START {name}", file=sys.stderr, flush=True)
         try:

@@ -125,9 +125,25 @@ object Bench {
     //    per partition. This is the knob that must track data, not cores.
     val liBytes = pathBytes(s"$sfDir/lineitem.parquet")
     val bigInput = liBytes > 100L * 1024 * 1024
-    val defaultShuffle =
-      if (bigInput) math.min(256L, math.max(32L, liBytes / (8L * 1024 * 1024))).toString
+    // 1000x-class inputs (multi-GB lineitem) widen the cap to the measured
+    // envelope (r11/r12 windows ran SPARK_GRAFT_SHUFFLE=512 by hand; this
+    // makes the input-scaled default match it — r12 verdict task 6)
+    val thousandX = liBytes > 4L * 1024 * 1024 * 1024
+    val defaultShuffle = {
+      val cap = if (thousandX) 512L else 256L
+      if (bigInput) math.min(cap, math.max(32L, liBytes / (8L * 1024 * 1024))).toString
       else "32"
+    }
+    // Heap-envelope tripwire (r12 verdict task 6): the 1000x window's heavy
+    // cells (SHJ builds, 2M-vector caches) need ~16 GB of driver heap
+    // (PERF.md 1000x envelope). Warn LOUDLY up front and stamp the
+    // artifact instead of OOMing mid-window with no marked cause.
+    val heapGb = Runtime.getRuntime.maxMemory() / (1024.0 * 1024 * 1024)
+    val envNote =
+      if (thousandX && heapGb < 13.5)
+        f"heap ${heapGb}%.1fg below the 16g 1000x envelope - set SPARK_DRIVER_MEM=16g (dev/bench_pair.sh auto-sets it)"
+      else ""
+    if (envNote.nonEmpty) System.err.println(s"[bench] WARNING: $envNote")
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
@@ -277,7 +293,7 @@ object Bench {
     failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
     val skippedJson = (headline ++ extras).filter(skip)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"resampled":$resampledJson,"contended":$contended,"skipped":$skippedJson,"sf":"$sfDir","failed":${failures.length}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"excluded_from_total":$excl,"unstable":$unstableJson,"resampled":$resampledJson,"contended":$contended,"skipped":$skippedJson,"env_note":"$envNote","sf":"$sfDir","failed":${failures.length}}"""
     // also drop the artifact to a file when asked — belt-and-braces for
     // drivers that scrape a log tail instead of clean stdout
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

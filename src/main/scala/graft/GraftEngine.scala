@@ -451,8 +451,43 @@ final class GraftEngine(val spark: SparkSession) {
     * window measures stay materialized, with GROUP BY ALL appended when the
     * view had no GROUP BY (measures.rs:4552-4570).
     */
+  /** Relation names a query references (lowercased last part), CTE-defined
+    * names excluded; subquery expressions included. Parse failures return
+    * empty — the caller's own CREATE will surface the real error.
+    */
+  private def referencedRelations(sql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      val cteNames = plan.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      plan.collectWithSubqueries {
+        case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+      }.toSet -- cteNames
+    } catch { case _: Exception => Set.empty }
+  }
+
   private def registerMeasureView(p: ParsedMeasureView): DataFrame = {
     val tempName = Scan.lastPart(p.viewName)
+    // Measure view over a measure view (r12 verdict task 4): v1's clean
+    // view exposes NULL placeholder columns for its measures, so v2 would
+    // silently aggregate NULLs — a corner the reference corpus never
+    // exercises in either direction (no measures.test view references
+    // another measure view in FROM). Guided error beats silent NULLs.
+    // self-reference under OR REPLACE is the same hazard: the captured old
+    // plan's measure columns are NULL placeholders too
+    val nested = referencedRelations(p.baseRelationSql)
+      .filter(n => catalog.get(n).isDefined)
+    if (nested.nonEmpty)
+      throw new graft.planner.GraftException(
+        s"measure view '${p.viewName}' references measure view" +
+          s" '${nested.head}' in FROM: nesting measure views is not supported" +
+          " (the inner view's measure columns are NULL placeholders outside" +
+          " AGGREGATE()). Query the inner view with AGGREGATE() directly, or" +
+          " materialize it first (CREATE TABLE ... AS SELECT ... AGGREGATE(...))" +
+          " and build the view on the result")
 
     var mv = MeasureView(
       viewName = tempName,

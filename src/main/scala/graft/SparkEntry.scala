@@ -154,8 +154,39 @@ object SparkEntry {
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     registeredMode.put(modeKey, bucketed)
+    // Join subset-key elision gate (r12 ADVICE): the bucketed temporal
+    // layout needs `requireAllClusterKeysForCoPartition=false` (a
+    // user_id-bucketed scan satisfies ClusteredDistribution for a
+    // (user_id, __bin) join only when the subset-key gate is off — measured
+    // 3.6x WORSE without it, PERF.md §0l). Scope it to the MODE, not the
+    // first temporal query: set on entry to bucketed mode, restore the
+    // pre-bucketed value on the toggle back, so plain-arm A/B timings and
+    // later co-partition-eligible joins run under the session's own config.
+    val sessKey = System.identityHashCode(spark).toString
+    if (bucketed) {
+      if (!savedCoPartGate.contains(sessKey))
+        savedCoPartGate.put(sessKey, spark.conf.getOption(
+          "spark.sql.requireAllClusterKeysForCoPartition").getOrElse("true"))
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    } else savedCoPartGate.remove(sessKey).foreach(v =>
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", v))
     engine
   }
+
+  // pre-bucketed-mode value of the co-partition gate, per session — lets
+  // the bucketed->plain toggle restore the user's own setting
+  private val savedCoPartGate = TrieMap.empty[String, String]
+
+  /** Dir-derived suffix for bucketed table names: the warehouse is shared
+    * across sfDirs while the engine cache is keyed by (session, dir), so a
+    * bare name like `events_tbkt` written for one dir would be silently
+    * reused for another — temporal queries would read stale-scale data
+    * with no error (r12 ADVICE). String.hashCode is stable across JVMs, so
+    * re-runs against the same dir still reuse the ingested table.
+    */
+  private def bktSuffix(dir: String): String =
+    "_" + java.lang.Integer.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode & 0x7fffffff)
 
   /** Ingest-or-repoint the bucketed fact tables: write any missing
     * `<fact>_bkt` bucketed table (untimed, like a deployment's write path)
@@ -173,7 +204,7 @@ object SparkEntry {
     }
     val buckets = math.min(128L, math.max(32L, liBytes / (8L * 1024 * 1024))).toInt
     for ((t, key) <- Seq("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")) {
-      val tbl = t + "_bkt"
+      val tbl = t + "_bkt" + bktSuffix(dir)
       if (!spark.catalog.tableExists(tbl))
         graft.ops.ScaleLayout.writeBucketed(
           spark.read.parquet(s"$dir/$t.parquet"), tbl, buckets, key)
@@ -185,7 +216,7 @@ object SparkEntry {
     // The `events` temp view is NOT repointed (the extra tus column would
     // change SELECT * shapes); eventsWithTus routes to this table when the
     // bucketed layout is on.
-    if (!spark.catalog.tableExists("events_tbkt")) {
+    if (!spark.catalog.tableExists("events_tbkt" + bktSuffix(dir))) {
       val evBytes = {
         val f = new java.io.File(s"$dir/events.parquet")
         if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
@@ -200,7 +231,7 @@ object SparkEntry {
         .repartition(evBuckets, col("user_id"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(evBuckets, "user_id").sortBy("user_id", "tus")
-        .saveAsTable("events_tbkt")
+        .saveAsTable("events_tbkt" + bktSuffix(dir))
     }
   }
 
@@ -277,17 +308,17 @@ object SparkEntry {
     engineFor(s, dir)
     val bucketed = s.conf.getOption("graft.layout.bucketed")
       .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).exists(_.toBoolean)
-    if (bucketed && s.catalog.tableExists("events_tbkt")) {
+    if (bucketed && s.catalog.tableExists("events_tbkt" + bktSuffix(dir))) {
       // The user_id-bucketed layout pre-partitions every temporal operator's
       // shuffle key. Join subset-key elision is additionally gated by
       // requireAllClusterKeysForCoPartition (default TRUE since Spark 3.3 —
       // generic skew protection): with the layout on, per-user co-location
       // IS the contract (skewed users take the salting escape hatch in
-      // ScaleLayout), so turn the gate off for this session. Measured at
-      // 100x: e_range 3.17 -> 1.34 s with both (user_id, __bin) exchanges
-      // elided; e_asof 0.51x, e_sessions 0.55x (ProbeRangeLayout).
-      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      s.table("events_tbkt").drop("ts")
+      // ScaleLayout). engineFor flips that gate off for bucketed mode and
+      // restores it on the toggle back. Measured at 100x: e_range
+      // 3.17 -> 1.34 s with both (user_id, __bin) exchanges elided;
+      // e_asof 0.51x, e_sessions 0.55x (ProbeRangeLayout).
+      s.table("events_tbkt" + bktSuffix(dir)).drop("ts")
     } else {
       val e = s.table("events")
       val tus = e.schema("ts").dataType match {
@@ -1003,7 +1034,10 @@ object SparkEntry {
       val d = docs(s, dir)
       val uni = LangModel.unigramCounts(d, minCount = 2)
       val model = LangModel.trainBigramLm(d, uni, minCount = 2)
-      LangModel.scoreBigramLm(d, model, uni).orderBy("doc_id")
+      // auto dispatch: broadcast-probe scorer (zero corpus exchanges) when
+      // the pruned model fits the budget, composed join path otherwise —
+      // fenced bit-identical in LangModelSuite (r12 verdict task 1)
+      LangModel.scoreBigramLmAuto(d, model, uni).orderBy("doc_id")
     }),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)

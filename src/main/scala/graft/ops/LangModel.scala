@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{BigramNllExpr, LmProbe}
 
 /** Language-model perplexity filtering — the CCNet-lineage quality pass
   * (Wenzek et al., arXiv:1911.00359) that scores every corpus document by
@@ -137,5 +140,106 @@ object LangModel {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
         when(col("n_bigrams") > 0L,
           expr("nll_micro div n_bigrams")).as("avg_nll_micro"))
+  }
+
+  /** Zero-exchange scorer: folds the minCount-pruned model into a
+    * broadcast [[LmProbe]] and computes every document's score in ONE
+    * projection over its token array ([[BigramNllExpr]]) — no explode, no
+    * model join, no doc-keyed re-aggregation. Same output as
+    * [[scoreBigramLm]], bit-identical (LangModelSuite fence): every
+    * micronat constant in the probe is computed BY SPARK with the same
+    * `round(log(...) * 1e6)` tree the composed path evaluates, so no
+    * Scala-side rounding can diverge.
+    *
+    * Scale shape (100 TB): the pruned model is the Zipf head — vocabulary-
+    * not corpus-sized — and ships once per executor as a broadcast. The
+    * corpus is touched exactly once, with zero shuffles. Callers gate on
+    * model cardinality ([[scoreBigramLmAuto]]) because a pathological
+    * vocabulary could exceed the broadcast budget; the composed join path
+    * remains the fallback there.
+    */
+  def scoreBigramLmBroadcast(docs: DataFrame, model: DataFrame,
+                             unigrams: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    // V and both floors are SPARK-computed (bit-identity with the composed
+    // path's round(log(..)*1e6) — see scaladoc); V >= 2 guard as in
+    // scoreBigramLm, raised driver-side since V is materialized here anyway
+    val vRow = unigrams.agg(count(lit(1)).as("v"))
+      .select(col("v"),
+        round(log(col("v")) * lit(1e6)).cast("bigint").as("oov"))
+      .collect()(0)
+    val v = vRow.getLong(0)
+    if (v < 2) throw new IllegalArgumentException(
+      s"scoreBigramLm: kept vocabulary size V = $v but the ln(V) " +
+        "out-of-vocab floor needs V >= 2")
+    val oovMicro = vRow.getLong(1)
+    val uniRows = unigrams.select(col("token"),
+        round(log(col("c_uni") + lit(v)) * lit(1e6)).cast("bigint").as("fl"))
+      .collect()
+    val tokens = new Array[String](uniRows.length)
+    val floors = new Array[Long](uniRows.length)
+    val idOf = new java.util.HashMap[String, Int](uniRows.length * 2)
+    var i = 0
+    while (i < uniRows.length) {
+      tokens(i) = uniRows(i).getString(0)
+      floors(i) = uniRows(i).getLong(1)
+      idOf.put(tokens(i), i)
+      i += 1
+    }
+    val modelRows = model
+      .select(col("w1"), col("w2"), (-col("w_micro")).as("contrib"))
+      .collect()
+    val bigramIds = new Array[(Int, Int)](modelRows.length)
+    val contribs = new Array[Long](modelRows.length)
+    i = 0
+    while (i < modelRows.length) {
+      // both words are in the kept vocabulary by model construction
+      bigramIds(i) = (idOf.get(modelRows(i).getString(0)),
+        idOf.get(modelRows(i).getString(1)))
+      contribs(i) = modelRows(i).getLong(2)
+      i += 1
+    }
+    val probe = spark.sparkContext.broadcast(
+      LmProbe(tokens, floors, oovMicro, bigramIds, contribs))
+    docs.select(col(idCol).as("__id"),
+        BigramNllExpr.bigramNll(toks(textCol), probe).as("s"))
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("s.n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s.nll_micro"), lit(0L)).as("nll_micro"),
+        when(col("s.n_bigrams") > 0L,
+          expr("s.nll_micro div s.n_bigrams")).as("avg_nll_micro"))
+  }
+
+  /** Scorer dispatch: broadcast-probe when the pruned model fits the
+    * broadcast budget (`graft.lm.broadcastMaxRows`, default 8M bigrams —
+    * ~256 MB of probe tables at load 0.5, well under a production
+    * executor's broadcast headroom), composed join path otherwise. The
+    * model and vocabulary frames are persisted across the cardinality
+    * check and probe build so the corpus-sized training passes run once.
+    */
+  def scoreBigramLmAuto(docs: DataFrame, model: DataFrame,
+                        unigrams: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRows = spark.conf.getOption("graft.lm.broadcastMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+    val uniP = unigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    val modelP = model.persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = modelP.count()
+    if (rows <= maxRows) {
+      try scoreBigramLmBroadcast(docs, modelP, uniP, textCol, idCol)
+      finally { modelP.unpersist(false); uniP.unpersist(false) }
+    } else {
+      // fallback = the composed path exactly as before (plus the one
+      // cardinality pass); drop the cache so an over-budget model's blocks
+      // don't pin executor memory across the scoring job
+      modelP.unpersist(false)
+      uniP.unpersist(false)
+      scoreBigramLm(docs, modelP, uniP, textCol, idCol)
+    }
   }
 }

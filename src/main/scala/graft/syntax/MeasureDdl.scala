@@ -313,6 +313,48 @@ object MeasureDdl {
     val allNames = branchRaw
       .flatMap(_._3.collect { case Some((_, n)) => n.toLowerCase }).toSet
     if (allNames.isEmpty) return None
+    // Measure-sorted row cut (r12 ADVICE): the base relation nulls every
+    // measure slot, so a whole-set-op ORDER BY naming a measure sorts
+    // CAST(NULL AS INT) there — with a LIMIT/OFFSET the base row cut is
+    // NULL-ordered/nondeterministic and can diverge from the clean view's
+    // visible rows, silently recomputing AGGREGATE() over a different
+    // multiset. Guided error, like the nested-set-op case.
+    if (setOpTail.nonEmpty) {
+      val tm = Scan.buildMask(setOpTail)
+      val oPos = Scan.findTopLevelWord(setOpTail, tm, "ORDER", 0, setOpTail.length)
+      val cutPos = Seq("LIMIT", "OFFSET")
+        .map(k => Scan.findTopLevelWord(setOpTail, tm, k, 0, setOpTail.length))
+        .filter(_ >= 0).sorted.headOption
+      if (oPos >= 0 && cutPos.exists(_ > oPos)) {
+        val orderText = setOpTail.substring(oPos, cutPos.get)
+        val om = Scan.buildMask(orderText)
+        // bare positional ordinals resolve against the first branch's
+        // select list — an ordinal landing on a measure slot is the same
+        // NULL-sorted cut
+        val measureSlots = branchRaw.head._3.zipWithIndex
+          .collect { case (Some((_, n)), i) => (i + 1) -> n }.toMap
+        val ordinalHit = orderText.toUpperCase.stripPrefix("ORDER").trim
+          .stripPrefix("BY").split(",").iterator.map(_.trim)
+          .flatMap { seg =>
+            val head = seg.takeWhile(_.isDigit)
+            if (head.nonEmpty && (head == seg ||
+                seg.substring(head.length).headOption.exists(_.isWhitespace)))
+              measureSlots.get(head.toInt)
+            else None
+          }.toSeq.headOption
+        val measureInOrder = Scan.identifiers(orderText, om, 0, orderText.length)
+          .map(t => Scan.lastPart(t._1).toLowerCase).find(allNames.contains)
+          .orElse(ordinalHit.map(_.toLowerCase))
+        measureInOrder.foreach { m =>
+          throw new graft.planner.GraftException(
+            s"ORDER BY on measure '$m' combined with LIMIT/OFFSET across a whole " +
+              "set-operation measure view is not supported: the view's base relation " +
+              "carries NULL measure slots, so the row cut would be NULL-ordered and " +
+              "could diverge from the visible rows. Sort on a dimension column, or " +
+              "materialize the query with CTAS and LIMIT over the result")
+        }
+      }
+    }
     val branches = branchRaw.map { case (op, c, rawItems, wrapped) =>
       val items: Seq[Either[String, ViewMeasure]] =
         c.selectItems.zip(rawItems).map {

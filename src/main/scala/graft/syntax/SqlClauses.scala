@@ -146,7 +146,7 @@ object SqlClauses {
             e = j + mod.length
             hasMod = true
           }
-        val selectListForm = kw == "EXCEPT" && !hasMod && isColumnListParen(stmt, e)
+        val selectListForm = kw == "EXCEPT" && !hasMod && isColumnListParen(stmt, mask, e)
         if (!selectListForm) ops += ((p, e, stmt.substring(p, e)))
         from = e
         p = Scan.findTopLevelWord(stmt, mask, kw, from, stmt.length)
@@ -159,12 +159,17 @@ object SqlClauses {
     * group whose content is a column list rather than a query — the next
     * keyword through any nested opening parens is not a query starter.
     */
-  private def isColumnListParen(stmt: String, from: Int): Boolean = {
+  private def isColumnListParen(stmt: String, mask: Array[Boolean], from: Int): Boolean = {
+    // mask-covered positions (comments, strings, quoted identifiers) are
+    // skipped at BOTH hops — `EXCEPT (/* note */ SELECT …)` is a genuine
+    // set operation whose starter hides behind a comment, and
+    // `* EXCEPT /* c */ (col)` is still the select-list form (r12 ADVICE)
     var j = from
-    while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+    while (j < stmt.length && (mask(j) || stmt.charAt(j).isWhitespace)) j += 1
     if (j >= stmt.length || stmt.charAt(j) != '(') return false
     var k = j + 1
-    while (k < stmt.length && (stmt.charAt(k).isWhitespace || stmt.charAt(k) == '(')) k += 1
+    while (k < stmt.length &&
+           (mask(k) || stmt.charAt(k).isWhitespace || stmt.charAt(k) == '(')) k += 1
     val starters = Seq("SELECT", "WITH", "VALUES", "TABLE", "FROM")
     !starters.exists(w => stmt.regionMatches(true, k, w, 0, w.length) &&
       (k + w.length >= stmt.length || !Scan.isIdentChar(stmt.charAt(k + w.length))))

@@ -8,19 +8,44 @@ import org.apache.spark.sql.functions._
   * keys (so join fan-out and key cardinalities scale with the data), the
   * small dimension tables and the text/embedding corpora are copied as-is.
   *
-  * Usage: runMain graft.tools.GenScaled [srcDir] [dstDir] [copies]
+  * Usage: runMain graft.tools.GenScaled [srcDir] [dstDir] [copies] [docMode]
+  *
+  * docMode (r12 verdict task 2):
+  *   legacy       (default) every doc copy is a suffix-only near-duplicate
+  *                — families grow with `copies` (and compound across
+  *                chained runs), which at 1000x yields 1000-member
+  *                families and a ~2.5B-row true pair set. Kept for
+  *                reproducing the existing bench_sf10/bench_sf100 dirs.
+  *   bounded      realistic duplicate structure: every 10th base doc gets
+  *                a bounded family (5 suffix near-dup copies); all other
+  *                copies are content-shifted (a marker token spliced every
+  *                4th word breaks ~3/4 of the 3-word shingles, Jaccard
+  *                ~0.14 « 0.7) so they are near-dups of NOTHING. True-pair
+  *                cardinality grows LINEARLY in corpus size — the web-crawl
+  *                shape, not the compounding artifact.
+  *   bounded-docs-only   bounded, but writes ONLY documents.parquet (for a
+  *                dedup-probe dir whose other tables are symlinked).
   */
 object GenScaled {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/bench_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val docMode = args.lift(3).getOrElse("legacy")
+    val docsOnly = docMode == "bounded-docs-only"
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .master("local[16]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (docsOnly) {
+      writeDocs(spark, src, dst, copies, bounded = true)
+      println(s"scaled $copies x (docs only, bounded families) from $src to $dst")
+      spark.stop()
+      return
+    }
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -42,17 +67,8 @@ object GenScaled {
 
     // the pipeline corpora scale too (r5 verdict: leaving them at sf0.1
     // made the 100x d_*/t_*/s_* numbers measure scheduling floor, not
-    // scaling). Documents get lightly-MUTATED copies — per-copy suffix
-    // token, so copies are near (not exact) duplicates and the dedup
-    // workload stays honest: true clustering = n0 families of `copies`.
-    val docs0 = spark.read.parquet(s"$src/documents.parquet")
-    val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until copies).map { i =>
-      docs0.withColumn("doc_id", col("doc_id") + lit(i * docOff))
-        .withColumn("text", concat(col("text"), lit(s" copytag$i")))
-        .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length.toLong))
-    }.reduce(_ union _)
-      .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // scaling). See docMode scaladoc for the two duplicate structures.
+    writeDocs(spark, src, dst, copies, bounded = docMode == "bounded")
 
     // embeddings: shifted ids + deterministic per-dimension jitter (breaks
     // exact-duplicate ties without moving vectors off their label cluster)
@@ -85,5 +101,42 @@ object GenScaled {
     }
     println(s"scaled $copies x from $src to $dst")
     spark.stop()
+  }
+
+  /** Scale documents.parquet by `copies`. Legacy: every copy is a suffix
+    * near-dup (families of `copies`). Bounded: copy 0 keeps the original
+    * text verbatim; copies 1-4 of every 10th base doc are suffix near-dups
+    * (families of 5, linear true-pair growth); every other copy splices a
+    * (doc, copy)-unique marker token after every 4th word — 3-shingle
+    * Jaccard vs any sibling ~0.14, far below the 0.7 near-dup threshold.
+    */
+  private def writeDocs(spark: SparkSession, src: String, dst: String,
+                        copies: Int, bounded: Boolean): Unit = {
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      val base = docs0.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+      if (!bounded) {
+        base.withColumn("text", concat(col("text"), lit(s" copytag$i")))
+          .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length.toLong))
+      } else if (i == 0) {
+        base // originals, verbatim
+      } else {
+        val famDup = col("doc_id") % lit(docOff) % 10 === 0 && lit(i) < 5
+        val nearText = concat(col("text"), lit(s" copytag$i"))
+        // marker spliced after every 4th word, unique per (base doc, copy):
+        // breaks enough shingles that non-family copies match nothing
+        val markerSql =
+          s"concat(' u', CAST(doc_id % $docOff AS STRING), 'x$i')"
+        val shifted = expr(
+          "array_join(transform(split(text, ' '), (w, j) -> " +
+            s"IF(j % 4 = 3, concat(w, $markerSql), w)), ' ')")
+        base
+          .withColumn("text", when(famDup, nearText).otherwise(shifted))
+          .withColumn("n_chars", length(col("text")).cast(
+            docs0.schema("n_chars").dataType))
+      }
+    }.reduce(_ union _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 }

@@ -72,14 +72,22 @@ object ProbeLm {
     }
 
     val slim = model.select(col("w1"), col("w2"), col("w_micro"))
-    val variants = Seq(
-      "A_shuffle_hash" -> score(slim.hint("shuffle_hash")),
-      "B_no_hint" -> score(slim),
-      "C_broadcast" -> score(broadcast(slim)))
-    for ((name, df) <- variants) {
+    // thunks, not frames: scoreBigramLmAuto runs eager driver actions
+    // (model count + probe collects) at CONSTRUCTION — timing must cover
+    // frame construction plus execution for every variant equally
+    val variants = Seq[(String, () => DataFrame)](
+      "A_shuffle_hash" -> (() => score(slim.hint("shuffle_hash"))),
+      "B_no_hint" -> (() => score(slim)),
+      "C_broadcast" -> (() => score(broadcast(slim))),
+      // r13: the zero-exchange probe path (BigramNllExpr) — one corpus
+      // projection, model folded into a broadcast map, no explode/join/
+      // regroup. Auto keeps the join fallback for over-budget models.
+      "D_probe_auto" -> (() => graft.ops.LangModel
+        .scoreBigramLmAuto(docs, model, uni)))
+    for ((name, mk) <- variants) {
       for (run <- 1 to 2) {
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
         println(f"LM $name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -45,6 +45,11 @@ class FuzzBatchSuite extends SparkSpec {
   // layers) — fails the batch through the guided GraftException path, so the
   // snapshot restore is exercised against the branch-aware DDL
   case object FailSetOpCreate extends Op
+  // axis 11: grand-total consume. Over a plain/set-op view it materializes
+  // one row; over a WINDOW-measure view the AT (ALL) context holds two
+  // distinct per-k window values, so the single-value guard raises and the
+  // batch rolls back — the window × set-op × batch cross.
+  case class ConsumeAtAll(name: String, table: String) extends Op
 
   /** View body by style. The set-op styles (1-3) partition fzbatch_src by a
     * branch predicate so the union OUTPUT multiset equals the source rows —
@@ -60,10 +65,22 @@ class FuzzBatchSuite extends SparkSpec {
       s"UNION ALL (SELECT k, v, NULL FROM fzbatch_src WHERE k <> 1)"
     // measure declared in the SECOND branch + whole-set-op ORDER BY/LIMIT
     // tail (LIMIT = full size, a semantic no-op that exercises the wrap)
-    case _ => s"SELECT k, v, NULL AS mv FROM fzbatch_src WHERE k = 1 " +
+    case 3 => s"SELECT k, v, NULL AS mv FROM fzbatch_src WHERE k = 1 " +
       s"UNION ALL SELECT k, v, SUM(v * $mult) AS MEASURE mv FROM fzbatch_src WHERE k <> 1 " +
       s"ORDER BY k, v LIMIT ${baseRows.size}"
+    // axis 11 window styles: the per-k window value equals sums(k)*mult on
+    // every row, so grouped consumes answer the SAME values as styles 0-3
+    // (single-valued guard passes); only AT (ALL) diverges (guard raises).
+    case 4 => s"SELECT k, v, SUM(v * $mult) OVER (PARTITION BY k) AS MEASURE mv " +
+      "FROM fzbatch_src"
+    // window measure inside a set-op branch: the frame recomputes the
+    // window over the union OUTPUT (both branches' rows)
+    case _ => s"SELECT k, v, SUM(v * $mult) OVER (PARTITION BY k) AS MEASURE mv " +
+      "FROM fzbatch_src WHERE k = 1 " +
+      "UNION ALL SELECT k, v, NULL FROM fzbatch_src WHERE k <> 1"
   }
+
+  private def isWindowStyle(style: Int): Boolean = style >= 4
 
   private def render(op: Op): String = op match {
     case CreateTemp(n, m, st) => s"CREATE TEMPORARY VIEW $n AS ${body(m, st)}"
@@ -76,6 +93,7 @@ class FuzzBatchSuite extends SparkSpec {
     case FailSetOpCreate =>
       "CREATE TEMPORARY VIEW fzb_bad AS ((SELECT k, v, SUM(v) AS MEASURE mv FROM fzbatch_src) " +
         "LIMIT 2) UNION ALL SELECT k, v, NULL FROM fzbatch_src"
+    case ConsumeAtAll(n, t) => s"CREATE TABLE $t AS SELECT AGGREGATE(mv) AT (ALL) AS s FROM $n"
   }
 
   /** Model state during a batch (engine-eager visibility). */
@@ -85,24 +103,40 @@ class FuzzBatchSuite extends SparkSpec {
     def active(n: String): Option[Int] = temp.get(n).orElse(perm.get(n))
   }
 
-  private def runBatchCase(rnd: Random, caseN: Int, setOpAxis: Boolean = false): Unit = {
-    val caseId = if (setOpAxis) s"batch-setop case=$caseN" else s"batch case=$caseN"
-    // axis 10 draws set-op bodies for most creates (style 1-3); axis 4 keeps
-    // the plain body so its 100 pinned seeds stay byte-identical
-    def style(): Int = if (setOpAxis && rnd.nextInt(4) > 0) 1 + rnd.nextInt(3) else 0
+  private def runBatchCase(rnd: Random, caseN: Int, setOpAxis: Boolean = false,
+                           windowAxis: Boolean = false): Unit = {
+    val caseId =
+      if (windowAxis) s"batch-window case=$caseN"
+      else if (setOpAxis) s"batch-setop case=$caseN" else s"batch case=$caseN"
+    // axis 10 draws set-op bodies for most creates (style 1-3); axis 11
+    // adds the window styles (4-5) to the mix; axis 4 keeps the plain body
+    // so its 100 pinned seeds stay byte-identical
+    def style(): Int =
+      if (windowAxis) rnd.nextInt(6)
+      else if (setOpAxis && rnd.nextInt(4) > 0) 1 + rnd.nextInt(3) else 0
     // reset universe (each sql() call is its own single-statement batch)
     for (n <- names) engine.sql(s"DROP VIEW IF EXISTS $n")
+    // definition STYLE per live name, tracked alongside St (the value model
+    // is style-independent; style only decides whether AT (ALL) raises)
+    val permStyle = scala.collection.mutable.Map[String, Int]()
+    val tempStyle = scala.collection.mutable.Map[String, Int]()
+    def activeStyle(n: String): Option[Int] = tempStyle.get(n).orElse(permStyle.get(n))
     val preBatch: Map[String, Int] = Map(
       "fzb_p1" -> (1 + rnd.nextInt(5)), "fzb_p2" -> (1 + rnd.nextInt(5)))
-    for ((n, m) <- preBatch)
-      engine.sql(s"CREATE VIEW $n AS ${body(m, style())}")
+    for ((n, m) <- preBatch) {
+      val st0 = style()
+      permStyle(n) = st0
+      engine.sql(s"CREATE VIEW $n AS ${body(m, st0)}")
+    }
     val snapshotKeys = engine.catalog.snapshot().keySet
 
     // ---- generate a batch
     var st = St(preBatch, Map.empty, Set.empty, Set.empty, selectRef = false, Set.empty)
     val ops = scala.collection.mutable.ListBuffer[Op]()
-    val ctasExpected = scala.collection.mutable.ListBuffer[(String, Int)]() // (table, mult)
+    // (table, mult, grand): grand = AT (ALL) one-row output
+    val ctasExpected = scala.collection.mutable.ListBuffer[(String, Int, Boolean)]()
     var failed = false
+    var windowGuardFail = false
     var tableN = 0
     val nOps = 3 + rnd.nextInt(4)
     while (ops.size < nOps && !failed) {
@@ -118,7 +152,15 @@ class FuzzBatchSuite extends SparkSpec {
           if (cands.isEmpty) None
           else {
             tableN += 1
-            Some(ConsumeCtas(cands(rnd.nextInt(cands.size)), s"fz_out_${caseN}_$tableN"))
+            val pick = cands(rnd.nextInt(cands.size))
+            // axis-unique prefix: a guard-failing AT (ALL) CTAS is not in
+            // ctasExpected, so its name must never collide with another
+            // axis's leftover table
+            val tbl = if (windowAxis) s"fz_w${caseN}_$tableN" else s"fz_out_${caseN}_$tableN"
+            // axis 11: a third of consumes are grand-total AT (ALL) —
+            // the window × single-value-guard cross
+            if (windowAxis && rnd.nextInt(3) == 0) Some(ConsumeAtAll(pick, tbl))
+            else Some(ConsumeCtas(pick, tbl))
           }
         } else if (roll < 72) {
           val cands = names.filter(n => st.temp.contains(n) || st.perm.contains(n))
@@ -143,9 +185,10 @@ class FuzzBatchSuite extends SparkSpec {
       op.foreach { o =>
         ops += o
         o match {
-          case CreateTemp(n, m, _) =>
+          case CreateTemp(n, m, s0) =>
             st = st.copy(temp = st.temp + (n -> m), created = st.created + n)
-          case CreatePerm(n, m, _) =>
+            tempStyle(n) = s0
+          case CreatePerm(n, m, s0) =>
             // on a temp-shadowed name the perm re-create consumes the temp's
             // slot: the temp is gone (no reveal at drop/batch-end, no
             // unconsumed-temp error — same life-end as a bare DROP) and the
@@ -153,18 +196,31 @@ class FuzzBatchSuite extends SparkSpec {
             st = st.copy(perm = st.perm + (n -> m),
               temp = st.temp - n, created = st.created - n,
               permDroppedInBatch = st.permDroppedInBatch - n)
+            tempStyle.remove(n); permStyle(n) = s0
           case DropView(n) =>
             if (st.temp.contains(n)) {
               // mid-batch reveal: the shadowed permanent serves the rest of
               // the batch unless main.-dropped earlier
               st = st.copy(temp = st.temp - n, created = st.created - n,
                 perm = if (st.permDroppedInBatch.contains(n)) st.perm - n else st.perm)
-            } else st = st.copy(perm = st.perm - n)
+              tempStyle.remove(n)
+              if (st.permDroppedInBatch.contains(n)) permStyle.remove(n)
+            } else { st = st.copy(perm = st.perm - n); permStyle.remove(n) }
           case DropMain(n) =>
             st = st.copy(perm = st.perm - n, permDroppedInBatch = st.permDroppedInBatch + n)
+            permStyle.remove(n)
           case ConsumeCtas(n, t) =>
-            ctasExpected += ((t, st.active(n).get))
+            ctasExpected += ((t, st.active(n).get, false))
             if (st.temp.contains(n)) st = st.copy(consumed = st.consumed + n)
+          case ConsumeAtAll(n, t) =>
+            if (isWindowStyle(activeStyle(n).get)) {
+              // AT (ALL) context carries both per-k window values — the
+              // single-value guard raises at execution, failing the batch
+              failed = true; windowGuardFail = true
+            } else {
+              ctasExpected += ((t, st.active(n).get, true))
+              if (st.temp.contains(n)) st = st.copy(consumed = st.consumed + n)
+            }
           case PlainSelect(n) =>
             if (st.temp.contains(n)) st = st.copy(selectRef = true)
           case FailStmt | FailSetOpCreate => failed = true
@@ -175,7 +231,13 @@ class FuzzBatchSuite extends SparkSpec {
     val unconsumed = (st.created & st.temp.keySet).diff(st.consumed)
     val expectError = failed || st.selectRef || unconsumed.nonEmpty
 
-    for ((t, _) <- ctasExpected) {
+    // pre-drop EVERY table the batch will CREATE (including one whose CTAS
+    // is expected to fail mid-execution and so is absent from ctasExpected)
+    val tablesUsed = ops.collect {
+      case ConsumeCtas(_, t) => t
+      case ConsumeAtAll(_, t) => t
+    }
+    for (t <- tablesUsed) {
       engine.sql(s"DROP TABLE IF EXISTS $t")
       try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Exception => }
     }
@@ -186,6 +248,11 @@ class FuzzBatchSuite extends SparkSpec {
       if (!failed)
         assert(e.getMessage.contains("TEMPORARY AS MEASURE"),
           s"\n[$caseId] expected temp-consumption error\nbatch:\n$batchSql\ngot: ${e.getMessage}")
+      else if (windowGuardFail)
+        // the failing statement is always last (generation stops at the
+        // first failure), so the surfaced error IS the guard's
+        assert(e.getMessage.contains("not single-valued"),
+          s"\n[$caseId] expected window single-value guard\nbatch:\n$batchSql\ngot: ${e.getMessage}")
       // rollback contract: the measure catalog is exactly the pre-batch set
       assert(engine.catalog.snapshot().keySet == snapshotKeys,
         s"\n[$caseId] catalog not restored after failure\nbatch:\n$batchSql")
@@ -199,12 +266,19 @@ class FuzzBatchSuite extends SparkSpec {
     // permanents restored
     for (n <- names) checkView(caseId, batchSql, n, st.perm.get(n))
     // CTAS outputs reflect the definition active at the consuming statement
-    for ((t, m) <- ctasExpected) {
-      val got = rows(engine.sql(s"SELECT k, s FROM $t"))
-      val want = sums.toSeq.map { case (k, s) => Seq(k.toString, (s * m).toString) }
-        .sortBy(_.mkString(""))
-      assert(got == want, s"\n[$caseId] CTAS $t mismatch (mult $m)\nbatch:\n$batchSql\n" +
-        s"got: $got\nwant: $want")
+    for ((t, m, grand) <- ctasExpected) {
+      if (grand) {
+        val got = rows(engine.sql(s"SELECT s FROM $t"))
+        val want = Seq(Seq((sums.values.sum * m).toString))
+        assert(got == want, s"\n[$caseId] AT(ALL) CTAS $t mismatch (mult $m)\n" +
+          s"batch:\n$batchSql\ngot: $got\nwant: $want")
+      } else {
+        val got = rows(engine.sql(s"SELECT k, s FROM $t"))
+        val want = sums.toSeq.map { case (k, s) => Seq(k.toString, (s * m).toString) }
+          .sortBy(_.mkString(""))
+        assert(got == want, s"\n[$caseId] CTAS $t mismatch (mult $m)\nbatch:\n$batchSql\n" +
+          s"got: $got\nwant: $want")
+      }
     }
   }
 
@@ -252,6 +326,26 @@ class FuzzBatchSuite extends SparkSpec {
     while (i < 60) {
       if (i % 15 == 0) rnd.setSeed(seed + i)
       runBatchCase(rnd, i, setOpAxis = true)
+      i += 1
+    }
+  }
+
+  // axis 11 (r12 verdict task 5): WINDOW measures × set-op view bases ×
+  // batch semantics. View bodies mix the plain, set-op and window styles
+  // (including a window measure declared inside a set-op branch); a third
+  // of consumes are grand-total AT (ALL), which over a window view must
+  // fail the batch through the single-value guard and roll the catalog
+  // back — the guard, the frame evaluator, and the snapshot contract
+  // crossed in one state machine.
+  test("differential fuzz: 100 batch scripts crossing window measures, set-op views and batches") {
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW fzbatch_src AS SELECT * FROM VALUES " +
+      baseRows.map { case (k, v) => s"($k, $v)" }.mkString(", ") + " AS t(k, v)")
+    val seed = 20261003
+    val rnd = new Random(seed)
+    var i = 0
+    while (i < 100) {
+      if (i % 15 == 0) rnd.setSeed(seed + i)
+      runBatchCase(rnd, i, setOpAxis = true, windowAxis = true)
       i += 1
     }
   }

@@ -88,6 +88,48 @@ class LangModelSuite extends SparkSpec {
       s"fluent ${s(1L)} must score below out-of-vocab ${s(2L)}")
   }
 
+  test("broadcast-probe scorer is bit-identical to the composed path") {
+    // the r12 verdict task-1 fence: the zero-exchange BigramNllExpr path
+    // must reproduce the composed explode+join+regroup path CELL FOR CELL
+    // — on the real corpus AND on the edge shapes (empty text, whitespace-
+    // only, single token, pure-OOV, \x0B tokenizer corner, null text,
+    // surrogate-pair unicode)
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val corpus = LangModel.scoreBigramLm(docs, model, uni)
+    val corpusB = LangModel.scoreBigramLmBroadcast(docs, model, uni)
+    assert(rows(corpus) == rows(corpusB), "corpus scores must be identical")
+
+    val edges = Seq[(java.lang.Long, String)](
+      (1L, ""), (2L, "   "), (3L, "solo"), (4L, "zzqq zzqq zzqq"),
+      (5L, "ab c"), (6L, null), (7L, "😀 the 😀"),
+      (8L, "the the the of of a")).toDF("doc_id", "text")
+    val e1 = rows(LangModel.scoreBigramLm(edges, model, uni))
+    val e2 = rows(LangModel.scoreBigramLmBroadcast(edges, model, uni))
+    assert(e1 == e2, s"edge-doc scores diverged:\n$e1\nvs\n$e2")
+  }
+
+  test("auto dispatch: budget=0 falls back to the composed join path") {
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val want = rows(LangModel.scoreBigramLm(docs, model, uni))
+    spark.conf.set("graft.lm.broadcastMaxRows", "0")
+    try assert(rows(LangModel.scoreBigramLmAuto(docs, model, uni)) == want)
+    finally spark.conf.unset("graft.lm.broadcastMaxRows")
+    assert(rows(LangModel.scoreBigramLmAuto(docs, model, uni)) == want,
+      "default budget (broadcast path) must match too")
+  }
+
+  test("broadcast scorer raises on degenerate vocabulary (V < 2)") {
+    val d = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(d, minCount = 1) // V = 1
+    val model = LangModel.trainBigramLm(d, uni, minCount = 1)
+    val ex = intercept[IllegalArgumentException] {
+      LangModel.scoreBigramLmBroadcast(d, model, uni).collect()
+    }
+    assert(ex.getMessage.contains("V >= 2"))
+  }
+
   test("scores are partition-count invariant and NLLs non-negative") {
     val uni = LangModel.unigramCounts(docs, minCount = 2)
     val model = LangModel.trainBigramLm(docs, uni, minCount = 2)

@@ -921,4 +921,105 @@ class SemanticsSuite extends SparkSpec {
       "CREATE VIEW bad_d_v AS SELECT order_date AS `Order Date`, SUM(amount) AS MEASURE t FROM daily_orders"))
     assert(e2.getMessage.contains("not a plain identifier"), e2.getMessage)
   }
+
+  // round-13 (r12 verdict task 4): measure view over a measure view —
+  // never exercised by the reference corpus in either direction; the inner
+  // view's clean form exposes NULL measure placeholders, so silence would
+  // mean silently aggregating NULLs. Pinned as a guided error.
+  test("measure view over a measure view raises a guided error") {
+    engine.sql("CREATE OR REPLACE VIEW nv1 AS SELECT order_date, " +
+      "SUM(amount) AS MEASURE rev FROM daily_orders")
+    val e = intercept[GraftException](engine.sql(
+      "CREATE VIEW nv2 AS SELECT order_date, SUM(rev) AS MEASURE rev2 FROM nv1"))
+    assert(e.getMessage.contains("nesting measure views"), e.getMessage)
+    // the inner view is untouched and still queryable
+    checkGolden(engine.sql("SELECT AGGREGATE(rev) AS v FROM nv1"), "840")
+    // self-reference under OR REPLACE captures the OLD view's NULL
+    // placeholders — same hazard, same error
+    val e2 = intercept[GraftException](engine.sql(
+      "CREATE OR REPLACE VIEW nv1 AS SELECT order_date, SUM(rev) AS MEASURE rev FROM nv1"))
+    assert(e2.getMessage.contains("nesting measure views"), e2.getMessage)
+    // a CTE that merely SHADOWS a measure-view name is not a reference
+    engine.sql("CREATE OR REPLACE VIEW nv3 AS WITH nv1 AS " +
+      "(SELECT * FROM daily_orders) SELECT order_date, SUM(amount) AS MEASURE r3 FROM nv1")
+    checkGolden(engine.sql("SELECT AGGREGATE(r3) AS v FROM nv3"), "840")
+    // a PLAIN (non-measure) view over a measure view stays passthrough —
+    // reference behavior: measure columns read as NULL placeholders there
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW nv_plain AS SELECT order_date FROM nv1")
+    checkGolden(engine.sql("SELECT COUNT(*) AS c FROM nv_plain"), "6")
+    engine.sql("DROP VIEW nv3"); engine.sql("DROP VIEW nv1")
+  }
+
+  // round-13 (r12 ADVICE): a whole-set-op ORDER BY naming a measure plus a
+  // LIMIT/OFFSET would cut base-relation rows by NULL-ordered slots —
+  // guided error; dimension sorts and cut-free measure sorts stay allowed
+  test("set-op view: measure-sorted LIMIT raises; dim sort and cut-free sort work") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sot_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 10.0), ('y', 20.0), ('x', 10.0) AS t(g, amt)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sot_b AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt FROM VALUES ('x', 5.0), ('z', 7.0) AS t(g, amt)""".stripMargin)
+    val e = intercept[GraftException](engine.sql(
+      """CREATE OR REPLACE VIEW sot_bad AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM sot_a
+        |UNION ALL SELECT g, amt, NULL FROM sot_b
+        |ORDER BY rev DESC LIMIT 2""".stripMargin))
+    assert(e.getMessage.contains("NULL-ordered"), e.getMessage)
+    // bare positional ordinal landing on the measure slot: same cut
+    val e2 = intercept[GraftException](engine.sql(
+      """CREATE OR REPLACE VIEW sot_bad AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM sot_a
+        |UNION ALL SELECT g, amt, NULL FROM sot_b
+        |ORDER BY 3 DESC LIMIT 2""".stripMargin))
+    assert(e2.getMessage.contains("NULL-ordered"), e2.getMessage)
+    // dimension-sorted LIMIT: well-defined on both renders
+    engine.sql(
+      """CREATE OR REPLACE VIEW sot_dim AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM sot_a
+        |UNION ALL SELECT g, amt, NULL FROM sot_b
+        |ORDER BY amt DESC, g LIMIT 3""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM sot_dim GROUP BY g ORDER BY g"),
+      """x	20
+        |y	20""".stripMargin)
+    // measure-sorted WITHOUT a row cut: order never changes the multiset
+    engine.sql(
+      """CREATE OR REPLACE VIEW sot_os AS
+        |SELECT g, amt, SUM(amt) AS MEASURE rev FROM sot_a
+        |UNION ALL SELECT g, amt, NULL FROM sot_b
+        |ORDER BY rev DESC""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM sot_os GROUP BY g ORDER BY g"),
+      """x	25
+        |y	20
+        |z	7""".stripMargin)
+    engine.sql("DROP VIEW sot_dim"); engine.sql("DROP VIEW sot_os")
+  }
+
+  // round-13 (r12 ADVICE): comment/string mask in the select-list-EXCEPT
+  // classifier — both directions
+  test("comments around EXCEPT parens classify correctly") {
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW soc_a AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt, 1 AS junk FROM VALUES ('x', 10.0), ('y', 20.0), ('x', 10.0) AS t(g, amt)""".stripMargin)
+    engine.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW soc_b AS
+        |SELECT g, CAST(amt AS DOUBLE) AS amt, 1 AS junk FROM VALUES ('x', 10.0), ('z', 7.0) AS t(g, amt)""".stripMargin)
+    // genuine set op whose branch SELECT hides behind a comment inside the
+    // paren: must still split (was misread as the select-list form).
+    // EXCEPT distinct: {(x,10,1),(y,20,1)} minus {(x,10,1),(z,7,1)} = 1 row
+    engine.sql(
+      """CREATE OR REPLACE VIEW soc_ev AS
+        |SELECT g, amt, junk, COUNT(*) AS MEASURE n FROM soc_a
+        |EXCEPT (/* right branch */ SELECT g, amt, junk, NULL FROM soc_b)""".stripMargin)
+    checkGolden(engine.sql("SELECT AGGREGATE(n) AS c FROM soc_ev"), "1")
+    checkGolden(engine.sql("SELECT g FROM soc_ev"), "y")
+    // select-list form with a comment before the paren: must NOT split
+    engine.sql(
+      """CREATE OR REPLACE VIEW soc_xv AS
+        |SELECT * EXCEPT /* drop marker */ (junk), SUM(amt) AS MEASURE rev FROM soc_a""".stripMargin)
+    checkGolden(engine.sql("SELECT g, AGGREGATE(rev) AS v FROM soc_xv GROUP BY g ORDER BY g"),
+      """x	20
+        |y	20""".stripMargin)
+    engine.sql("DROP VIEW soc_ev"); engine.sql("DROP VIEW soc_xv")
+  }
 }
