@@ -1030,15 +1030,12 @@ object SparkEntry {
       val uni = LangModel.unigramCounts(d, minCount = 2)
       LangModel.trainBigramLm(d, uni, minCount = 2).orderBy("w1", "w2")
     }),
-    "t_lm_score" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val uni = LangModel.unigramCounts(d, minCount = 2)
-      val model = LangModel.trainBigramLm(d, uni, minCount = 2)
-      // auto dispatch: broadcast-probe scorer (zero corpus exchanges) when
-      // the pruned model fits the budget, composed join path otherwise —
-      // fenced bit-identical in LangModelSuite (r12 verdict task 1)
-      LangModel.scoreBigramLmAuto(d, model, uni).orderBy("doc_id")
-    }),
+    "t_lm_score" -> ((s, dir) =>
+      // fused pipeline (r12 verdict task 1): ONE corpus explode + ONE
+      // corpus-sized shuffle trains the model, scoring is a broadcast-probe
+      // projection with zero exchanges — fenced bit-identical against the
+      // composed unigramCounts+trainBigramLm+scoreBigramLm chain
+      LangModel.scoreBigramLmFused(docs(s, dir)).orderBy("doc_id")),
     // deterministic signal columns — every ratio + the composite score has a
     // closed-form DuckDB mirror (IEEE-identical arithmetic on both sides)
     "t_analysis" -> ((s, dir) =>

@@ -13,7 +13,13 @@ object Verify {
       Files.writeString(Paths.get(s"$dir/oracle_sql.json"), oracleJson)
       return
     }
-    val Array(sfDir, outDir) = args
+    // optional trailing args: restrict to the named entries (dev loop —
+    // the driver always runs the full set)
+    val (sfDir, outDir, only) = args.toSeq match {
+      case Seq(a, b) => (a, b, Set.empty[String])
+      case Seq(a, b, rest @ _*) => (a, b, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [entry ...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
@@ -25,7 +31,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

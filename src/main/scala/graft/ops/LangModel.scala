@@ -213,6 +213,81 @@ object LangModel {
           expr("s.nll_micro div s.n_bigrams")).as("avg_nll_micro"))
   }
 
+  /** One-shuffle trainer + zero-exchange scorer (r13): the whole
+    * train-and-score pipeline with a SINGLE corpus-sized exchange.
+    *
+    * The composed formulation tokenizes and explodes the corpus TWICE
+    * (unigram counts, then bigram counts) — two corpus explodes, two
+    * corpus-sized shuffles — before scoring. This path explodes once:
+    * each document contributes its adjacent pairs PLUS one terminator row
+    * `(lastToken, NULL)`, so a token's unigram frequency is exactly the
+    * sum of pair counts over its `w1` slot (every token position starts
+    * exactly one pair-or-terminator). One pair-keyed groupBy with map-side
+    * combine is the only corpus-sized shuffle; the persisted pair-count
+    * frame is vocabulary²-bounded (Zipf-small), and unigrams, the model
+    * and the broadcast probe all derive from it without touching the
+    * corpus again. Scoring is the [[scoreBigramLmBroadcast]] projection.
+    *
+    * Bit-identity: unigram counts are the same exact integers (sum of
+    * disjoint position counts), the model formula is literally
+    * [[trainBigramLm]]'s, and the scorer is the fenced broadcast path —
+    * LangModelSuite fences this end-to-end against the composed
+    * unigramCounts + trainBigramLm + scoreBigramLm chain.
+    */
+  def scoreBigramLmFused(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         minCount: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRows = spark.conf.getOption("graft.lm.broadcastMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+    // Token array PRE-PROJECTED under the Generate: inlining `toks` into
+    // the generator expression re-evaluates the regex split per reference
+    // (5x per row measured — ProbeLmPlan; the optimizer does not collapse
+    // a Project into a generator), while the pre-projection plans exactly
+    // one split per row (2.82 -> 1.77 s for the training stage at 100x).
+    val stream = docs.select(toks(textCol).as("__t"))
+      .select(explode(concat(
+        bigramPairs(col("__t")),
+        // (lastToken, NULL) terminator; null/absent text contributes
+        // nothing (concat of a null array is null, explode emits no rows)
+        array(struct(try_element_at(col("__t"), lit(-1)).as("w1"),
+          lit(null).cast("string").as("w2"))))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    // coalesce(1) BEFORE persist: the aggregate itself still reduces with
+    // full shuffle width (coalesce is narrow, applied on top), but the
+    // cached result is ONE partition — the half-dozen vocabulary-sized
+    // actions downstream (model count, V, unigram/model collects) become
+    // 1-task jobs instead of 64-reducer stage floors (measured: they cost
+    // more than the corpus pass itself at 100x without this)
+    val pairCounts = stream.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .coalesce(1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache NOW, in one pass: the model plan references
+    // pairCounts four times (main scan + two unigram broadcasts + V), and
+    // broadcast-exchange jobs launch first and RACE to build a cold cache —
+    // measured as the corpus explode running 2-3x inside model.count()
+    pairCounts.count()
+    try {
+      val unigrams = pairCounts.groupBy("w1").agg(sum("c").as("c_uni"))
+        .filter(col("c_uni") >= minCount)
+        .select(col("w1").as("token"), col("c_uni"))
+      val v = unigrams.agg(count(lit(1)).as("v"))
+      val model = pairCounts.filter(col("w2").isNotNull)
+        .filter(col("c") >= minCount)
+        .select(col("w1"), col("w2"), col("c").as("c_big"))
+        .join(broadcast(unigrams.select(col("token").as("w1"), col("c_uni"))), Seq("w1"))
+        .join(broadcast(unigrams.select(col("token").as("w2"))), Seq("w2"))
+        .crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"), col("c_big"), col("c_uni"),
+          round(log((col("c_big") + lit(1.0)) / (col("c_uni") + col("v"))) * lit(1e6))
+            .cast("bigint").as("w_micro"))
+      if (model.count() <= maxRows)
+        scoreBigramLmBroadcast(docs, model, unigrams, textCol, idCol)
+      else scoreBigramLm(docs, model, unigrams, textCol, idCol)
+    } finally pairCounts.unpersist(false)
+  }
+
   /** Scorer dispatch: broadcast-probe when the pruned model fits the
     * broadcast budget (`graft.lm.broadcastMaxRows`, default 8M bigrams —
     * ~256 MB of probe tables at load 0.5, well under a production
@@ -229,6 +304,10 @@ object LangModel {
       .map(_.toLong).getOrElse(8000000L)
     val uniP = unigrams.persist(StorageLevel.MEMORY_AND_DISK)
     val modelP = model.persist(StorageLevel.MEMORY_AND_DISK)
+    // build the unigram cache in one pass first — the model plan references
+    // it three times and its broadcast jobs would race a cold cache (same
+    // hazard as the fused path's pairCounts; see scoreBigramLmFused)
+    uniP.count()
     val rows = modelP.count()
     if (rows <= maxRows) {
       try scoreBigramLmBroadcast(docs, modelP, uniP, textCol, idCol)

@@ -83,7 +83,10 @@ object ProbeLm {
       // projection, model folded into a broadcast map, no explode/join/
       // regroup. Auto keeps the join fallback for over-budget models.
       "D_probe_auto" -> (() => graft.ops.LangModel
-        .scoreBigramLmAuto(docs, model, uni)))
+        .scoreBigramLmAuto(docs, model, uni)),
+      // r13: one corpus explode + one pair-keyed shuffle for training,
+      // broadcast-probe scoring — the t_lm_score entry's shipped path
+      "E_fused" -> (() => graft.ops.LangModel.scoreBigramLmFused(docs)))
     for ((name, mk) <- variants) {
       for (run <- 1 to 2) {
         val t0 = System.nanoTime()

@@ -109,6 +109,26 @@ class LangModelSuite extends SparkSpec {
     assert(e1 == e2, s"edge-doc scores diverged:\n$e1\nvs\n$e2")
   }
 
+  test("fused one-shuffle pipeline is bit-identical to the composed chain") {
+    // the t_lm_score entry's path: one explode (pairs + terminator row),
+    // one pair-keyed shuffle, unigrams = per-w1 sums — must equal the
+    // two-explode composed chain cell for cell, corpus and edge docs alike
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val composed = rows(LangModel.scoreBigramLm(docs, model, uni))
+    assert(rows(LangModel.scoreBigramLmFused(docs)) == composed)
+
+    val edges = Seq[(java.lang.Long, String)](
+      (1L, ""), (2L, "   "), (3L, "solo"), (4L, "zzqq zzqq zzqq"),
+      (5L, "ab c"), (6L, null), (7L, "😀 the 😀"),
+      (8L, "the the the of of a")).toDF("doc_id", "text")
+    val eu = LangModel.unigramCounts(edges, minCount = 1)
+    val em = LangModel.trainBigramLm(edges, eu, minCount = 1)
+    assert(rows(LangModel.scoreBigramLmFused(edges, minCount = 1)) ==
+      rows(LangModel.scoreBigramLm(edges, em, eu)),
+      "edge-doc fused scores diverged from composed")
+  }
+
   test("auto dispatch: budget=0 falls back to the composed join path") {
     val uni = LangModel.unigramCounts(docs, minCount = 2)
     val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
