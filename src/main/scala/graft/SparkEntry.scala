@@ -1019,7 +1019,9 @@ object SparkEntry {
       val d = docs(s, dir)
       val model = Classifier.trainNaiveBayes(d, col("lang") === "en",
         minCount = 2)
-      Classifier.scoreNaiveBayes(d, model, col("lang") === "en")
+      // broadcast-probe scorer (r13): zero scoring-side exchanges — fenced
+      // bit-identical against the composed explode+join+regroup chain
+      Classifier.scoreNaiveBayesAuto(d, model, col("lang") === "en")
         .orderBy("doc_id")
     }),
     // CCNet-lineage perplexity filter: add-one-smoothed bigram LM trained

@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{NbProbe, NbTokenSumExpr}
 
 /** Model-based quality/class filtering — the "train a cheap linear
   * classifier on labeled seeds, score the whole corpus" pass that
@@ -93,6 +96,110 @@ object Classifier {
     val tokSums = docs
       .select(col(idCol).as("__id"), explode(toks(textCol)).as("token"))
       .join(broadcast(model.select(col("token"), col("w_micro"))), Seq("token"))
+      .groupBy("__id")
+      .agg(sum("w_micro").as("__wsum"))
+    docs.select(col(idCol).as("__id"))
+      .join(tokSums, Seq("__id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(
+        col("__id").as(idCol),
+        (coalesce(col("__wsum"), lit(0L)) + col("prior_micro")).as("score_micro"))
+      .withColumn("pred", col("score_micro") > 0L)
+  }
+
+  /** Zero-exchange scorer (r13 optimization): folds the minCount-pruned
+    * model into a broadcast [[NbProbe]] and computes every document's
+    * score in ONE projection over its token array ([[NbTokenSumExpr]]) —
+    * no explode, no model join, no doc-keyed re-aggregation, no join-back
+    * (every doc row computes its own sum, so totality is free). Same
+    * output as [[scoreNaiveBayes]], bit-identical (ClassifierSuite fence):
+    * the probe's w_micro values are the model DataFrame's own BIGINTs
+    * collected verbatim, the prior is the same Spark-evaluated
+    * `round(log(...)*1e6)` expression, and integer addition is
+    * order-free, so the folded sum equals the exploded groupBy SUM.
+    *
+    * Scale shape (100 TB): the pruned model is a capped vocabulary —
+    * Zipf-head-sized, not corpus-sized — and ships once per executor as a
+    * broadcast. The corpus is touched once for the prior (column-pruned
+    * label scan) and once for scoring, with zero scoring-side shuffles.
+    * Callers gate on model cardinality ([[scoreNaiveBayesAuto]]); the
+    * composed join path remains the fallback above the broadcast budget.
+    */
+  def scoreNaiveBayesBroadcast(docs: DataFrame, model: DataFrame,
+                               isPositive: Column,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    // prior computed BY SPARK with the composed path's exact expression
+    // tree (bit-identity discipline — Scala never rounds)
+    val priorMicro = docs.agg(
+      round(log(
+        (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
+          (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
+        .cast("bigint").as("prior_micro"))
+      .collect()(0).getLong(0)
+    val rows = model.select(col("token"), col("w_micro")).collect()
+    val tokens = new Array[String](rows.length)
+    val ws = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      tokens(i) = rows(i).getString(0)
+      ws(i) = rows(i).getLong(1)
+      i += 1
+    }
+    val probe = spark.sparkContext.broadcast(NbProbe(tokens, ws))
+    docs.select(col(idCol).as("__id"),
+        NbTokenSumExpr.nbTokenSum(toks(textCol), probe).as("__wsum"))
+      .select(
+        col("__id").as(idCol),
+        (coalesce(col("__wsum"), lit(0L)) + lit(priorMicro)).as("score_micro"))
+      .withColumn("pred", col("score_micro") > 0L)
+  }
+
+  /** Scorer dispatch: broadcast-probe when the pruned model fits the
+    * broadcast budget (`graft.nb.broadcastMaxRows`, default 8M tokens —
+    * comfortably under a production executor's broadcast headroom),
+    * composed join path otherwise. The model frame is persisted across
+    * the cardinality check and probe collect so its corpus-sized training
+    * pass runs once (same discipline as LangModel.scoreBigramLmAuto).
+    */
+  def scoreNaiveBayesAuto(docs: DataFrame, model: DataFrame, isPositive: Column,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRows = spark.conf.getOption("graft.nb.broadcastMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+    val modelP = model.persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = modelP.count()
+    if (rows <= maxRows) {
+      try scoreNaiveBayesBroadcast(docs, modelP, isPositive, textCol, idCol)
+      finally modelP.unpersist(false)
+    } else {
+      // over-budget vocabulary: the composed path's broadcast(model) hint
+      // would be equally unsafe, so route through a shuffle join instead —
+      // drop the cache so a corpus-scale model's blocks don't pin memory
+      modelP.unpersist(false)
+      scoreNaiveBayesShuffle(docs, modelP, isPositive, textCol, idCol)
+    }
+  }
+
+  /** Composed scorer with a shuffle_hash model join — the over-budget
+    * fallback of [[scoreNaiveBayesAuto]] (identical arithmetic to
+    * [[scoreNaiveBayes]]; only the join strategy differs, because a model
+    * past the broadcast budget must never be elected a broadcast side).
+    */
+  private def scoreNaiveBayesShuffle(docs: DataFrame, model: DataFrame,
+                                     isPositive: Column, textCol: String,
+                                     idCol: String): DataFrame = {
+    val prior = docs.agg(
+      round(log(
+        (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
+          (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
+        .cast("bigint").as("prior_micro"))
+    val tokSums = docs
+      .select(col(idCol).as("__id"), explode(toks(textCol)).as("token"))
+      .join(model.select(col("token"), col("w_micro")).hint("shuffle_hash"),
+        Seq("token"))
       .groupBy("__id")
       .agg(sum("w_micro").as("__wsum"))
     docs.select(col(idCol).as("__id"))

@@ -71,6 +71,54 @@ class ClassifierSuite extends SparkSpec {
     assert(hits.toDouble / n >= 0.95, s"accuracy ${hits.toDouble / n} < 0.95 ($hits/$n)")
   }
 
+  test("broadcast-probe scorer is bit-identical to the composed chain") {
+    // corpus fence: every (doc_id, score_micro, pred) cell must match
+    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
+    val composed = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    val probe = Classifier.scoreNaiveBayesBroadcast(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(composed.sameElements(probe),
+      "broadcast-probe NB scores diverge from the composed formulation")
+  }
+
+  test("broadcast-probe scorer: edge documents match the composed chain") {
+    // empty text ('' tokenizes to [\"\"]), whitespace-only, 1 token, pure
+    // OOV, vertical tab (\\x0B is in Java's \\s), null text, surrogate pair
+    val train = Seq(
+      (1L, "alpha alpha beta", true), (2L, "alpha gamma beta", true),
+      (3L, "delta delta beta", false), (4L, "delta epsilon beta", false),
+      (5L, "", true), (6L, "", false))
+      .toDF("doc_id", "text", "pos")
+    val m = Classifier.trainNaiveBayes(train, col("pos"), minCount = 1)
+    val edge = Seq(
+      (10L, "alpha delta beta"), (11L, ""), (12L, "   \t  "), (13L, "alpha"),
+      (14L, "zzz qqq www"), (15L, "alphadelta"), (16L, null),
+      (17L, "😀 alpha"))
+      .toDF("doc_id", "text")
+    val composed = Classifier.scoreNaiveBayes(edge, m, col("doc_id") < 14L)
+      .orderBy("doc_id").collect()
+    val probe = Classifier.scoreNaiveBayesBroadcast(edge, m, col("doc_id") < 14L)
+      .orderBy("doc_id").collect()
+    assert(composed.sameElements(probe),
+      "edge-document NB scores diverge between probe and composed paths")
+  }
+
+  test("auto dispatch: over-budget model falls back and still matches") {
+    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
+    val expected = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    spark.conf.set("graft.nb.broadcastMaxRows", "1")
+    try {
+      val fallback = Classifier.scoreNaiveBayesAuto(docs, m, col("lang") === "en")
+        .orderBy("doc_id").collect()
+      assert(expected.sameElements(fallback), "shuffle fallback diverges")
+    } finally spark.conf.unset("graft.nb.broadcastMaxRows")
+    val auto = Classifier.scoreNaiveBayesAuto(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(expected.sameElements(auto), "auto broadcast path diverges")
+  }
+
   test("micro-integer scores are partition-count invariant") {
     val base = Classifier.scoreNaiveBayes(docs,
       Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2),
