@@ -50,6 +50,22 @@ object Bpe {
       .groupBy("word").agg(count("*").as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(topWords)
+    // r13 optimization: the merge rounds run over the CAPPED word
+    // vocabulary (topWords rows — a parameter-bounded dimension table, not
+    // the corpus), yet each distributed round paid a pair-count shuffle +
+    // top-1 sort + localCheckpoint — 3-4 stage floors per round, ~10 rounds
+    // of sub-second jobs (t_bpe 2.99 s at 100x, ~0.6 s of it corpus work).
+    // Collect the capped vocabulary ONCE and run the rounds driver-side
+    // with the identical integer arithmetic and the identical
+    // (n DESC, l ASC, r ASC) tie-break in UTF-8 byte order (Spark's binary
+    // string comparator). Fenced cell-for-cell against the distributed
+    // rounds in BpeSuite, incl. tie and supplementary-codepoint cases.
+    // The corpus-sized work (word count) stays in Spark either way; the
+    // distributed rounds remain for a configured vocabulary past the
+    // collect budget (graft.bpe.localMaxWords).
+    val localMax = spark.conf.getOption("graft.bpe.localMaxWords")
+      .map(_.toLong).getOrElse(1000000L)
+    if (topWords <= localMax) return learnMergesLocal(spark, words, nMerges)
     var vocab: Dataset[(String, Long, Seq[String])] = words
       .select(col("word"), col("freq"),
         // split('') leaves a trailing empty match in Spark (limit -1) —
@@ -79,6 +95,93 @@ object Bpe {
       }
     }
     merges.result().toDF("step", "lft", "rgt", "n")
+  }
+
+  /** Driver-side merge rounds over the collected capped vocabulary —
+    * bit-identical to the distributed rounds (same integer pair counts,
+    * same tie-break order) with zero per-round Spark jobs.
+    */
+  private def learnMergesLocal(spark: org.apache.spark.sql.SparkSession,
+                               words: DataFrame, nMerges: Int): DataFrame = {
+    import spark.implicits._
+    val rows = words.collect()
+    // symbols = the word's codepoints, exactly what the distributed path's
+    // filter(split(word, ''), x -> x != '') yields (Java regex split
+    // never cuts a surrogate pair)
+    var vocab: Array[(Long, Array[String])] = rows.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (r.getLong(1), syms.toArray)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((freq, syms) <- vocab) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bn = Long.MinValue
+        for (((l, r), n) <- counts) {
+          // (n DESC, l ASC, r ASC); string order = unsigned UTF-8 bytes,
+          // matching Spark/DuckDB binary string comparison exactly
+          val better = n > bn || (n == bn && {
+            val cl = utf8Compare(l, bl)
+            cl < 0 || (cl == 0 && utf8Compare(r, br) < 0)
+          })
+          if (better) { bl = l; br = r; bn = n }
+        }
+        merges += ((step.toLong, bl, br, bn))
+        val fused = bl + br
+        vocab = vocab.map { case (f, syms) =>
+          (f, mergeOnceArr(syms, bl, br, fused))
+        }
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "lft", "rgt", "n")
+  }
+
+  /** Unsigned lexicographic UTF-8 byte comparison — Spark's binary string
+    * collation (UTF8String.compareTo) reproduced driver-side. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  private def mergeOnceArr(syms: Array[String], a: String, b: String,
+                           fused: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += fused; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** One simultaneous greedy left-to-right merge pass (a BPE "apply"):

@@ -51,6 +51,35 @@ class BpeSuite extends SparkSpec {
     assert(pieces.exists(_.getBoolean(3)), "no learned merge was ever used")
   }
 
+  test("local merge rounds are cell-identical to the distributed rounds") {
+    // r13 fence: learnMerges defaults to driver-side rounds over the
+    // collected capped vocabulary; graft.bpe.localMaxWords=0 forces the
+    // distributed path. Same corpus, both paths, every cell equal.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(): Seq[(Long, String, String, Long)] =
+      Bpe.learnMerges(d, nMerges = 10).orderBy("step")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = run()
+    spark.conf.set("graft.bpe.localMaxWords", "0")
+    val distributed = try run() finally spark.conf.unset("graft.bpe.localMaxWords")
+    assert(local == distributed, "driver-side BPE rounds diverge from distributed rounds")
+  }
+
+  test("local rounds: ties and supplementary codepoints break identically") {
+    // pair counts engineered to tie; tokens include a supplementary
+    // codepoint (U+1F600, 4 UTF-8 bytes) vs U+FFFD (3 bytes) so a UTF-16
+    // code-unit comparator would order them differently than UTF-8 bytes
+    val docs = Seq("😀z �z qa qa", "😀z �z").toDF("text")
+    def run(): Seq[(Long, String, String, Long)] =
+      Bpe.learnMerges(docs, nMerges = 3).orderBy("step")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = run()
+    spark.conf.set("graft.bpe.localMaxWords", "0")
+    val distributed = try run() finally spark.conf.unset("graft.bpe.localMaxWords")
+    assert(local == distributed,
+      s"tie/codepoint divergence: local=$local distributed=$distributed")
+  }
+
   test("learnMerges: deterministic tie-break and partition invariance") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(parts: Int) =
