@@ -988,13 +988,17 @@ object SparkEntry {
       // fence): the corpus tokenize runs ONCE, feeding the exact aggregate,
       // and all three consumers reuse its exchange (the raw-occurrence
       // cmsSketch remains the one-pass/streaming path where no exact
-      // aggregate exists)
+      // aggregate exists). The probe CARRIES the exact count through its
+      // groupBy (cmsEstimateCarry, r13): the old est-to-exact self-join
+      // re-derived `exact.select("tok")` as a distinct whose exchange
+      // could not be reused — a second full corpus scan + tokenize in the
+      // physical plan — and paid a join for a column the probe input
+      // already had. Row-identical (SketchesSuite fence), one corpus pass.
       val sketch = graft.ops.Sketches.cmsSketchWeighted(exact, "tok", "exact",
         depth = 3, width = 512)
-      exact.join(
-          graft.ops.Sketches.cmsEstimate(sketch, exact.select("tok"), "tok",
-            depth = 3, width = 512),
-          Seq("tok"))
+      graft.ops.Sketches.cmsEstimateCarry(sketch, exact, "tok", Seq("exact"),
+          depth = 3, width = 512)
+        .select("tok", "exact", "est")
         .orderBy("tok")
     }),
     // char-trigram familiarity vs a trusted reference slice (src0-3): the

@@ -111,9 +111,53 @@ object VecOps {
     java.lang.Double.valueOf(acc)
   }
 
+  /** [[sqDistLd]] against a constant double[] centroid — the same
+    * left-to-right fold, so values are IEEE-identical (fenced in
+    * RelevanceClusteringSuite via the argmin equivalence).
+    */
+  def sqDistLw(a: ArrayData, w: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != w.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getLong(i).toDouble - w(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Nearest-centroid index with EXACTLY the struct-min semantics of
+    * `min(struct(sqDist(q, c), cidx))`: centroids scanned in ascending
+    * cidx (the caller sorts), strict `<` keeps the lowest cidx on ties,
+    * and a null distance (null element / length mismatch) sorts SMALLEST
+    * — Spark's interpreted struct ordering is nulls-first — so the first
+    * null-distance centroid wins over any finite one.
+    */
+  def argminSqFold(a: ArrayData, cidxs: Array[Int], cents: Array[Array[Double]]): Int = {
+    var bestIdx = cidxs(0)
+    var best = sqDistLw(a, cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val d = sqDistLw(a, cents(c))
+      if (best != null && (d == null || d.doubleValue() < best.doubleValue())) {
+        best = d
+        bestIdx = cidxs(c)
+      }
+      c += 1
+    }
+    bestIdx
+  }
+
   def sqDistLongDouble(a: Column, b: Column): Column =
     GraftSqlBridge.column(SqDistLongDoubleExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def argminSqDist(q: Column, cidxs: Seq[Int], cents: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(ArgminSqDistExpr(
+      GraftSqlBridge.expression(q), cidxs, cents))
 
   def dotConst(v: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(DotConstExpr(
@@ -154,4 +198,47 @@ case class SqDistLongDoubleExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqDistLongDoubleExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused k-means assignment: nearest-centroid index over a CONSTANT
+  * centroid table (k × dim doubles, bounded by the same broadcast budget
+  * the joined formulation had) — one whole-stage-codegen projection per
+  * row instead of crossJoin × k + struct-min aggregation (which falls to
+  * SortAggregate and drags the quantized vector through an exchange and
+  * two sorts). Distance fold and tie/null semantics are IEEE-identical to
+  * `min(struct(sq_dist_lq(q, cvec), cidx))` (VecOps.argminSqFold scaladoc;
+  * fenced in RelevanceClusteringSuite). Null input → null (the caller
+  * coalesces to the lowest cidx, matching the joined formulation's
+  * all-null-distance struct-min).
+  */
+case class ArgminSqDistExpr(child: Expression, cidxs: Seq[Int], cents: Seq[Seq[Double]])
+  extends UnaryExpression {
+  require(cidxs.nonEmpty && cidxs.length == cents.length,
+    "argmin_sq_dist requires a non-empty centroid table")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argmin_sq_dist requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmin_sq_dist"
+
+  @transient private lazy val idxArr: Array[Int] = cidxs.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VecOps.argminSqFold(input.asInstanceOf[ArrayData], idxArr, centArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val iRef = ctx.addReferenceObj("cidxs", idxArr, "int[]")
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.VecOps.argminSqFold($a, $iRef, $cRef);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminSqDistExpr =
+    copy(child = newChild)
 }

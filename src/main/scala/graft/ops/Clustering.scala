@@ -45,10 +45,34 @@ object Clustering {
       lit(0.0), (acc, x) => acc + x)
 
   /** One assignment pass: nearest centroid per vector, ties to the lowest
-    * centroid index. Centroids are broadcast (k rows); the corpus is never
-    * shuffled.
+    * centroid index. The centroid table (k rows — bounded by construction:
+    * flat k or the coarse kSuper ≈ √k) is collected once per round and
+    * folded into a fused argmin PROJECTION
+    * (functions.VecOps.argminSqDist): the corpus is never cross-joined,
+    * grouped or sorted — assignment is a map over the scan. The joined
+    * formulation this replaces (r13, kept below as the fence reference)
+    * paid crossJoin × k plus a struct-min aggregation that falls to
+    * SortAggregate and drags every quantized vector through an exchange
+    * and two sorts. Distance fold and tie/null semantics are
+    * IEEE-identical (argminSqFold scaladoc; fenced in
+    * RelevanceClusteringSuite); the coalesce preserves the joined path's
+    * null-q behavior (all distances null → lowest cidx wins struct-min).
+    * Requires unique vec_id, which the q builder guarantees.
     */
-  private def assign(q: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cidx"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    q.select(col("vec_id"), col("q"),
+      coalesce(
+        graft.functions.VecOps.argminSqDist(col("q"),
+          cents.map(_._1).toSeq, cents.map(_._2).toSeq),
+        lit(cents.head._1)).as("cluster"))
+  }
+
+  /** The crossJoin + struct-min formulation [[assign]] replaced —
+    * the equivalence-fence reference (RelevanceClusteringSuite).
+    */
+  private[graft] def assignJoined(q: DataFrame, centroids: DataFrame): DataFrame =
     q.crossJoin(broadcast(centroids))
       .withColumn("__d", sqDist(col("q"), col("cvec")))
       .groupBy("vec_id")

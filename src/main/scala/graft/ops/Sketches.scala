@@ -210,4 +210,30 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** [[cmsEstimate]] that carries key-functional columns (e.g. the exact
+    * count a validation query already aggregated) through the probe's
+    * groupBy instead of joining them back afterwards. Because each carry
+    * column is functionally determined by the key, grouping by
+    * (key, carry...) is row-identical to grouping by the key alone and
+    * self-joining the carries on (fenced in SketchesSuite) — but the
+    * self-join AND its second derivation of `keys` (a full re-scan +
+    * re-tokenize when `keys` comes from a corpus aggregate) disappear:
+    * the probe reuses the aggregate's exchange, and since that exchange
+    * hash-partitions by the key, the (key, carry) groupBy needs no new
+    * exchange either.
+    */
+  def cmsEstimateCarry(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                       carry: Seq[String], depth: Int = 3,
+                       width: Int = 512): DataFrame = {
+    val h = graft.functions.PolyHashExpr.polyHash(col(keyCol).cast("string"))
+    val cols = col(keyCol) +: carry.map(col)
+    val withIdx = keys.select(cols :+ h.as("__h"): _*)
+      .select(cols :+ explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsIdx(col("__h"), r, width).as("idx"))): _*)).as("cell"): _*)
+      .select(cols ++ Seq(col("cell.r").as("r"), col("cell.idx").as("idx")): _*)
+    withIdx.join(broadcast(sketch), Seq("r", "idx"), "left")
+      .groupBy(keyCol, carry: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

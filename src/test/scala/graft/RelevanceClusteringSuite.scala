@@ -52,6 +52,41 @@ class RelevanceClusteringSuite extends SparkSpec {
     }
   }
 
+  // fence for the r13 fused-argmin assignment: the projection path must be
+  // row-identical to the crossJoin + min(struct(__d, cidx)) formulation it
+  // replaced — including engineered distance ties (→ lowest cidx), a null
+  // element in q (every distance null → lowest cidx via struct nulls-first),
+  // and a length-mismatched centroid (its null distance sorts smallest and
+  // WINS — preserved, not "fixed")
+  test("kmeans assign: fused argmin projection equals crossJoin struct-min") {
+    def q(rows: Seq[(Long, Seq[java.lang.Long])]) =
+      rows.toDF("vec_id", "q")
+    def cents(rows: Seq[(Int, Seq[Double])]) =
+      rows.toDF("cidx", "cvec")
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val realCents = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    def cmp(qdf: org.apache.spark.sql.DataFrame, cdf: org.apache.spark.sql.DataFrame): Unit = {
+      val a = Clustering.assign(qdf, cdf).select("vec_id", "cluster")
+      val b = Clustering.assignJoined(qdf, cdf).select("vec_id", "cluster")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "fused argmin != joined struct-min")
+    }
+    cmp(corpus, realCents)
+    // exact tie between cidx 2 and 0 (identical centroids) → lowest cidx
+    cmp(q(Seq(1L -> Seq[java.lang.Long](3L, 4L), 2L -> Seq[java.lang.Long](0L, 0L))),
+      cents(Seq(0 -> Seq(1.0, 1.0), 1 -> Seq(9.0, 9.0), 2 -> Seq(1.0, 1.0))))
+    // null element in q: every distance null, struct-min nulls-first
+    cmp(q(Seq(1L -> Seq[java.lang.Long](3L, null), 2L -> Seq[java.lang.Long](5L, 6L))),
+      cents(Seq(0 -> Seq(1.0, 1.0), 1 -> Seq(5.0, 6.0))))
+    // length-mismatched centroid: its null distance wins over finite ones
+    cmp(q(Seq(1L -> Seq[java.lang.Long](3L, 4L))),
+      cents(Seq(0 -> Seq(3.0, 4.0), 1 -> Seq(1.0))))
+  }
+
   test("kmeans: assignment is partition-order invariant and total") {
     val a1 = Clustering.kmeans(emb, k = 8, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

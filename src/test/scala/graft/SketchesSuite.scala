@@ -145,6 +145,23 @@ class SketchesSuite extends SparkSpec {
     assert(off.count() == 0, "no collisions expected at this width")
   }
 
+  // fence for the carry path (t_cms, r13): probing with the exact count
+  // carried through the groupBy must be row-identical to probing the bare
+  // keys and self-joining the count back — the carry is key-functional,
+  // so (key, carry) groups are exactly the key groups
+  test("cms estimate with carried columns equals estimate-then-join") {
+    val toks = tokens(docs)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val sketch = Sketches.cmsSketchWeighted(exact, "tok", "exact")
+    val joined = exact.join(
+      Sketches.cmsEstimate(sketch, exact.select("tok"), "tok"), Seq("tok"))
+    val carried = Sketches.cmsEstimateCarry(sketch, exact, "tok", Seq("exact"))
+      .select("tok", "exact", "est")
+    assert(joined.exceptAll(carried).count() == 0 &&
+      carried.exceptAll(joined).count() == 0,
+      "carried cms estimate != estimate-then-join")
+  }
+
   test("cms cells merge by addition: disjoint halves sum to the whole") {
     val whole = Sketches.cmsSketch(tokens(docs), "tok")
     val a = Sketches.cmsSketch(tokens(docs.filter($"doc_id" % 2 === 0)), "tok")
