@@ -131,13 +131,17 @@ object Classifier {
                                idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     // prior computed BY SPARK with the composed path's exact expression
-    // tree (bit-identity discipline — Scala never rounds)
-    val priorMicro = docs.agg(
+    // tree (bit-identity discipline — Scala never rounds). It rides the
+    // scoring action as a broadcast subtree (the shuffle path's own
+    // shape) rather than an eager collect: one fewer driver-synchronous
+    // job per call — at toy scale each such job is a whole scheduling
+    // round, and at any scale it is a driver round-trip the scoring job
+    // can overlap instead.
+    val prior = docs.agg(
       round(log(
         (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
           (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
         .cast("bigint").as("prior_micro"))
-      .collect()(0).getLong(0)
     val rows = model.select(col("token"), col("w_micro")).collect()
     val tokens = new Array[String](rows.length)
     val ws = new Array[Long](rows.length)
@@ -150,9 +154,10 @@ object Classifier {
     val probe = spark.sparkContext.broadcast(NbProbe(tokens, ws))
     docs.select(col(idCol).as("__id"),
         NbTokenSumExpr.nbTokenSum(toks(textCol), probe).as("__wsum"))
+      .crossJoin(broadcast(prior))
       .select(
         col("__id").as(idCol),
-        (coalesce(col("__wsum"), lit(0L)) + lit(priorMicro)).as("score_micro"))
+        (coalesce(col("__wsum"), lit(0L)) + col("prior_micro")).as("score_micro"))
       .withColumn("pred", col("score_micro") > 0L)
   }
 
