@@ -1019,15 +1019,15 @@ object SparkEntry {
       Classifier.trainNaiveBayes(docs(s, dir), col("lang") === "en",
           minCount = 2)
         .orderBy("token")),
-    "t_nb_score" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val model = Classifier.trainNaiveBayes(d, col("lang") === "en",
-        minCount = 2)
-      // broadcast-probe scorer (r13): zero scoring-side exchanges — fenced
-      // bit-identical against the composed explode+join+regroup chain
-      Classifier.scoreNaiveBayesAuto(d, model, col("lang") === "en")
-        .orderBy("doc_id")
-    }),
+    "t_nb_score" -> ((s, dir) =>
+      // fused train-and-score (r14 verdict task 2): the training explode
+      // carries the class prior out of its own pass (per-doc NULL-token
+      // terminator), so the pipeline is ONE training corpus pass + ONE
+      // zero-exchange scoring projection — fenced bit-identical against
+      // the composed trainNaiveBayes + scoreNaiveBayesAuto chain
+      Classifier.trainAndScoreNaiveBayes(docs(s, dir), col("lang") === "en",
+          minCount = 2)
+        .orderBy("doc_id")),
     // CCNet-lineage perplexity filter: add-one-smoothed bigram LM trained
     // on the corpus itself; per-doc NLL is an order-free integer sum of
     // micronats, the mean an integer division — fully replayable

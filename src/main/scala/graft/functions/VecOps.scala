@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -159,6 +160,22 @@ object VecOps {
     GraftSqlBridge.column(ArgminSqDistExpr(
       GraftSqlBridge.expression(q), cidxs, cents))
 
+  /** Grouped argmin: nearest inner-centroid index within the row's coarse
+    * cell, probing a broadcast per-super centroid table. `q` is wrapped in
+    * `coalesce(q, array())` by the caller so a null vector degrades to the
+    * all-null-distance struct-min (lowest iidx of the cell), exactly like
+    * the joined formulation — see [[GroupedCentroids]].
+    */
+  def argminSqDistGrouped(superCol: Column, q: Column,
+                          groups: Broadcast[GroupedCentroids]): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    GraftSqlBridge.column(ArgminSqDistGroupedExpr(
+      GraftSqlBridge.expression(superCol),
+      GraftSqlBridge.expression(coalesce(q,
+        lit(Array.empty[Long]).cast("array<bigint>"))),
+      groups))
+  }
+
   def dotConst(v: Column, weights: Seq[Double]): Column =
     GraftSqlBridge.column(DotConstExpr(
       GraftSqlBridge.expression(v.cast("array<double>")), weights))
@@ -241,4 +258,83 @@ case class ArgminSqDistExpr(child: Expression, cidxs: Seq[Int], cents: Seq[Seq[D
 
   override protected def withNewChildInternal(newChild: Expression): ArgminSqDistExpr =
     copy(child = newChild)
+}
+
+/** Per-coarse-cell centroid tables for [[ArgminSqDistGroupedExpr]]:
+  * `iidxs(super)` / `cents(super)` hold the cell's inner-centroid indices
+  * (ascending — [[VecOps.argminSqFold]]'s tie order) and vectors, or null
+  * for a cell with no centroids. Primitive arrays throughout so the
+  * broadcast serializes compactly and probes are allocation-free.
+  */
+final class GroupedCentroids(val iidxs: Array[Array[Int]],
+                             val cents: Array[Array[Array[Double]]])
+  extends Serializable
+
+object GroupedCentroids {
+  /** Build from driver-collected (super, iidx, cvec) triples. */
+  def apply(rows: Array[(Int, Int, Array[Double])]): GroupedCentroids = {
+    val n = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+    val iidxs = new Array[Array[Int]](n)
+    val cents = new Array[Array[Array[Double]]](n)
+    rows.groupBy(_._1).foreach { case (sup, rs) =>
+      val sorted = rs.sortBy(_._2)
+      iidxs(sup) = sorted.map(_._2)
+      cents(sup) = sorted.map(_._3)
+    }
+    new GroupedCentroids(iidxs, cents)
+  }
+}
+
+/** Fused two-level k-means inner assignment: nearest inner-centroid index
+  * WITHIN the row's coarse cell — one whole-stage-codegen projection
+  * probing a broadcast super→centroids table, replacing the
+  * shuffle-hash join × struct-min SortAggregate the joined formulation
+  * pays per inner Lloyd round. Semantics are the joined path's exactly
+  * (fenced in RelevanceClusteringSuite):
+  *   - a super with no centroid rows yields NULL (the caller filters —
+  *     the inner join dropped those rows);
+  *   - distance fold and tie order are [[VecOps.argminSqFold]]'s, i.e.
+  *     `min(struct(sq_dist_lq(q, cvec), iidx))` with nulls-first structs;
+  *   - a null q arrives as an empty array (caller-side coalesce), whose
+  *     length mismatch makes every distance null → lowest iidx, matching
+  *     the joined path's all-null-distance struct-min.
+  * The centroid table rides a [[Broadcast]] handle (the 1000-executor
+  * shape), never the serialized plan.
+  */
+case class ArgminSqDistGroupedExpr(left: Expression, right: Expression,
+                                   groups: Broadcast[GroupedCentroids])
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (IntegerType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"argmin_sq_dist_grouped requires int, array<bigint>; got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmin_sq_dist_grouped"
+
+  def compute(sup: Int, q: ArrayData): java.lang.Integer = {
+    val g = groups.value
+    if (sup < 0 || sup >= g.iidxs.length) return null
+    val idxs = g.iidxs(sup)
+    if (idxs == null) return null
+    Integer.valueOf(VecOps.argminSqFold(q, idxs, g.cents(sup)))
+  }
+
+  override def nullSafeEval(s: Any, q: Any): Any =
+    compute(s.asInstanceOf[Int], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argminGrouped", this,
+      classOf[ArgminSqDistGroupedExpr].getName)
+    nullSafeCodeGen(ctx, ev, (s, q) => s"""
+      java.lang.Integer ${ev.value}_r = $ref.compute($s, $q);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArgminSqDistGroupedExpr =
+    copy(left = newLeft, right = newRight)
 }

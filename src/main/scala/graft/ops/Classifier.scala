@@ -129,7 +129,6 @@ object Classifier {
                                isPositive: Column,
                                textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
     // prior computed BY SPARK with the composed path's exact expression
     // tree (bit-identity discipline — Scala never rounds). It rides the
     // scoring action as a broadcast subtree (the shuffle path's own
@@ -142,6 +141,18 @@ object Classifier {
         (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
           (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
         .cast("bigint").as("prior_micro"))
+    scoreNaiveBayesBroadcastWithPrior(docs, model, prior, textCol, idCol)
+  }
+
+  /** [[scoreNaiveBayesBroadcast]] with a caller-supplied 1-row prior frame
+    * (`prior_micro` BIGINT) — the carried-prior entry the fused
+    * train-and-score path uses so the scoring job touches the corpus
+    * exactly once.
+    */
+  private def scoreNaiveBayesBroadcastWithPrior(docs: DataFrame, model: DataFrame,
+                                                prior: DataFrame, textCol: String,
+                                                idCol: String): DataFrame = {
+    val spark = docs.sparkSession
     val rows = model.select(col("token"), col("w_micro")).collect()
     val tokens = new Array[String](rows.length)
     val ws = new Array[Long](rows.length)
@@ -201,6 +212,12 @@ object Classifier {
         (sum(when(isPositive, 1L).otherwise(0L)) + lit(1.0)) /
           (sum(when(isPositive, 0L).otherwise(1L)) + lit(1.0))) * lit(1e6))
         .cast("bigint").as("prior_micro"))
+    scoreNaiveBayesShuffleWithPrior(docs, model, prior, textCol, idCol)
+  }
+
+  private def scoreNaiveBayesShuffleWithPrior(docs: DataFrame, model: DataFrame,
+                                              prior: DataFrame, textCol: String,
+                                              idCol: String): DataFrame = {
     val tokSums = docs
       .select(col(idCol).as("__id"), explode(toks(textCol)).as("token"))
       .join(model.select(col("token"), col("w_micro")).hint("shuffle_hash"),
@@ -214,5 +231,78 @@ object Classifier {
         col("__id").as(idCol),
         (coalesce(col("__wsum"), lit(0L)) + col("prior_micro")).as("score_micro"))
       .withColumn("pred", col("score_micro") > 0L)
+  }
+
+  /** Fused trainer + scorer (r14): the whole train-and-score pipeline with
+    * ONE training-side corpus pass and ONE scoring-side corpus pass.
+    *
+    * The composed formulation (trainNaiveBayes + scoreNaiveBayesAuto) scans
+    * the corpus THREE times: the token-keyed training explode, the
+    * column-pruned label scan for the class prior, and the scoring scan.
+    * Here the training explode carries the prior out of its own pass with
+    * a per-document NULL-token terminator row (the t_lm_score/t_cms carry
+    * trick): tokens are never null (`split` yields strings), so the
+    * NULL-token group's (n_pos, n_neg) are EXACTLY the per-class document
+    * counts — including empty/null-text documents, which contribute their
+    * terminator and nothing else. The model derives from the non-null
+    * groups with [[trainNaiveBayes]]'s literal arithmetic (the terminator
+    * group never passes the `token IS NOT NULL` cut), and the prior is the
+    * same Spark-evaluated `round(ln((n_pos+1)/(n_neg+1)) * 1e6)` tree over
+    * the same exact integers — bit-identical end to end (ClassifierSuite
+    * fence against the composed chain).
+    *
+    * Scale shape (100 TB): identical to the composed path's training
+    * shuffle (one token-keyed exchange, map-side combined; the terminator
+    * adds one row per document, ~1% of token volume) — minus one full
+    * corpus scan. Scorer dispatch is [[scoreNaiveBayesAuto]]'s: broadcast
+    * probe under `graft.nb.broadcastMaxRows`, shuffle join above it.
+    */
+  def trainAndScoreNaiveBayes(docs: DataFrame, isPositive: Column,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              minCount: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRows = spark.conf.getOption("graft.nb.broadcastMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+    val term = array(lit(null).cast("string"))
+    val stream = docs.select(isPositive.as("__pos"),
+      // null/absent text still contributes its terminator (concat of a
+      // null array is null; coalesce restores the 1-element terminator)
+      explode(coalesce(concat(toks(textCol), term), term)).as("token"))
+    val counts0 = stream.groupBy("token").agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize in one pass: the model plan reads this cache for the
+    // vocabulary totals broadcast AND the main scan, and the prior and
+    // dispatch count() read it again — a cold cache would race
+    counts0.count()
+    try {
+      val counts = counts0.filter(col("token").isNotNull)
+        .filter(col("n_pos") + col("n_neg") >= minCount)
+      val tot = counts.agg(
+        sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"),
+        count(lit(1)).as("v"))
+      val model = counts.crossJoin(broadcast(tot)).select(
+        col("token"), col("n_pos"), col("n_neg"),
+        round(log(
+          ((col("n_pos") + lit(1.0)) * (col("tot_neg") + col("v"))) /
+            ((col("n_neg") + lit(1.0)) * (col("tot_pos") + col("v")))) * lit(1e6))
+          .cast("bigint").as("w_micro"))
+      // prior from the terminator group: n_pos/n_neg there are the
+      // per-class DOCUMENT counts — same integers the composed path's
+      // label scan sums, through the same expression tree. Eagerly
+      // checkpointed (one 1-row job over the live cache) because the
+      // returned plan outlives the counts0 cache released in `finally` —
+      // a lazy subtree would silently re-run the corpus pass at execution.
+      val prior = counts0.filter(col("token").isNull)
+        .select(round(log(
+          (col("n_pos") + lit(1.0)) / (col("n_neg") + lit(1.0))) * lit(1e6))
+          .cast("bigint").as("prior_micro"))
+        .localCheckpoint(eager = true)
+      if (model.count() <= maxRows)
+        scoreNaiveBayesBroadcastWithPrior(docs, model, prior, textCol, idCol)
+      else scoreNaiveBayesShuffleWithPrior(docs, model, prior, textCol, idCol)
+    } finally counts0.unpersist(false)
   }
 }

@@ -62,6 +62,12 @@ object Clustering {
   private[graft] def assign(q: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cidx"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // empty centroid table: the joined formulation returned an empty frame
+    // (crossJoin with nothing); `cents.head` below would throw instead —
+    // bounded today (k >= 1 by construction) but guarded all the same
+    if (cents.isEmpty)
+      return q.filter(lit(false))
+        .select(col("vec_id"), col("q"), lit(null).cast("int").as("cluster"))
     q.select(col("vec_id"), col("q"),
       coalesce(
         graft.functions.VecOps.argminSqDist(col("q"),
@@ -175,14 +181,46 @@ object Clustering {
       .filter(col("__rn") <= kInner)
       .select(col("super"), (col("__rn") - 1).cast("int").as("iidx"),
         transform(col("q"), x => x.cast("double")).as("cvec"))
-    // the centroid table scales with k: join on the cell id, never broadcast
-    def assignInner(cent: DataFrame): DataFrame =
-      cells.join(cent.hint("shuffle_hash"), Seq("super"))
+    // Inner assignment dispatch (r14): the centroid table is bounded by
+    // kSuper * kInner BY CONSTRUCTION, so when that bound fits the
+    // broadcast budget (`graft.kmeans.innerBroadcastMaxRows`, default 1M
+    // rows — rows, not bytes: lower it for high-dim embeddings) the
+    // assignment runs as ONE fused argmin projection probing a broadcast
+    // super→centroids table (functions.ArgminSqDistGroupedExpr) — no
+    // shuffle-hash join, no struct-min SortAggregate, no exchange + two
+    // sorts per inner Lloyd round. Past the budget (k in the millions at
+    // high dim) the joined formulation below remains the path — that is
+    // the two-level design's whole point, so the gate is static and free.
+    // Fenced cell-identical in RelevanceClusteringSuite (ties, null q,
+    // empty cells).
+    val innerBroadcastMax = embeddings.sparkSession.conf
+      .getOption("graft.kmeans.innerBroadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val innerFused = kSuper.toLong * kInner <= innerBroadcastMax
+    // fused probe over any (vec_id, super, q) frame; rows whose cell has
+    // no centroids drop, matching the joined path's inner join
+    def assignCellFused(points: DataFrame, cent: DataFrame): DataFrame = {
+      val rows = cent.select(col("super"), col("iidx"), col("cvec")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val groups = embeddings.sparkSession.sparkContext
+        .broadcast(graft.functions.GroupedCentroids(rows))
+      points.select(col("vec_id"), col("super"), col("q"),
+          graft.functions.VecOps.argminSqDistGrouped(col("super"), col("q"),
+            groups).as("iidx"))
+        .filter(col("iidx").isNotNull)
+    }
+    // the joined formulation — the over-budget path and the equivalence-
+    // fence reference (RelevanceClusteringSuite)
+    def assignInnerJoined(points: DataFrame, cent: DataFrame): DataFrame =
+      points.join(cent.hint("shuffle_hash"), Seq("super"))
         .withColumn("__d", sqDist(col("q"), col("cvec")))
         .groupBy("vec_id")
         .agg(first("super").as("super"), first("q").as("q"),
           min(struct(col("__d"), col("iidx"))).as("__m"))
         .select(col("vec_id"), col("super"), col("q"), col("__m.iidx").as("iidx"))
+    def assignInner(cent: DataFrame): DataFrame =
+      if (innerFused) assignCellFused(cells, cent)
+      else assignInnerJoined(cells, cent)
     def updateInner(assigned: DataFrame): DataFrame =
       assigned.select(col("super"), col("iidx"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("super", "iidx", "pos")
@@ -227,12 +265,14 @@ object Clustering {
         .filter(col("__m2").isNotNull &&
           col("__m2.__d") <= lit(1.05) * col("__m1.__d"))
         .select(col("vec_id"), col("q"), col("__m2.cidx").as("super"))
-      val secondary = second.join(inner.hint("shuffle_hash"), Seq("super"))
-        .withColumn("__d", sqDist(col("q"), col("cvec")))
-        .groupBy("vec_id")
-        .agg(first("super").as("super"), min(struct(col("__d"), col("iidx"))).as("__m"))
+      // same dispatch as the primary inner assignment: fused argmin under
+      // the broadcast budget, shuffle-hash join + struct-min past it
+      val secondary = (if (innerFused)
+          assignCellFused(second, inner)
+        else
+          assignInnerJoined(second, inner))
         .select(col("vec_id"),
-          (col("super").cast("long") * kInner + col("__m.iidx")).cast("int").as("cluster2"))
+          (col("super").cast("long") * kInner + col("iidx")).cast("int").as("cluster2"))
       primary.join(secondary, Seq("vec_id"), "left")
     }).localCheckpoint(eager = true)
     cells.unpersist()

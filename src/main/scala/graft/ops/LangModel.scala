@@ -253,21 +253,34 @@ object LangModel {
         array(struct(try_element_at(col("__t"), lit(-1)).as("w1"),
           lit(null).cast("string").as("w2"))))).as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-    // coalesce(1) BEFORE persist: the aggregate itself still reduces with
-    // full shuffle width (coalesce is narrow, applied on top), but the
-    // cached result is ONE partition — the half-dozen vocabulary-sized
-    // actions downstream (model count, V, unigram/model collects) become
-    // 1-task jobs instead of 64-reducer stage floors (measured: they cost
-    // more than the corpus pass itself at 100x without this)
-    val pairCounts = stream.groupBy("w1", "w2")
+    // Cache at full shuffle width, THEN (r14, size-aware) read it through a
+    // narrow coalesce(1) only when the pair-type cardinality is known to be
+    // vocabulary-small. The r13 unconditional coalesce(1)-before-persist
+    // made the half-dozen downstream vocabulary-sized actions (model count,
+    // V, unigram/model collects) 1-task jobs instead of 64-reducer stage
+    // floors — but it also pinned the WHOLE pair-count cache in ONE
+    // partition before its size was known, which at web-corpus scale
+    // (billions of distinct bigram types) is a single-node OOM and a
+    // 1-task unigram stage. Persisting at full width first keeps the cache
+    // distributed; the count() below (needed anyway to build the cache in
+    // one pass) yields the exact cardinality for free, and only a frame
+    // under `graft.lm.coalesceMaxRows` is then READ single-task (narrow
+    // coalesce on top of the cache — the blocks stay where they were built).
+    // sf0.1/100x behavior is unchanged: the stage-floor win was always the
+    // 1-task downstream reads, not the cache layout.
+    val pairCountsCache = stream.groupBy("w1", "w2")
       .agg(count(lit(1)).as("c"))
-      .coalesce(1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the cache NOW, in one pass: the model plan references
     // pairCounts four times (main scan + two unigram broadcasts + V), and
     // broadcast-exchange jobs launch first and RACE to build a cold cache —
     // measured as the corpus explode running 2-3x inside model.count()
-    pairCounts.count()
+    val nPairTypes = pairCountsCache.count()
+    val coalesceMax = spark.conf.getOption("graft.lm.coalesceMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+    val pairCounts =
+      if (nPairTypes <= coalesceMax) pairCountsCache.coalesce(1)
+      else pairCountsCache
     try {
       val unigrams = pairCounts.groupBy("w1").agg(sum("c").as("c_uni"))
         .filter(col("c_uni") >= minCount)
@@ -285,7 +298,7 @@ object LangModel {
       if (model.count() <= maxRows)
         scoreBigramLmBroadcast(docs, model, unigrams, textCol, idCol)
       else scoreBigramLm(docs, model, unigrams, textCol, idCol)
-    } finally pairCounts.unpersist(false)
+    } finally pairCountsCache.unpersist(false)
   }
 
   /** Scorer dispatch: broadcast-probe when the pruned model fits the

@@ -119,6 +119,52 @@ class ClassifierSuite extends SparkSpec {
     assert(expected.sameElements(auto), "auto broadcast path diverges")
   }
 
+  test("fused train-and-score is bit-identical to the composed chain") {
+    // corpus fence for the r14 carried-prior path: every (doc_id,
+    // score_micro, pred) cell must match train + composed score
+    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
+    val composed = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    val fused = Classifier.trainAndScoreNaiveBayes(docs, col("lang") === "en",
+        minCount = 2)
+      .orderBy("doc_id").collect()
+    assert(composed.sameElements(fused),
+      "fused train-and-score diverges from the composed formulation")
+  }
+
+  test("fused train-and-score: edge docs (null/empty text, null label) match") {
+    // null text must still count toward the prior (it contributes only the
+    // terminator row); a null label behaves as negative on both paths
+    val d = Seq(
+      (1L, "alpha alpha beta", "pos"), (2L, "alpha gamma beta", "pos"),
+      (3L, "delta delta beta", "neg"), (4L, "delta epsilon beta", "neg"),
+      (5L, null, "pos"), (6L, "", "neg"), (7L, "   \t  ", null),
+      (8L, "😀 alpha", "pos"))
+      .toDF("doc_id", "text", "cls")
+    val m = Classifier.trainNaiveBayes(d, col("cls") === "pos", minCount = 1)
+    val composed = Classifier.scoreNaiveBayes(d, m, col("cls") === "pos")
+      .orderBy("doc_id").collect()
+    val fused = Classifier.trainAndScoreNaiveBayes(d, col("cls") === "pos",
+        minCount = 1)
+      .orderBy("doc_id").collect()
+    assert(composed.sameElements(fused),
+      "edge-doc fused train-and-score diverges from the composed chain")
+  }
+
+  test("fused train-and-score: over-budget shuffle fallback matches") {
+    val m = Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2)
+    val expected = Classifier.scoreNaiveBayes(docs, m, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    spark.conf.set("graft.nb.broadcastMaxRows", "1")
+    try {
+      val fused = Classifier.trainAndScoreNaiveBayes(docs, col("lang") === "en",
+          minCount = 2)
+        .orderBy("doc_id").collect()
+      assert(expected.sameElements(fused),
+        "fused shuffle fallback diverges from the composed chain")
+    } finally spark.conf.unset("graft.nb.broadcastMaxRows")
+  }
+
   test("micro-integer scores are partition-count invariant") {
     val base = Classifier.scoreNaiveBayes(docs,
       Classifier.trainNaiveBayes(docs, col("lang") === "en", minCount = 2),

@@ -129,6 +129,20 @@ class LangModelSuite extends SparkSpec {
       "edge-doc fused scores diverged from composed")
   }
 
+  test("fused pipeline: wide (uncoalesced) pair-count cache matches too") {
+    // the r14 scale-safety fence: with graft.lm.coalesceMaxRows = 0 the
+    // persisted pair-count frame keeps its full shuffle width (the 100 TB
+    // shape — no single-partition cache), and every score cell must still
+    // equal the composed chain
+    val uni = LangModel.unigramCounts(docs, minCount = 2)
+    val model = LangModel.trainBigramLm(docs, uni, minCount = 2)
+    val want = rows(LangModel.scoreBigramLm(docs, model, uni))
+    spark.conf.set("graft.lm.coalesceMaxRows", "0")
+    try assert(rows(LangModel.scoreBigramLmFused(docs)) == want,
+      "wide-cache fused scores diverged from composed")
+    finally spark.conf.unset("graft.lm.coalesceMaxRows")
+  }
+
   test("auto dispatch: budget=0 falls back to the composed join path") {
     val uni = LangModel.unigramCounts(docs, minCount = 2)
     val model = LangModel.trainBigramLm(docs, uni, minCount = 2)

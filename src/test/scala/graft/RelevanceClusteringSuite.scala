@@ -189,6 +189,34 @@ class RelevanceClusteringSuite extends SparkSpec {
       "kSuper=1 has no second coarse cell")
   }
 
+  test("kmeansTwoLevel: fused inner argmin equals the joined struct-min path") {
+    // the r14 fence: budget 0 forces the shuffle-hash join + struct-min
+    // formulation; the default (fused broadcast argmin) must reproduce it
+    // cell for cell — primary AND soft cluster2 — on the real corpus and
+    // on a tie-heavy synthetic (duplicate vectors force inner-distance ties)
+    def run(df: org.apache.spark.sql.DataFrame, soft: Boolean): Seq[(Long, Int, Int)] =
+      Clustering.kmeansTwoLevel(df, kSuper = 4, kInner = 4, iters = 2,
+          softCandidates = soft)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (soft && r.isNullAt(2)) -1 else if (soft) r.getInt(2) else -2))
+        .sortBy(_._1).toSeq
+    def both(df: org.apache.spark.sql.DataFrame, soft: Boolean): Unit = {
+      val fused = run(df, soft)
+      spark.conf.set("graft.kmeans.innerBroadcastMaxRows", "0")
+      val joined = try run(df, soft)
+      finally spark.conf.unset("graft.kmeans.innerBroadcastMaxRows")
+      assert(fused == joined, s"fused inner argmin != joined (soft=$soft)")
+    }
+    both(emb, soft = false)
+    both(emb, soft = true)
+    val ties = (0L until 60L).map { i =>
+      // only 5 distinct vectors over 60 ids: ties everywhere
+      (i, Array.tabulate(4)(j => math.sin((i % 5) * 0.7 + j)))
+    }.toDF("vec_id", "embedding")
+    both(ties, soft = false)
+    both(ties, soft = true)
+  }
+
   test("pageRank: hand-computed integer ranks on a triangle + pendant") {
     // triangle 1-2-3 plus pendant 4 attached to 3, undirected;
     // expected values replayed by hand (floor arithmetic):
