@@ -161,25 +161,51 @@ object Dedup {
     // byte-identical hash chain to the explode + per-seed MIN + concat_ws
     // formulation it replaces — fenced in PipelineGatesSuite): the
     // signature never leaves its row, so the 100M-row explode and the
-    // k-column groupBy-min disappear; candidate generation's only shuffle
-    // is the slim (doc_id, band, bucket) exchange below. Cap runaway
-    // buckets. bucketed feeds BOTH sides of the candidate self-join —
-    // persist so the cap join runs once, not once per side.
+    // k-column groupBy-min disappear. Cap runaway buckets.
     val slim = shingled
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
           .as(Seq("band", "bucket")))
     val bucketSizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-    val bucketed = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+    val keptRows = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("band", "bucket"))
+
+    // First-match candidate emission (r14): a pair meeting in several
+    // bands used to be deduplicated with dropDuplicates over every pair
+    // INSTANCE — measured at 100× as the pipeline's single biggest stage
+    // (176M instances hashed down to 27M pairs, 14 s of a 26 s run).
+    // Instead each side of the self-join carries its per-doc kept-bucket
+    // vector (one slot per band, NULL where the per-bucket cap dropped the
+    // doc's entry — cap-awareness is what makes first-match correct: a
+    // pair whose earliest shared band was capped must be emitted by its
+    // first SURVIVING shared band), and only the instance whose band
+    // equals the first matching slot survives — pairs are unique by
+    // construction, no dedup exchange. Fenced set-identical against the
+    // dropDuplicates formulation in PipelineGatesSuite (incl. a capped
+    // earliest-shared-band case). `sides` feeds BOTH sides of the
+    // self-join — persist so the vector build runs once, not per side.
+    val docKept = keptRows.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("band"), col("bucket")))).as("__m"))
+      .select(col("doc_id"),
+        // try_element_at: NULL for a band whose bucket was capped away
+        // (ANSI-safe; plain element_at errors on a missing map key)
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => try_element_at(col("__m"), j)).as("__kb"))
+    val sides = docKept
+      .select(col("doc_id"), col("__kb"),
+        posexplode(col("__kb")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
       .persist()
 
-    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
-    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
+    val a = sides.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_a"), col("__kb").as("__kb_a"))
+    val b = sides.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_b"), col("__kb").as("__kb_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(col("band") ===
+        graft.functions.FirstMatchBandExpr.firstMatchBand(col("__kb_a"), col("__kb_b")))
       .select("doc_id_a", "doc_id_b")
-      .dropDuplicates("doc_id_a", "doc_id_b")
 
     // attach the shingle sets to the (already deduplicated) candidate pairs.
     // The shingle side is corpus-sized by definition — force a shuffle join
@@ -763,11 +789,47 @@ object Dedup {
       col(idCol),
       posexplode(graft.functions.ChunkWordsExpr.chunkWords(col(textCol), k))
         .as(Seq("pos", "chunk")))
-    // keeper election and the join back are keyed on the chunk's 64-bit
-    // fingerprint, so both shuffles move (fp, id, pos) triples — the chunk
-    // TEXT stays map-side on the rebuild branch only. Jaccard-style
-    // equality via fp is exact absent a 64-bit collision between two
-    // distinct chunks in the corpus.
+    // Keeper election CARRIES the chunk text (r14): (id, pos) is unique per
+    // chunk instance, so min(struct(id, pos, chunk)) per fingerprint is
+    // row-identical to electing min(struct(id, pos)) and joining the chunk
+    // back on (fp, id, pos) — the shape this replaces, which re-chunked the
+    // whole corpus for the probe side of that join (a second full text
+    // scan) and paid the join's exchange. The min is still map-side
+    // partial-aggregable, so boilerplate skew (one chunk in a billion docs)
+    // reduces to one row per input partition before the shuffle; the chunk
+    // text rides only the surviving candidate per partition. Fenced
+    // row-identical against the joined formulation in PipelineGatesSuite.
+    val kept = chunks.withColumn("__cfp", xxhash64(col("chunk")))
+      .groupBy("__cfp")
+      .agg(min(struct(col(idCol), col("pos"), col("chunk"))).as("kp"))
+      .select(col("kp").getField(idCol).as(idCol),
+        col("kp").getField("pos").as("pos"),
+        col("kp").getField("chunk").as("chunk"))
+    df.select(col(idCol),
+        size(graft.functions.ChunkWordsExpr.chunkWords(col(textCol), k))
+          .cast("bigint").as("n_chunks"))
+      .join(
+        kept.groupBy(idCol).agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_clean")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The join-back formulation [[chunkDedup]] replaced — the equivalence-
+    * fence reference (PipelineGatesSuite).
+    */
+  private[graft] def chunkDedupJoined(df: DataFrame, chunkWords: Int = 10,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id"): DataFrame = {
+    val k = chunkWords
+    val chunks = df.select(
+      col(idCol),
+      posexplode(graft.functions.ChunkWordsExpr.chunkWords(col(textCol), k))
+        .as(Seq("pos", "chunk")))
     val withFp = chunks.withColumn("__cfp", xxhash64(col("chunk")))
     val keepers = withFp.select(col("__cfp"), col(idCol), col("pos"))
       .groupBy("__cfp")

@@ -288,6 +288,88 @@ class PipelineGatesSuite extends SparkSpec {
       s"expected partial-aggregated keeper:\n$plan")
   }
 
+  test("minhash first-match candidates equal the dropDuplicates formulation") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // r14 fence: pair-unique emission at the first surviving shared band
+    // must produce EXACTLY the pair set of self-join + dropDuplicates over
+    // all instances — incl. under a tight per-bucket cap, where a pair's
+    // earliest shared band can be capped away and the pair must still be
+    // emitted by its first SURVIVING shared band
+    def ref(df: org.apache.spark.sql.DataFrame, threshold: Double,
+            bands: Int, rows: Int, maxBucket: Int) = {
+      val shingled = df.select(col("doc_id"), col("text").as("__text"))
+        .withColumn("__sh", graft.functions.ShingleFpExpr.shingleFp(col("__text"), 3))
+        .filter(size(col("__sh")) > 0).select(col("doc_id"), col("__sh"))
+      val slim = shingled.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
+          .as(Seq("band", "bucket")))
+      val sizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+      val bucketed = slim.join(sizes.filter(col("__bsz") <= maxBucket), Seq("band", "bucket"))
+      val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+      val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
+      a.join(b, Seq("band", "bucket")).filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b").dropDuplicates("doc_id_a", "doc_id_b")
+        .join(shingled.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a")), "doc_id_a")
+        .join(shingled.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b")), "doc_id_b")
+        .withColumn("jaccard",
+          round(graft.functions.SortedJaccardExpr.sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    }
+    def cmp(df: org.apache.spark.sql.DataFrame, threshold: Double,
+            bands: Int, rows: Int, maxBucket: Int): Unit = {
+      val got = Dedup.minhashNearDuplicates(df, threshold = threshold,
+          bands = bands, rows = rows, maxBucket = maxBucket)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      val want = ref(df, threshold, bands, rows, maxBucket)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      assert(got.sameElements(want),
+        s"first-match candidates diverge (b=$bands r=$rows cap=$maxBucket): " +
+          s"got ${got.length}, want ${want.length}")
+    }
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cmp(corpus, 0.7, 8, 4, 1000)
+    cmp(corpus, 0.5, 8, 4, 3) // tight cap: survivors-only band matching
+    // engineered cap case: X=Y identical; Z1/Z2 near-identical to them, so
+    // many (but not all) of X/Y's shared buckets also hold Z1/Z2 and blow
+    // the cap of 2 — X-Y must surface via the first band Z1/Z2 miss
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fam = Seq(
+      (1L, words), (2L, words),
+      (3L, words.replace("w30", "zz")), (4L, words.replace("w29", "qq")),
+      (5L, "completely different text about other things entirely here now"),
+      (6L, "completely different text about other things entirely here now"))
+      .toDF("doc_id", "text")
+    cmp(fam, 0.0, 8, 1, 2)
+    cmp(fam, 0.0, 8, 2, 2)
+    cmp(fam, 0.7, 8, 4, 1000)
+  }
+
+  test("chunkDedup: carry-chunk keeper agg equals the join-back formulation") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // the r14 fence: min(struct(id, pos, chunk)) election must be
+    // row-identical to electing min(struct(id, pos)) + joining the chunk
+    // back — on the corpus AND on tie/boilerplate shapes (same chunk in
+    // many docs/positions, single-word docs, empty docs)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def cmp(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val a = Dedup.chunkDedup(df, chunkWords = k).orderBy("doc_id").collect()
+      val b = Dedup.chunkDedupJoined(df, chunkWords = k).orderBy("doc_id").collect()
+      assert(a.sameElements(b), "carry-chunk keeper != join-back keeper")
+    }
+    cmp(corpus, 10)
+    val boiler = Seq(
+      (5L, "x x x x x x x x x"), (1L, "x x x x x x"), (2L, "x x x y y y"),
+      (3L, ""), (4L, "solo"), (6L, "x x x x x x x x x x x x")
+    ).toDF("doc_id", "text")
+    cmp(boiler, 3)
+    // null text row via union (Seq.toDF can't carry null in a 2-tuple cleanly)
+    cmp(boiler.unionByName(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .unionByName(spark.sql("SELECT 7L AS doc_id, CAST(NULL AS STRING) AS text")), 3)
+  }
+
   test("connected components: chains, disjoint clusters, keeper selection") {
     import spark.implicits._
     val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (50L, 60L))
