@@ -63,8 +63,13 @@ object Bpe {
     // The corpus-sized work (word count) stays in Spark either way; the
     // distributed rounds remain for a configured vocabulary past the
     // collect budget (graft.bpe.localMaxWords).
+    // Default MEASURED, not guessed (r14, ProbeBpeHeap): the collected
+    // vocab (freq + per-codepoint symbol arrays) retains ~68 MB at 100k
+    // words and ~642 MB at 1M, and the 10 single-core merge passes take
+    // ~4 s / ~10 s respectively. 200k (~130 MB, ~5 s) keeps the driver
+    // comfortable; raise the conf on a fat-driver deployment.
     val localMax = spark.conf.getOption("graft.bpe.localMaxWords")
-      .map(_.toLong).getOrElse(1000000L)
+      .map(_.toLong).getOrElse(200000L)
     if (topWords <= localMax) return learnMergesLocal(spark, words, nMerges)
     var vocab: Dataset[(String, Long, Seq[String])] = words
       .select(col("word"), col("freq"),
@@ -101,8 +106,8 @@ object Bpe {
     * bit-identical to the distributed rounds (same integer pair counts,
     * same tie-break order) with zero per-round Spark jobs.
     */
-  private def learnMergesLocal(spark: org.apache.spark.sql.SparkSession,
-                               words: DataFrame, nMerges: Int): DataFrame = {
+  private[graft] def learnMergesLocal(spark: org.apache.spark.sql.SparkSession,
+                                      words: DataFrame, nMerges: Int): DataFrame = {
     import spark.implicits._
     val rows = words.collect()
     // symbols = the word's codepoints, exactly what the distributed path's

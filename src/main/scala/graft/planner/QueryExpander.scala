@@ -1405,14 +1405,69 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         }.toMap
       }
 
+    // Rollup/cube/grouping-sets skeleton derivation (r14): under a group
+    // wrapper the inline fast path is off, so __outer is a pure GROUP-KEY
+    // SKELETON — yet it re-scans the fact table just to enumerate the key
+    // combinations that the all-dims visible aggregate frame (present
+    // whenever a visible AGGREGATE call exists) already derives from the
+    // same base. ROLLUP/CUBE/GROUPING SETS expansions depend only on the
+    // DISTINCT key combinations, which a GROUP BY over all dims preserves
+    // exactly (including data-null key groups), so deriving the skeleton
+    // FROM that frame is row-identical and removes one full base scan per
+    // wrapped query. Eligibility mirrors the frame's provenance: single
+    // fact, no row/view predicates, no outer WHERE/HAVING, no plain
+    // aggregates (those must aggregate base rows inside __outer), and an
+    // unfiltered non-window frame keyed on exactly the dims.
+    val skeletonFromFrame: Option[(MergedFrame, List[Int])] =
+      if (singleFact && groupWrapper.nonEmpty && plainAggCols.isEmpty &&
+          inlineAggs.isEmpty && rowWhere.isEmpty && viewPredicates.isEmpty &&
+          outerWhere.isEmpty && outerHaving.isEmpty && !clauses.distinct &&
+          dims.nonEmpty &&
+          (groupWrapper != "GROUPING SETS" ||
+            dims.forall(d => SqlClauses.plainColumnName(d.queryExpr).isDefined))) {
+        val primaryBase = baseCteFor(primaryView)
+        val dimNorms = dims.map(d =>
+          Scan.norm(substToBase(d.queryExpr, primaryView, primaryAliases)))
+        frames.toList.flatMap { case (sig, f) =>
+          val noSets = sig.split("§", -1).lift(3).contains("")
+          if (f.isWindow || f.whereSql.nonEmpty || !noSets ||
+              f.baseCte != primaryBase || f.innerKeys.size != dims.size) None
+          else {
+            val keyNorms = f.innerKeys.map(Scan.norm)
+            val idx = dimNorms.map(keyNorms.indexOf)
+            if (idx.contains(-1) || idx.distinct.size != idx.size) None
+            else Some((f, idx))
+          }
+        }.headOption
+      } else None
+
     // __outer
     val outerProjections = scala.collection.mutable.ListBuffer[String]()
     val outerGroupKeys = scala.collection.mutable.ListBuffer[String]()
     if (singleFact) {
-      for (d <- dims) {
-        val baseExpr = substToBase(d.queryExpr, primaryView, primaryAliases)
-        outerProjections += s"$baseExpr AS ${d.outName}"
-        outerGroupKeys += baseExpr
+      skeletonFromFrame match {
+        case Some((f, idx)) =>
+          for ((d, j) <- dims.zipWithIndex) {
+            outerProjections += s"__k${idx(j)} AS ${d.outName}"
+            outerGroupKeys += s"__k${idx(j)}"
+          }
+          // the frame's measure values ride the SAME grouped select instead
+          // of a LEFT JOIN back: at the finest grouping set every group is
+          // exactly one frame row (frame keys are unique), so MIN picks it;
+          // every supergroup row is NULL — the GROUPING semantics the
+          // oracle replays (CASE WHEN GROUPING(...) THEN NULL). The join
+          // this replaces attached values by null-safe key equality, which
+          // agreed everywhere except data-null key groups colliding with
+          // expansion nulls — where the join contradicted the oracle.
+          for ((vcol, _) <- f.values)
+            outerProjections +=
+              s"CASE WHEN grouping_id() <> 0 THEN NULL ELSE MIN($vcol) END AS __s$vcol"
+        case None =>
+          for (d <- dims) {
+            val baseExpr = substToBase(d.queryExpr, primaryView, primaryAliases)
+            outerProjections += s"$baseExpr AS ${d.outName}"
+            outerGroupKeys += baseExpr
+          }
       }
     } else {
       for (d <- dims) {
@@ -1624,7 +1679,8 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
       }
 
     val outerFrom =
-      if (rowWhere.isDefined) vbaseName // the measure-predicate WHERE lives inside __vbase
+      if (skeletonFromFrame.isDefined) skeletonFromFrame.get._1.cte
+      else if (rowWhere.isDefined) vbaseName // the measure-predicate WHERE lives inside __vbase
       else if (singleFact) baseCteFor(primaryView)
       else dedupJoinFrom.getOrElse(fromText)
     for (p <- viewPredicates if !outerFrom.contains(p.vbase))
@@ -1639,9 +1695,24 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
         val keys = outerGroupKeys.mkString(", ")
         val g =
           if (groupWrapper == "GROUPING SETS") {
-            val inner =
-              if (singleFact) substToBase(groupingSetsRaw, primaryView, primaryAliases)
-              else groupingSetsRaw
+            val inner = skeletonFromFrame match {
+              case Some((_, idx)) =>
+                // skeleton reads the frame: set members are plain dim
+                // columns (eligibility requires it) — map each to its
+                // frame key column
+                val bySrc: Map[String, String] = dims.zipWithIndex.flatMap {
+                  case (d, j) =>
+                    val key = s"__k${idx(j)}"
+                    SqlClauses.plainColumnName(d.queryExpr)
+                      .map(_.toLowerCase -> key).toList :+
+                      (d.outName.toLowerCase -> key)
+                }.toMap
+                mapTokens(groupingSetsRaw, tok =>
+                  bySrc.get(Scan.stripQual(tok, allAliases).toLowerCase))
+              case None =>
+                if (singleFact) substToBase(groupingSetsRaw, primaryView, primaryAliases)
+                else groupingSetsRaw
+            }
             s" GROUP BY GROUPING SETS($inner)"
           } else if (groupWrapper.nonEmpty) s" GROUP BY $groupWrapper($keys)"
           else s" GROUP BY $keys"
@@ -1720,7 +1791,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           case Some((fromSql, _)) => inner.append(s" FROM $fromSql")
           case None =>
             inner.append(s" FROM $outerName")
-            for ((_, f) <- frames) {
+            for ((_, f) <- frames if !skeletonFromFrame.exists(_._1 eq f)) {
               f.joinOn match {
                 case Some(on) => inner.append(s" LEFT JOIN ${f.cte} ON $on")
                 case None => inner.append(s" LEFT JOIN ${f.cte} ON true")
@@ -1738,7 +1809,7 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           case Some((fromSql, _)) => sb.append(s" FROM $fromSql")
           case None =>
             sb.append(s" FROM $outerName")
-            for ((_, f) <- frames) {
+            for ((_, f) <- frames if !skeletonFromFrame.exists(_._1 eq f)) {
               f.joinOn match {
                 case Some(on) => sb.append(s" LEFT JOIN ${f.cte} ON $on")
                 case None => sb.append(s" LEFT JOIN ${f.cte} ON true")
@@ -1757,7 +1828,18 @@ final class QueryExpander(catalog: MeasureCatalog, baseColumns: String => Set[St
           t.replaceAll(java.util.regex.Pattern.quote(k) + "\\b",
             java.util.regex.Matcher.quoteReplacement(v))
         })
-      case None => Some(sb.toString)
+      case None =>
+        // skeleton derivation: the rendered text references the elided
+        // frame's value columns — point them at the outer's grouped copies
+        skeletonFromFrame match {
+          case Some((f, _)) =>
+            Some(f.values.keys.foldLeft(sb.toString) { (t, vcol) =>
+              t.replaceAll(
+                java.util.regex.Pattern.quote(s"${f.cte}.$vcol") + "\\b",
+                java.util.regex.Matcher.quoteReplacement(s"$outerName.__s$vcol"))
+            })
+          case None => Some(sb.toString)
+        }
     }
   }
 
