@@ -20,22 +20,32 @@ eng = json.load(open(sys.argv[1]))
 duck = json.load(open(sys.argv[2]))
 sf_dir, out_path = sys.argv[3], sys.argv[4]
 
-# r12-style annotation for the substrate-killed cell
-duck["queries"]["c_kmeans"] = -1.0
-duck["oom_failed"] = ["c_kmeans"]
-duck["note"] = (
-    "c_kmeans replay OOM-killed the DuckDB process at the OS level "
-    "(reproduced twice this session: memory_limit=64GB and 48GB; "
-    "list-vector allocations outside the buffer pool — same failure as "
-    "the r12 window); engine side: 10.234 s. d_minhash/d_simhash not "
-    "run on the legacy-compounded corpus: engine-skipped at this scale "
-    "(PERF.md 0i), their DuckDB twins die on disk / band-space OOM; "
-    "both cells are instead measured on the bounded-duplicate 5M-doc "
-    "corpus (r12 verdict task 2) — see PERF.md 0o.")
+# r12-style annotation for the substrate-killed cell — applied ONLY when
+# the duck input is actually missing/failed on c_kmeans (r13 advice: the
+# unconditional stamp would clobber a real measurement)
+if duck["queries"].get("c_kmeans", -1.0) <= 0:
+    duck["queries"]["c_kmeans"] = -1.0
+    duck["oom_failed"] = ["c_kmeans"]
+    duck["note"] = (
+        "c_kmeans replay OOM-killed the DuckDB process at the OS level "
+        "(reproduced twice this session: memory_limit=64GB and 48GB; "
+        "list-vector allocations outside the buffer pool — same failure as "
+        "the r12 window); engine side: 10.234 s. d_minhash/d_simhash not "
+        "run on the legacy-compounded corpus: engine-skipped at this scale "
+        "(PERF.md 0i), their DuckDB twins die on disk / band-space OOM; "
+        "both cells are instead measured on the bounded-duplicate "
+        "corpus (r12 verdict task 2) — see PERF.md 0o.")
 
 eq, dq = eng["queries"], duck["queries"]
 ratios = {k: round(eq[k] / dq[k], 2)
           for k in eq if k in dq and eq[k] > 0 and dq[k] > 0}
+# a headline cell missing or non-positive on either side would silently
+# vanish from the totals — say so loudly in the artifact (r13 advice)
+excluded = sorted(k for k in set(eq) | set(dq)
+                  if not (eq.get(k, -1) > 0 and dq.get(k, -1) > 0))
+if excluded:
+    print(f"[merge] excluded from totals (missing/failed on a side): "
+          f"{excluded}", file=sys.stderr)
 PIPELINE = {"q_hll", "t_cms", "t_winnow_poly", "d_chunks", "t_subword",
             "t_bpe", "t_nb_score", "t_lm_score", "c_kmeans"}
 EXTRAS = {"d_minhash", "d_simhash", "e_asof", "e_range",
@@ -50,6 +60,8 @@ out = {
                       "ratio": round(et / dt, 2) if dt else None},
     "ratios": {k: v for k, v in ratios.items() if k not in EXTRAS},
 }
+if excluded:
+    out["excluded_from_totals"] = excluded
 if eng.get("skipped"):
     out["engine_skipped"] = eng["skipped"]
 if duck.get("timeouts"):

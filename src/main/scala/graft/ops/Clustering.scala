@@ -279,6 +279,50 @@ object Clustering {
     out
   }
 
+  /** Dev-only plan probe: the first inner-round assignment frame of
+    * [[kmeansTwoLevel]], un-checkpointed, so its physical plan (fused
+    * argmin projection vs shuffle-hash join + struct-min, per the
+    * `graft.kmeans.innerBroadcastMaxRows` dispatch) can be dumped as
+    * committed evidence — the entry-level plan only shows the final
+    * localCheckpoint leaf.
+    */
+  private[graft] def kmeansTwoLevelInnerPlanProbe(embeddings: DataFrame,
+      kSuper: Int, kInner: Int, scale: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("q"))
+    val coarse = q.filter(col("vec_id") < kSuper)
+      .select(col("vec_id").cast("int").as("cidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+    val cells = assign(q, coarse).withColumnRenamed("cluster", "super")
+    val inner = cells
+      .withColumn("__rn", row_number().over(Window.partitionBy("super").orderBy("vec_id")))
+      .filter(col("__rn") <= kInner)
+      .select(col("super"), (col("__rn") - 1).cast("int").as("iidx"),
+        transform(col("q"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(eager = true)
+    val innerBroadcastMax = embeddings.sparkSession.conf
+      .getOption("graft.kmeans.innerBroadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    if (kSuper.toLong * kInner <= innerBroadcastMax) {
+      val rows = inner.select(col("super"), col("iidx"), col("cvec")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val groups = embeddings.sparkSession.sparkContext
+        .broadcast(graft.functions.GroupedCentroids(rows))
+      cells.select(col("vec_id"), col("super"), col("q"),
+          graft.functions.VecOps.argminSqDistGrouped(col("super"), col("q"),
+            groups).as("iidx"))
+        .filter(col("iidx").isNotNull)
+    } else
+      cells.join(inner.hint("shuffle_hash"), Seq("super"))
+        .withColumn("__d", sqDist(col("q"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(first("super").as("super"), first("q").as("q"),
+          min(struct(col("__d"), col("iidx"))).as("__m"))
+        .select(col("vec_id"), col("super"), col("q"), col("__m.iidx").as("iidx"))
+  }
+
   /** Per-cluster inertia (sum of squared distances to the assigned
     * centroid) and sizes — the convergence/quality diagnostic.
     */

@@ -414,14 +414,37 @@ object Dedup {
           shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))
       }: _*)).as("__ck"))
       .select(col("doc_id"), col("__sim"), col("__ck.chunk"), col("__ck.key"))
+      // persisted: feeds the bucket-size aggregate AND the cap join — the
+      // upstream simhash computation must run once, not per branch
       .persist()
     // bucket stats are corpus-order in the worst case (one bucket per doc)
     // — never let a size estimate flip this join to broadcast
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
-    val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+    val keptRows = banded.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("chunk", "key"))
-    val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"), col("__sim").as("__sim_a"))
-    val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"), col("__sim").as("__sim_b"))
+    // First-match candidate emission (r14, same shape as
+    // minhashNearDuplicates): each side carries its per-doc kept-chunk
+    // vector (one slot per chunk, NULL where the cap dropped the entry);
+    // only the instance whose chunk equals the first matching slot
+    // survives — pairs are unique by construction, so the dropDuplicates
+    // exchange over every pair instance disappears. NULL-safety of the
+    // slot values: 16-bit keys are non-negative, so no real key collides
+    // with the NULL sentinel semantics. Fenced set-identical against the
+    // dropDuplicates formulation in PipelineGatesSuite.
+    val sides = keptRows.groupBy("doc_id")
+      .agg(first("__sim").as("__sim"),
+        map_from_entries(collect_list(struct(col("chunk"), col("key")))).as("__m"))
+      .select(col("doc_id"), col("__sim"),
+        transform(sequence(lit(0), lit(3)),
+          j => try_element_at(col("__m"), j)).as("__kc"))
+      .select(col("doc_id"), col("__sim"), col("__kc"),
+        posexplode(col("__kc")).as(Seq("chunk", "key")))
+      .filter(col("key").isNotNull)
+      .persist()
+    val a = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+      col("__sim").as("__sim_a"), col("__kc").as("__kc_a"))
+    val b = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+      col("__sim").as("__sim_b"), col("__kc").as("__kc_b"))
     // materialize the (small, post-verify) pair set eagerly so the banded
     // cache can be released before returning — without this every call
     // leaked its cached band partitions for the session (r9 ADVICE);
@@ -429,12 +452,13 @@ object Dedup {
     try {
       a.join(b, Seq("chunk", "key"))
         .filter(col("doc_id_a") < col("doc_id_b"))
-        .dropDuplicates("doc_id_a", "doc_id_b")
+        .filter(col("chunk") ===
+          graft.functions.FirstMatchBandExpr.firstMatchBand(col("__kc_a"), col("__kc_b")))
         .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
         .filter(col("hamming") <= maxHamming)
         .select("doc_id_a", "doc_id_b", "hamming")
         .localCheckpoint(eager = true)
-    } finally banded.unpersist()
+    } finally { sides.unpersist(); banded.unpersist() }
   }
 
   /** Wide-band (126-bit) SimHash near-dups — the band-space scale path
@@ -486,27 +510,40 @@ object Dedup {
         col("__ck.chunk"), col("__ck.key"))
       .persist()
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
-    val capped = banded.join(
+    val keptRows = banded.join(
       sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("chunk", "key"))
-    val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
-      col("__sa").as("__sa_a"), col("__sb").as("__sb_a"))
-    val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
-      col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
+    // first-match candidate emission (r14) — see simhashNearDuplicates;
+    // key values are 31/32-bit non-negative, slot NULL = capped away
+    val sides = keptRows.groupBy("doc_id")
+      .agg(first("__sa").as("__sa"), first("__sb").as("__sb"),
+        map_from_entries(collect_list(struct(col("chunk"), col("key")))).as("__m"))
+      .select(col("doc_id"), col("__sa"), col("__sb"),
+        transform(sequence(lit(0), lit(3)),
+          j => try_element_at(col("__m"), j)).as("__kc"))
+      .select(col("doc_id"), col("__sa"), col("__sb"), col("__kc"),
+        posexplode(col("__kc")).as(Seq("chunk", "key")))
+      .filter(col("key").isNotNull)
+      .persist()
+    val a = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+      col("__sa").as("__sa_a"), col("__sb").as("__sb_a"), col("__kc").as("__kc_a"))
+    val b = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+      col("__sa").as("__sa_b"), col("__sb").as("__sb_b"), col("__kc").as("__kc_b"))
     // same cache discipline as the 16-bit path: eager-materialize the small
-    // verified pair set, then release the banded cache before returning —
-    // exception-safe so a failed join/checkpoint cannot leak it
+    // verified pair set, then release the caches before returning —
+    // exception-safe so a failed join/checkpoint cannot leak them
     try {
       a.join(b, Seq("chunk", "key"))
         .filter(col("doc_id_a") < col("doc_id_b"))
-        .dropDuplicates("doc_id_a", "doc_id_b")
+        .filter(col("chunk") ===
+          graft.functions.FirstMatchBandExpr.firstMatchBand(col("__kc_a"), col("__kc_b")))
         .withColumn("hamming",
           (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
             bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
         .filter(col("hamming") <= maxHamming)
         .select("doc_id_a", "doc_id_b", "hamming")
         .localCheckpoint(eager = true)
-    } finally banded.unpersist()
+    } finally { sides.unpersist(); banded.unpersist() }
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -546,7 +583,10 @@ object Dedup {
     val b = capped.select(col("__bucket"), col("vec_id").as("vec_id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .dropDuplicates("vec_id_a", "vec_id_b")
+      // no dropDuplicates (r14): every vector lands in exactly ONE bucket
+      // (the sign pattern is a single value per row), so the self-join
+      // emits each pair at most once — the dedup was a pure exchange +
+      // aggregate over the full pair set
       .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("vec_id_a", "vec_id_b", "cosine")

@@ -104,39 +104,64 @@ object GenScaled {
   }
 
   /** Scale documents.parquet by `copies`. Legacy: every copy is a suffix
-    * near-dup (families of `copies`). Bounded: copy 0 keeps the original
-    * text verbatim; copies 1-4 of every 10th base doc are suffix near-dups
-    * (families of 5, linear true-pair growth); every other copy splices a
-    * (doc, copy)-unique marker token after every 4th word — 3-shingle
-    * Jaccard vs any sibling ~0.14, far below the 0.7 near-dup threshold.
+    * near-dup (families of `copies`, compounding). Bounded (r14, per the
+    * r13 advice — the old bounded mode only ever formed families on copies
+    * 1-4, so true-pair cardinality was CONSTANT in the copies factor):
+    * every 10th base doc seeds one near-dup family PER 10-COPY BLOCK —
+    * block 0 keeps the old shape (the verbatim copy-0 original + copies
+    * 1-4 as suffix near-dups, family of 5), every later block b forms its
+    * own 4-member family (copies 10b+1..10b+4 share a block-keyed marker
+    * splice plus a copy-unique suffix, so they match each other and
+    * NOTHING outside the block). Every remaining copy splices a
+    * (doc, copy)-unique marker after every 4th word — 3-shingle Jaccard vs
+    * any sibling ~0.14, far below the 0.7 near-dup threshold. True-pair
+    * cardinality therefore grows LINEARLY in corpus size — the web-crawl
+    * shape. Built with a crossJoin against the copy range (a `copies`-way
+    * union plan stops planning around a few hundred branches).
     */
   private def writeDocs(spark: SparkSession, src: String, dst: String,
                         copies: Int, bounded: Boolean): Unit = {
     val docs0 = spark.read.parquet(s"$src/documents.parquet")
     val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until copies).map { i =>
-      val base = docs0.withColumn("doc_id", col("doc_id") + lit(i * docOff))
-      if (!bounded) {
-        base.withColumn("text", concat(col("text"), lit(s" copytag$i")))
-          .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length.toLong))
-      } else if (i == 0) {
-        base // originals, verbatim
-      } else {
-        val famDup = col("doc_id") % lit(docOff) % 10 === 0 && lit(i) < 5
-        val nearText = concat(col("text"), lit(s" copytag$i"))
-        // marker spliced after every 4th word, unique per (base doc, copy):
-        // breaks enough shingles that non-family copies match nothing
-        val markerSql =
-          s"concat(' u', CAST(doc_id % $docOff AS STRING), 'x$i')"
-        val shifted = expr(
+    val out =
+      if (!bounded)
+        (0 until copies).map { i =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+            .withColumn("text", concat(col("text"), lit(s" copytag$i")))
+            .withColumn("n_chars", col("n_chars") + lit(s" copytag$i".length.toLong))
+        }.reduce(_ union _)
+      else {
+        val base = docs0.crossJoin(spark.range(copies.toLong).toDF("__copy"))
+          .withColumn("doc_id", col("doc_id") + col("__copy") * lit(docOff))
+        val famDup = col("doc_id") % lit(docOff) % 10 === 0 &&
+          col("__copy") % 10 >= 1 && col("__copy") % 10 <= 4
+        // markers spliced after every 4th word: family members share the
+        // block-keyed marker (so they match each other), everyone else
+        // gets a (doc, copy)-unique one (so they match nothing)
+        val famMarker =
+          s"concat(' b', CAST(CAST(__copy DIV 10 AS BIGINT) AS STRING), " +
+            s"'f', CAST(doc_id % $docOff AS STRING))"
+        val uniqMarker =
+          s"concat(' u', CAST(doc_id % $docOff AS STRING), " +
+            "'x', CAST(__copy AS STRING))"
+        def splice(markerSql: String) = expr(
           "array_join(transform(split(text, ' '), (w, j) -> " +
             s"IF(j % 4 = 3, concat(w, $markerSql), w)), ' ')")
+        val copyTag = concat(lit(" copytag"), col("__copy").cast("string"))
+        val famText =
+          when(col("__copy") < 10, concat(col("text"), copyTag)) // block 0: old shape
+            .otherwise(concat(splice(famMarker), copyTag))
         base
-          .withColumn("text", when(famDup, nearText).otherwise(shifted))
-          .withColumn("n_chars", length(col("text")).cast(
-            docs0.schema("n_chars").dataType))
+          .withColumn("text",
+            when(col("__copy") === 0, col("text"))
+              .when(famDup, famText)
+              .otherwise(splice(uniqMarker)))
+          .withColumn("n_chars",
+            when(col("__copy") === 0, col("n_chars"))
+              .otherwise(length(col("text")).cast(docs0.schema("n_chars").dataType)))
+          .drop("__copy")
       }
-    }.reduce(_ union _)
-      .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    out.repartition(math.max(32, copies / 16))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 }

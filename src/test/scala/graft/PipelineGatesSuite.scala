@@ -288,6 +288,103 @@ class PipelineGatesSuite extends SparkSpec {
       s"expected partial-aggregated keeper:\n$plan")
   }
 
+  test("simhash first-match candidates equal the dropDuplicates formulation") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // r14 fence for BOTH simhash banding widths: the pair-unique
+    // first-match emission must reproduce self-join + dropDuplicates over
+    // all chunk instances, incl. under a tight per-bucket cap
+    def ref16(df: org.apache.spark.sql.DataFrame, maxHamming: Int, maxBucket: Int,
+              hashFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) = {
+      val simCol = hashFn match {
+        case None => graft.functions.SimHashExpr.simhash64(col("__text"), 2)
+        case Some(fn) => Dedup.simhash(col("__text"), hashFn = fn)
+      }
+      val docs = df.select(col("doc_id"), col("text").as("__text"))
+        .withColumn("__sim", simCol)
+      val banded = docs.select(col("doc_id"), col("__sim"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+        }: _*)).as("__ck"))
+        .select(col("doc_id"), col("__sim"), col("__ck.chunk"), col("__ck.key"))
+      val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+      val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("chunk", "key"))
+      val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+        col("__sim").as("__sim_a"))
+      val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+        col("__sim").as("__sim_b"))
+      a.join(b, Seq("chunk", "key"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .dropDuplicates("doc_id_a", "doc_id_b")
+        .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    }
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def cmp16(df: org.apache.spark.sql.DataFrame, maxHamming: Int, maxBucket: Int): Unit = {
+      // wideFromDocs = 0 pins the 16-bit path under test
+      val got = Dedup.simhashNearDuplicates(df, maxHamming = maxHamming,
+          maxBucket = maxBucket, wideFromDocs = 0)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      val want = ref16(df, maxHamming, maxBucket, None)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      assert(got.sameElements(want),
+        s"16-bit first-match diverges (cap=$maxBucket): got ${got.length}, want ${want.length}")
+    }
+    cmp16(corpus, 12, 1000)
+    cmp16(corpus, 20, 3) // tight cap: survivors-only chunk matching
+    // wide path: brute-force gate already exists; here fence the candidate
+    // machinery against the dropDuplicates formulation via pair-set counts
+    def refWide(df: org.apache.spark.sql.DataFrame, maxHamming: Int, maxBucket: Int) = {
+      val salt = 0x9E3779B97F4A7C15L
+      val docs = df.select(col("doc_id"), col("text").as("__text"))
+        .withColumn("__sa", graft.functions.SimHashExpr.simhash64(col("__text"), 2))
+        .withColumn("__sb", graft.functions.SimHashExpr.simhash64Salted(col("__text"), 2, salt))
+      val banded = docs.select(col("doc_id"), col("__sa"), col("__sb"),
+        explode(array(
+          struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
+          struct(lit(1).as("chunk"), shiftright(col("__sa"), 31).as("key")),
+          struct(lit(2).as("chunk"), col("__sb").bitwiseAND(0x7FFFFFFFL).as("key")),
+          struct(lit(3).as("chunk"), shiftright(col("__sb"), 31).as("key")))).as("__ck"))
+        .select(col("doc_id"), col("__sa"), col("__sb"), col("__ck.chunk"), col("__ck.key"))
+      val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+      val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket), Seq("chunk", "key"))
+      val a = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+        col("__sa").as("__sa_a"), col("__sb").as("__sb_a"))
+      val b = capped.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+        col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
+      a.join(b, Seq("chunk", "key"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .dropDuplicates("doc_id_a", "doc_id_b")
+        .withColumn("hamming",
+          (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
+            bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    }
+    def cmpWide(df: org.apache.spark.sql.DataFrame, maxHamming: Int, maxBucket: Int): Unit = {
+      val got = Dedup.simhashNearDuplicatesWide(df, maxHamming = maxHamming,
+          maxBucket = maxBucket)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      val want = refWide(df, maxHamming, maxBucket)
+        .orderBy("doc_id_a", "doc_id_b").collect()
+      assert(got.sameElements(want),
+        s"wide first-match diverges (cap=$maxBucket): got ${got.length}, want ${want.length}")
+    }
+    cmpWide(corpus, 3, 1000)
+    cmpWide(corpus, 40, 2) // tight cap + loose hamming: more surviving pairs
+    // near-dup families so matching chunks actually occur
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val fam = Seq(
+      (1L, words), (2L, words + " x"), (3L, words + " y z"),
+      (4L, "entirely different content over here with many words now"),
+      (5L, "entirely different content over here with many words now"))
+      .toDF("doc_id", "text")
+    cmp16(fam, 20, 2)
+    cmpWide(fam, 40, 2)
+  }
+
   test("minhash first-match candidates equal the dropDuplicates formulation") {
     import graft.ops.Dedup
     import spark.implicits._
