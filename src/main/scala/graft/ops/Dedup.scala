@@ -162,10 +162,14 @@ object Dedup {
     // formulation it replaces — fenced in PipelineGatesSuite): the
     // signature never leaves its row, so the 100M-row explode and the
     // k-column groupBy-min disappear. Cap runaway buckets.
+    // persisted (r14): slim feeds the bucket-size aggregate AND the cap
+    // join — without the cache the k-hash signature pass (minhashBands
+    // over every cached shingle set) runs once per branch
     val slim = shingled
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
           .as(Seq("band", "bucket")))
+      .persist()
     val bucketSizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
     val keptRows = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("band", "bucket"))
