@@ -67,6 +67,13 @@ object ProbeR14 {
       km(8, 8, "1000000", "km2l(8x8) B_fused")
     }
 
+    if (which == "all" || which == "chunks") {
+      time("chunks A_joined")(() => graft.ops.Dedup.chunkDedupJoined(docs, chunkWords = 10))
+      time("chunks B_carry")(() => graft.ops.Dedup.chunkDedup(docs, chunkWords = 10))
+      time("chunks A_joined")(() => graft.ops.Dedup.chunkDedupJoined(docs, chunkWords = 10))
+      time("chunks B_carry")(() => graft.ops.Dedup.chunkDedup(docs, chunkWords = 10))
+    }
+
     if (which == "all" || which == "lm") {
       def lm(budget: String, label: String): Unit = {
         spark.conf.set("graft.lm.coalesceMaxRows", budget)
