@@ -491,28 +491,36 @@ object Dedup {
                                 maxBucket: Int = 1000,
                                 hashFns: Option[(Column => Column, Column => Column)] = None): DataFrame = {
     val salt = 0x9E3779B97F4A7C15L // 2^64 / golden ratio
-    // None = the fused production path (xxhash64 fingerprints + salted
-    // fmix64 remix); Some((fa, fb)) = two composed hash families, for the
-    // oracle-replayable polynomial twin (d_simhash_wide_poly)
-    val (sigA, sigB) = hashFns match {
+    // None = the fused production path; Some((fa, fb)) = two composed hash
+    // families, for the oracle-replayable polynomial twin
+    // (d_simhash_wide_poly). The fused path (r14 session 2) emits the 4
+    // (chunk, key, sa, sb) band entries from ONE generator expression —
+    // the composed shape evaluated two SimHashExpr columns per row, each
+    // re-running the whole shingle fingerprint scan (the dominant per-row
+    // cost; a collapsed Project offers no evaluate-once protection), while
+    // the Generate boundary pins the fused expression to exactly one
+    // evaluation. Keys/signatures bit-identical (PipelineGatesSuite fence).
+    val banded = (hashFns match {
       case None =>
-        (graft.functions.SimHashExpr.simhash64(col("__text"), 2),
-          graft.functions.SimHashExpr.simhash64Salted(col("__text"), 2, salt))
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .select(col("doc_id"),
+            explode(graft.functions.SimHashWideBandsExpr
+              .simhashWideBands(col("__text"), 2, salt)).as("__ck"))
+          .select(col("doc_id"), col("__ck.sa").as("__sa"),
+            col("__ck.sb").as("__sb"), col("__ck.chunk"), col("__ck.key"))
       case Some((fa, fb)) =>
-        (simhash(col("__text"), hashFn = fa), simhash(col("__text"), hashFn = fb))
-    }
-    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__sa", sigA)
-      .withColumn("__sb", sigB)
-    val banded = docs.select(col("doc_id"), col("__sa"), col("__sb"),
-      explode(array(
-        struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
-        struct(lit(1).as("chunk"), shiftright(col("__sa"), 31).as("key")),
-        struct(lit(2).as("chunk"), col("__sb").bitwiseAND(0x7FFFFFFFL).as("key")),
-        struct(lit(3).as("chunk"), shiftright(col("__sb"), 31).as("key")))).as("__ck"))
-      .select(col("doc_id"), col("__sa"), col("__sb"),
-        col("__ck.chunk"), col("__ck.key"))
-      .persist()
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+          .withColumn("__sa", simhash(col("__text"), hashFn = fa))
+          .withColumn("__sb", simhash(col("__text"), hashFn = fb))
+          .select(col("doc_id"), col("__sa"), col("__sb"),
+            explode(array(
+              struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
+              struct(lit(1).as("chunk"), shiftright(col("__sa"), 31).as("key")),
+              struct(lit(2).as("chunk"), col("__sb").bitwiseAND(0x7FFFFFFFL).as("key")),
+              struct(lit(3).as("chunk"), shiftright(col("__sb"), 31).as("key")))).as("__ck"))
+          .select(col("doc_id"), col("__sa"), col("__sb"),
+            col("__ck.chunk"), col("__ck.key"))
+    }).persist()
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
     val keptRows = banded.join(
       sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),

@@ -827,4 +827,34 @@ class PipelineGatesSuite extends SparkSpec {
       assert(r.getLong(0) == r.getLong(1), s"row $i: ${r.getLong(0)} vs ${r.getLong(1)}")
     }
   }
+
+  test("simhash_wide_bands: bit-identical to the two-signature band formulation") {
+    import spark.implicits._
+    val salt = 0x9E3779B97F4A7C15L
+    val advers = Seq("", "one", "two words", "a b c d e f",
+      "Tabs\tand\nnewlines and MIXED case words repeated words repeated")
+    val df = advers.toDF("text") union
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text").limit(200)
+    // composed reference: two independent SimHashExpr evaluations + the
+    // explicit 4-struct chunk/key derivation (the shape the fused
+    // generator replaced in simhashNearDuplicatesWide)
+    val ref = df
+      .withColumn("__sa", graft.functions.SimHashExpr.simhash64(col("text"), 2))
+      .withColumn("__sb", graft.functions.SimHashExpr.simhash64Salted(col("text"), 2, salt))
+      .select(col("__sa"), col("__sb"),
+        explode(array(
+          struct(lit(0).as("chunk"), col("__sa").bitwiseAND(0x7FFFFFFFL).as("key")),
+          struct(lit(1).as("chunk"), shiftright(col("__sa"), 31).as("key")),
+          struct(lit(2).as("chunk"), col("__sb").bitwiseAND(0x7FFFFFFFL).as("key")),
+          struct(lit(3).as("chunk"), shiftright(col("__sb"), 31).as("key")))).as("__ck"))
+      .select(col("__ck.chunk"), col("__ck.key"), col("__sa"), col("__sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fused = df
+      .select(explode(graft.functions.SimHashWideBandsExpr
+        .simhashWideBands(col("text"), 2, salt)).as("__ck"))
+      .select(col("__ck.chunk"), col("__ck.key"), col("__ck.sa"), col("__ck.sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(fused == ref,
+      s"fused wide bands diverge: ${fused.zip(ref).filter(p => p._1 != p._2).take(3)}")
+  }
 }
