@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LSH exchange pin width (r14 session 2): the banded self-join and the
+    * candidate-attach exchanges carry payloads whose compressed size is far
+    * below raw (per-doc vectors repeated across band rows; id-only pair
+    * streams), so AQE's compressed-size partition coalescing over-packs
+    * reducers at scale — measured at the 1000x corpus as sort-merge heap
+    * death / multi-minute spill under a 16 GB driver. These exchanges are
+    * therefore issued as user repartitions (never coalesced) at the
+    * session's shuffle width, which the bench / production session already
+    * scales with input size. `graft.lsh.pinnedWidth`: unset = pin to
+    * spark.sql.shuffle.partitions (the scale-safe default), 0 = do not pin
+    * (planner exchanges + AQE coalescing), N > 0 = pin to N.
+    */
+  private def lshPinWidth(df: DataFrame): Option[Int] =
+    df.sparkSession.conf.getOption("graft.lsh.pinnedWidth").map(_.toInt) match {
+      case Some(0) => None
+      case Some(n) if n > 0 => Some(n)
+      case _ => Some(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    }
+
+  private def pinned(d: DataFrame, w: Option[Int], cols: Column*): DataFrame =
+    w.map(n => d.repartition(n, cols: _*)).getOrElse(d)
+
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicates on normalized content hash. Returns the input with
@@ -161,33 +184,114 @@ object Dedup {
     // byte-identical hash chain to the explode + per-seed MIN + concat_ws
     // formulation it replaces — fenced in PipelineGatesSuite): the
     // signature never leaves its row, so the 100M-row explode and the
-    // k-column groupBy-min disappear. Cap runaway buckets.
-    // persisted (r14): slim feeds the bucket-size aggregate AND the cap
-    // join — without the cache the k-hash signature pass (minhashBands
-    // over every cached shingle set) runs once per branch
+    // k-column groupBy-min disappear. Each exploded row CARRIES its full
+    // 8-slot band-key vector (r14 session 2) — the posexplode's Generate
+    // boundary pins minhashBands to one evaluation per doc, and the
+    // self-join sides below need no per-doc kept-vector regroup.
+    // persisted: slim feeds the bucket-size aggregate AND both self-join
+    // sides — without the cache the k-hash signature pass would run per
+    // consumer.
     val slim = shingled
       .select(col("doc_id"),
-        posexplode(graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows))
-          .as(Seq("band", "bucket")))
+        graft.functions.MinHashBandsExpr.minhashBands(col("__sh"), bands, rows).as("__kb"))
+      .select(col("doc_id"), col("__kb"),
+        posexplode(col("__kb")).as(Seq("band", "bucket")))
       .persist()
     val bucketSizes = slim.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-    val keptRows = slim.join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
-      Seq("band", "bucket"))
 
     // First-match candidate emission (r14): a pair meeting in several
     // bands used to be deduplicated with dropDuplicates over every pair
     // INSTANCE — measured at 100× as the pipeline's single biggest stage
-    // (176M instances hashed down to 27M pairs, 14 s of a 26 s run).
-    // Instead each side of the self-join carries its per-doc kept-bucket
-    // vector (one slot per band, NULL where the per-bucket cap dropped the
-    // doc's entry — cap-awareness is what makes first-match correct: a
-    // pair whose earliest shared band was capped must be emitted by its
-    // first SURVIVING shared band), and only the instance whose band
-    // equals the first matching slot survives — pairs are unique by
-    // construction, no dedup exchange. Fenced set-identical against the
-    // dropDuplicates formulation in PipelineGatesSuite (incl. a capped
-    // earliest-shared-band case). `sides` feeds BOTH sides of the
-    // self-join — persist so the vector build runs once, not per side.
+    // (176M instances hashed down to 27M pairs, 14 s of a 26 s run). Only
+    // the instance whose band equals the pair's first SURVIVING shared
+    // band is emitted — pairs are unique by construction, no dedup
+    // exchange. Cap-awareness (r14 session 2): buckets over the cap are
+    // FEW BY CONSTRUCTION (each holds > maxBucket rows, so their count is
+    // < bandedRows/(maxBucket+1) — boilerplate explosions, not the
+    // corpus), so "is (band, bucket) capped" is broadcastable knowledge:
+    // the capped keys are collected once and shipped as an exact sorted
+    // set ([[graft.functions.CappedKeys]]), the cap JOIN becomes a codegen
+    // filter, and the kept-vector regroup (a corpus-wide groupBy + map +
+    // re-explode, 37 s of the 1000× wall) disappears. An adversarial
+    // corpus capping more than `graft.lsh.cappedMaxKeys` buckets falls
+    // back to the joined+grouped formulation (kept below as the fence
+    // reference). Fenced set-identical in PipelineGatesSuite (incl. a
+    // capped earliest-shared-band case and a budget-0 forced fallback).
+    val cappedMax = df.sparkSession.conf.getOption("graft.lsh.cappedMaxKeys")
+      .map(_.toLong).getOrElse(4000000L)
+    val collectLimit = math.min(cappedMax, Int.MaxValue - 2L).toInt + 1
+    val cappedRows = bucketSizes.filter(col("__bsz") > maxBucket)
+      .select(col("band"), col("bucket")).limit(collectLimit).collect()
+    val candidates =
+      if (cappedMax < 0 || cappedRows.length > cappedMax)
+        minhashCandidatesGrouped(slim, bucketSizes, bands, maxBucket)
+      else {
+        val capped = df.sparkSession.sparkContext.broadcast(
+          graft.functions.CappedKeys.fromRows(cappedRows, bands))
+        // Explicit session-width repartition: the carried __kb vector
+        // repeats across a doc's 8 band rows, so this exchange compresses
+        // ~8x better than its raw size — AQE's compressed-size coalescing
+        // then packs tens of millions of raw rows into one reducer, whose
+        // sort-merge sort OOMs (measured at the 1000x corpus: default AQE
+        // dies at 16 GB heap; pinned width runs in 266 s vs the grouped
+        // shape's 484 s). A user-specified repartition is never coalesced;
+        // the width tracks spark.sql.shuffle.partitions, which the bench /
+        // production session already scales with input size. Both join
+        // sides read the ONE exchange (ReusedExchange).
+        val sides = pinned(slim.filter(!graft.functions.FirstUncappedMatchExpr
+          .cappedContains(col("band"), col("bucket"), capped)),
+          lshPinWidth(df), col("band"), col("bucket"))
+        val a = sides.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_id_a"), col("__kb").as("__kb_a"))
+        val b = sides.select(col("band"), col("bucket"),
+          col("doc_id").as("doc_id_b"), col("__kb").as("__kb_b"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .filter(col("band") === graft.functions.FirstUncappedMatchExpr
+            .firstUncappedMatch(col("__kb_a"), col("__kb_b"), capped))
+          .select("doc_id_a", "doc_id_b")
+      }
+
+    // attach the shingle sets to the (already deduplicated) candidate pairs.
+    // The shingle side is corpus-sized by definition — force a shuffle join
+    // so the optimizer can never elect to broadcast it (measured: a 20 MB
+    // broadcast threshold flips this join and costs ~1 s at sf0.1; at real
+    // scale broadcasting the corpus is fatal). Both attach exchanges are
+    // pinned to the session width (r14 session 2): the candidate-id side
+    // compresses far below its raw size, so AQE's compressed-size
+    // coalescing over-packs reducers whose shuffled-hash builds then hold
+    // hundreds of MB of shingle arrays per task (measured at the 1000×
+    // corpus as heap-death / multi-minute spill; pinned width + pinned
+    // self-join = 1.8× the grouped shape end to end).
+    val pw = lshPinWidth(df)
+    val pairs = pinned(candidates, pw, col("doc_id_a"))
+      .join(pinned(shingled.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a")),
+        pw, col("doc_id_a")).hint("shuffle_hash"), "doc_id_a")
+    val pairsB = pinned(pairs, pw, col("doc_id_b"))
+      .join(pinned(shingled.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b")),
+        pw, col("doc_id_b")).hint("shuffle_hash"), "doc_id_b")
+
+    // sorted-merge jaccard: same value as size(intersect)/size(union) on
+    // the sorted-distinct fingerprint arrays, with no per-pair hash set
+    pairsB.withColumn("jaccard",
+        round(graft.functions.SortedJaccardExpr.sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** The kept-vector (joined + grouped) candidate formulation — the
+    * over-budget fallback of [[minhashNearDuplicates]] (an adversarial
+    * corpus capping more buckets than `graft.lsh.cappedMaxKeys` can ship
+    * as a broadcast set) and the equivalence-fence reference
+    * (PipelineGatesSuite): cap via join against the size-filtered bucket
+    * table, per-doc kept-bucket vectors via groupBy + map (NULL slot =
+    * capped away), first-match over the NULL-able vectors.
+    */
+  private[graft] def minhashCandidatesGrouped(slim: DataFrame, bucketSizes: DataFrame,
+                                              bands: Int, maxBucket: Int): DataFrame = {
+    val keptRows = slim.select("doc_id", "band", "bucket")
+      .join(bucketSizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+        Seq("band", "bucket"))
     val docKept = keptRows.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("band"), col("bucket")))).as("__m"))
       .select(col("doc_id"),
@@ -200,34 +304,15 @@ object Dedup {
         posexplode(col("__kb")).as(Seq("band", "bucket")))
       .filter(col("bucket").isNotNull)
       .persist()
-
     val a = sides.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_a"), col("__kb").as("__kb_a"))
     val b = sides.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_b"), col("__kb").as("__kb_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .filter(col("band") ===
         graft.functions.FirstMatchBandExpr.firstMatchBand(col("__kb_a"), col("__kb_b")))
       .select("doc_id_a", "doc_id_b")
-
-    // attach the shingle sets to the (already deduplicated) candidate pairs.
-    // The shingle side is corpus-sized by definition — force a shuffle join
-    // so the optimizer can never elect to broadcast it (measured: a 20 MB
-    // broadcast threshold flips this join and costs ~1 s at sf0.1; at real
-    // scale broadcasting the corpus is fatal)
-    val pairs = candidates
-      .join(shingled.select(col("doc_id").as("doc_id_a"), col("__sh").as("__sh_a"))
-        .hint("shuffle_hash"), "doc_id_a")
-      .join(shingled.select(col("doc_id").as("doc_id_b"), col("__sh").as("__sh_b"))
-        .hint("shuffle_hash"), "doc_id_b")
-
-    // sorted-merge jaccard: same value as size(intersect)/size(union) on
-    // the sorted-distinct fingerprint arrays, with no per-pair hash set
-    pairs.withColumn("jaccard",
-        round(graft.functions.SortedJaccardExpr.sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
   /** EXACT n-gram Jaccard near-duplicates via an inverted shingle index:
@@ -424,17 +509,64 @@ object Dedup {
     // bucket stats are corpus-order in the worst case (one bucket per doc)
     // — never let a size estimate flip this join to broadcast
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+    // First-match candidate emission (r14): only the instance whose chunk
+    // equals the pair's first SURVIVING shared chunk is emitted — pairs
+    // unique by construction, no dropDuplicates exchange. Cap-awareness
+    // (r14 session 2, same shape as minhashNearDuplicates): capped chunks
+    // are ≤ 4 × 65,536 keys EVER (the whole 16-bit band key space), so the
+    // capped set always broadcasts — the cap JOIN becomes a codegen filter
+    // and the per-doc kept-vector regroup (groupBy + map + re-explode)
+    // disappears; the self-join sides carry only the 8-byte signature and
+    // the first-match recomputes chunk keys from it. The budget gate and
+    // grouped fallback are kept for config parity with minhash (a budget
+    // below 262,144 forces the joined formulation, which doubles as the
+    // fence reference — PipelineGatesSuite).
+    val cappedMax = df.sparkSession.conf.getOption("graft.lsh.cappedMaxKeys")
+      .map(_.toLong).getOrElse(4000000L)
+    val collectLimit = math.min(cappedMax, Int.MaxValue - 2L).toInt + 1
+    val cappedRows = sizes.filter(col("__bsz") > maxBucket)
+      .select(col("chunk"), col("key")).limit(collectLimit).collect()
+    // materialize the (small, post-verify) pair set eagerly so the banded
+    // cache can be released before returning — without this every call
+    // leaked its cached band partitions for the session (r9 ADVICE);
+    // try/finally so a failed join/checkpoint cannot leak it either
+    try {
+      if (cappedMax < 0 || cappedRows.length > cappedMax)
+        sim16PairsGrouped(banded, sizes, maxBucket, maxHamming)
+      else {
+        val capped = df.sparkSession.sparkContext.broadcast(
+          graft.functions.CappedKeys.fromRows(cappedRows, 4))
+        // session-width user repartition: see minhashNearDuplicates — the
+        // carried signature repeats across a doc's 4 chunk rows, so AQE's
+        // compressed-size coalescing over-packs reducers at scale
+        val kept = pinned(banded.filter(!graft.functions.FirstUncappedMatchExpr
+          .cappedContains(col("chunk"), col("key"), capped)),
+          lshPinWidth(df), col("chunk"), col("key"))
+        val a = kept.select(col("chunk"), col("key"),
+          col("doc_id").as("doc_id_a"), col("__sim").as("__sim_a"))
+        val b = kept.select(col("chunk"), col("key"),
+          col("doc_id").as("doc_id_b"), col("__sim").as("__sim_b"))
+        a.join(b, Seq("chunk", "key"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .filter(col("chunk") === graft.functions.FirstUncappedSim16Expr
+            .firstUncappedSim16(col("__sim_a"), col("__sim_b"), capped))
+          .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+          .filter(col("hamming") <= maxHamming)
+          .select("doc_id_a", "doc_id_b", "hamming")
+          .localCheckpoint(eager = true)
+      }
+    } finally banded.unpersist()
+  }
+
+  /** The kept-vector (joined + grouped) 16-bit simhash pair formulation —
+    * over-budget fallback and fence reference (see
+    * [[minhashCandidatesGrouped]]). Returns the eagerly-checkpointed pair
+    * set; its own sides cache is released before returning.
+    */
+  private[graft] def sim16PairsGrouped(banded: DataFrame, sizes: DataFrame,
+                                       maxBucket: Int, maxHamming: Int): DataFrame = {
     val keptRows = banded.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("chunk", "key"))
-    // First-match candidate emission (r14, same shape as
-    // minhashNearDuplicates): each side carries its per-doc kept-chunk
-    // vector (one slot per chunk, NULL where the cap dropped the entry);
-    // only the instance whose chunk equals the first matching slot
-    // survives — pairs are unique by construction, so the dropDuplicates
-    // exchange over every pair instance disappears. NULL-safety of the
-    // slot values: 16-bit keys are non-negative, so no real key collides
-    // with the NULL sentinel semantics. Fenced set-identical against the
-    // dropDuplicates formulation in PipelineGatesSuite.
     val sides = keptRows.groupBy("doc_id")
       .agg(first("__sim").as("__sim"),
         map_from_entries(collect_list(struct(col("chunk"), col("key")))).as("__m"))
@@ -449,10 +581,6 @@ object Dedup {
       col("__sim").as("__sim_a"), col("__kc").as("__kc_a"))
     val b = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
       col("__sim").as("__sim_b"), col("__kc").as("__kc_b"))
-    // materialize the (small, post-verify) pair set eagerly so the banded
-    // cache can be released before returning — without this every call
-    // leaked its cached band partitions for the session (r9 ADVICE);
-    // try/finally so a failed join/checkpoint cannot leak it either
     try {
       a.join(b, Seq("chunk", "key"))
         .filter(col("doc_id_a") < col("doc_id_b"))
@@ -462,7 +590,7 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .select("doc_id_a", "doc_id_b", "hamming")
         .localCheckpoint(eager = true)
-    } finally { sides.unpersist(); banded.unpersist() }
+    } finally sides.unpersist()
   }
 
   /** Wide-band (126-bit) SimHash near-dups — the band-space scale path
@@ -522,10 +650,62 @@ object Dedup {
             col("__ck.chunk"), col("__ck.key"))
     }).persist()
     val sizes = banded.groupBy("chunk", "key").agg(count(lit(1)).as("__bsz"))
+    // First-match candidate emission (r14) + capped-set cap (r14 session 2)
+    // — see simhashNearDuplicates: capped buckets are few by construction
+    // (< bandedRows/(maxBucket+1)), so the cap join becomes a broadcast-set
+    // codegen filter and the kept-vector regroup disappears; the self-join
+    // sides carry only the two 8-byte signatures and the first-match
+    // recomputes the 4 chunk keys from them. Over-budget corpora fall back
+    // to the joined+grouped formulation (the fence reference).
+    val cappedMax = df.sparkSession.conf.getOption("graft.lsh.cappedMaxKeys")
+      .map(_.toLong).getOrElse(4000000L)
+    val collectLimit = math.min(cappedMax, Int.MaxValue - 2L).toInt + 1
+    val cappedRows = sizes.filter(col("__bsz") > maxBucket)
+      .select(col("chunk"), col("key")).limit(collectLimit).collect()
+    // same cache discipline as the 16-bit path: eager-materialize the small
+    // verified pair set, then release the caches before returning —
+    // exception-safe so a failed join/checkpoint cannot leak them
+    try {
+      if (cappedMax < 0 || cappedRows.length > cappedMax)
+        simWidePairsGrouped(banded, sizes, maxBucket, maxHamming)
+      else {
+        val capped = df.sparkSession.sparkContext.broadcast(
+          graft.functions.CappedKeys.fromRows(cappedRows, 4))
+        // session-width user repartition: see minhashNearDuplicates — the
+        // carried signatures repeat across a doc's 4 chunk rows, so AQE's
+        // compressed-size coalescing over-packs reducers at scale
+        val kept = pinned(banded.filter(!graft.functions.FirstUncappedMatchExpr
+          .cappedContains(col("chunk"), col("key"), capped)),
+          lshPinWidth(df), col("chunk"), col("key"))
+        val a = kept.select(col("chunk"), col("key"), col("doc_id").as("doc_id_a"),
+          col("__sa").as("__sa_a"), col("__sb").as("__sb_a"))
+        val b = kept.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
+          col("__sa").as("__sa_b"), col("__sb").as("__sb_b"))
+        a.join(b, Seq("chunk", "key"))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .filter(col("chunk") === graft.functions.FirstUncappedWideExpr
+            .firstUncappedWide(col("__sa_a"), col("__sb_a"),
+              col("__sa_b"), col("__sb_b"), capped))
+          .withColumn("hamming",
+            (bit_count(col("__sa_a").bitwiseXOR(col("__sa_b"))) +
+              bit_count(col("__sb_a").bitwiseXOR(col("__sb_b")))).cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("doc_id_a", "doc_id_b", "hamming")
+          .localCheckpoint(eager = true)
+      }
+    } finally banded.unpersist()
+  }
+
+  /** The kept-vector (joined + grouped) wide-band pair formulation —
+    * over-budget fallback and fence reference (see
+    * [[minhashCandidatesGrouped]]). Returns the eagerly-checkpointed pair
+    * set; its own sides cache is released before returning.
+    */
+  private[graft] def simWidePairsGrouped(banded: DataFrame, sizes: DataFrame,
+                                         maxBucket: Int, maxHamming: Int): DataFrame = {
     val keptRows = banded.join(
       sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
       Seq("chunk", "key"))
-    // first-match candidate emission (r14) — see simhashNearDuplicates;
     // key values are 31/32-bit non-negative, slot NULL = capped away
     val sides = keptRows.groupBy("doc_id")
       .agg(first("__sa").as("__sa"), first("__sb").as("__sb"),
@@ -541,9 +721,6 @@ object Dedup {
       col("__sa").as("__sa_a"), col("__sb").as("__sb_a"), col("__kc").as("__kc_a"))
     val b = sides.select(col("chunk"), col("key"), col("doc_id").as("doc_id_b"),
       col("__sa").as("__sa_b"), col("__sb").as("__sb_b"), col("__kc").as("__kc_b"))
-    // same cache discipline as the 16-bit path: eager-materialize the small
-    // verified pair set, then release the caches before returning —
-    // exception-safe so a failed join/checkpoint cannot leak them
     try {
       a.join(b, Seq("chunk", "key"))
         .filter(col("doc_id_a") < col("doc_id_b"))
@@ -555,7 +732,7 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .select("doc_id_a", "doc_id_b", "hamming")
         .localCheckpoint(eager = true)
-    } finally { sides.unpersist(); banded.unpersist() }
+    } finally sides.unpersist()
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -24,6 +24,13 @@ object ProbeTime {
       .config("spark.sql.autoBroadcastJoinThreshold", (20L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v" — arbitrary session confs for A/B probes
+    // (e.g. graft.lsh.cappedMaxKeys=0 forces the joined+grouped LSH path)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     graft.SparkEntry.engineFor(spark, dir)
     // scale-path aliases with no driver entry (same shapes ProbeSweep times
     // at the end of its run)

@@ -443,6 +443,44 @@ class PipelineGatesSuite extends SparkSpec {
     cmp(fam, 0.7, 8, 4, 1000)
   }
 
+  test("capped-set LSH dispatch: budget-0 forced joined+grouped fallback is identical") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // r14 session 2: the cap join + kept-vector regroup were replaced by a
+    // broadcast capped-key set; graft.lsh.cappedMaxKeys = 0 forces the old
+    // joined+grouped formulation whenever any bucket is capped — both
+    // dispatches must be row-identical on corpora WITH capped buckets
+    // (tight caps + near-dup families, the engineered cases above).
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fam = Seq(
+      (1L, words), (2L, words),
+      (3L, words.replace("w30", "zz")), (4L, words.replace("w29", "qq")),
+      (5L, "completely different text about other things entirely here now"),
+      (6L, "completely different text about other things entirely here now"))
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    def ab(f: => org.apache.spark.sql.DataFrame): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val fast = rows(f)
+      spark.conf.set("graft.lsh.cappedMaxKeys", "0")
+      val grouped = try rows(f) finally spark.conf.unset("graft.lsh.cappedMaxKeys")
+      (fast, grouped)
+    }
+    val (m1, m2) = ab(Dedup.minhashNearDuplicates(fam, threshold = 0.0,
+      bands = 8, rows = 2, maxBucket = 2))
+    assert(m1 == m2, s"minhash dispatch diverges: ${m1.length} vs ${m2.length}")
+    val (mc1, mc2) = ab(Dedup.minhashNearDuplicates(corpus, threshold = 0.5,
+      bands = 8, rows = 4, maxBucket = 3))
+    assert(mc1 == mc2, s"minhash corpus dispatch diverges: ${mc1.length} vs ${mc2.length}")
+    val (s1, s2) = ab(Dedup.simhashNearDuplicates(fam, maxHamming = 20,
+      maxBucket = 2, wideFromDocs = 0))
+    assert(s1 == s2, s"sim16 dispatch diverges: ${s1.length} vs ${s2.length}")
+    val (w1, w2) = ab(Dedup.simhashNearDuplicatesWide(fam, maxHamming = 40,
+      maxBucket = 2))
+    assert(w1 == w2, s"wide dispatch diverges: ${w1.length} vs ${w2.length}")
+  }
+
   test("chunkDedup: carry-chunk keeper agg equals the join-back formulation") {
     import graft.ops.Dedup
     import spark.implicits._
