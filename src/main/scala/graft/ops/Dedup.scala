@@ -766,8 +766,27 @@ object Dedup {
       .withColumn("__bucket", bucketExpr)
       .persist()
     val sizes = keyed.groupBy("__bucket").agg(count(lit(1)).as("__bsz"))
-    val capped = keyed.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
-      Seq("__bucket"))
+    // capped-set cap (r14 session 2, same argument as minhashNearDuplicates):
+    // over-cap buckets number < rows/(maxBucket+1) by construction, so the
+    // cap join (a corpus-order shuffle-hash join — every keyed row's bucket
+    // exists in `sizes` by construction, making the join a pure cap filter)
+    // becomes a broadcast-set codegen filter; over-budget corpora keep the
+    // joined formulation
+    val cappedMax = df.sparkSession.conf.getOption("graft.lsh.cappedMaxKeys")
+      .map(_.toLong).getOrElse(4000000L)
+    val collectLimit = math.min(cappedMax, Int.MaxValue - 2L).toInt + 1
+    val cappedRows = sizes.filter(col("__bsz") > maxBucket)
+      .select(lit(0).as("band"), col("__bucket")).limit(collectLimit).collect()
+    val capped =
+      if (cappedMax < 0 || cappedRows.length > cappedMax)
+        keyed.join(sizes.filter(col("__bsz") <= maxBucket).hint("shuffle_hash"),
+          Seq("__bucket"))
+      else {
+        val cappedBc = df.sparkSession.sparkContext.broadcast(
+          graft.functions.CappedKeys.fromRows(cappedRows, 1))
+        keyed.filter(!graft.functions.FirstUncappedMatchExpr
+          .cappedContains(lit(0), col("__bucket"), cappedBc))
+      }
     val a = capped.select(col("__bucket"), col("vec_id").as("vec_id_a"), col("__v").as("__va"))
     val b = capped.select(col("__bucket"), col("vec_id").as("vec_id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
